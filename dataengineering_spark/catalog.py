@@ -1,0 +1,251 @@
+"""Table registry: explicit schemas + env/chain routing.
+
+The reference never declares schemas (pandas ``read_csv`` inference,
+reference ``clickhouse/v1/operator.py:454``) and routes table names by
+environment and chain (``airflow/bigquery/utils.py:12-31``,
+``chains.py:40-43``, ``coinprice/pricing_checks.py:36-47``). Here the
+catalog pins an explicit ``StructType`` per table (schema-on-read
+inference is a correctness and perf hazard at 100 TB: it triggers a
+file-listing + footer-read pass) and centralizes name routing.
+"""
+
+from __future__ import annotations
+
+import os
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Explicit schemas for the driver-provided corpus (TESTDATA.md). At
+# production scale these come from the metastore; pinning them here
+# means the parquet scan never needs an inference pass and the plan's
+# ReadSchema is exactly what the query needs after pruning.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough that every join against them should be
+# a broadcast hash join, never a shuffle.
+BROADCAST_DIMS = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+# The driver's parquet stores TIMESTAMP(NANOS) which Spark's parquet
+# reader rejects outright. We read those columns as raw nanos longs
+# (legacy.parquet.nanosAsLong) and convert with *integer* division —
+# ns values (~1.7e18) exceed double's exact-integer range, so a
+# float path would drift by ±1µs vs the DuckDB oracle's truncation.
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),  # orders/lineitem are TIMESTAMP(MILLIS): native
+}
+
+
+def _nanos_to_ntz(col: str):
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one corpus table with its pinned schema.
+
+    Timestamp columns land as TimestampNTZType (the files are
+    isAdjustedToUTC=false), truncated ns→µs exactly like DuckDB.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as Ty
+
+    nano_cols = NANO_TS_COLS.get(name, ())
+    schema = SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        if nano_cols:
+            raw_fields = [
+                Ty.StructField(f.name, Ty.LongType() if f.name in nano_cols else f.dataType)
+                for f in schema.fields
+            ]
+            schema = Ty.StructType(raw_fields)
+        reader = reader.schema(schema)
+    if nano_cols:
+        # settable at runtime so this works under the driver's own session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nano_cols:
+        df = df.withColumn(c, _nanos_to_ntz(c))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register_views: bool = True,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+) -> dict[str, DataFrame]:
+    """Load the corpus, optionally registering SQL temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, name, sf_dir)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class Environment(str, Enum):
+    """Prod/dev namespace routing (reference ``airflow/bigquery/utils.py:12-31``,
+    ``airflow/google_cloud_storage/utils.py:69-83``)."""
+
+    PRODUCTION = "production"
+    DEVELOPMENT = "development"
+
+
+def build_destination(dataset: str, table: str, environment: str | Environment) -> str:
+    """Map a logical dataset/table to an env-qualified identifier.
+
+    Mirrors the reference's routing rule: production keeps the dataset
+    name, any other environment gets a ``_dev`` suffix
+    (``airflow/bigquery/utils.py:22-31``).
+    """
+    env = Environment(environment) if not isinstance(environment, Environment) else environment
+    suffix = "" if env is Environment.PRODUCTION else "_dev"
+    return f"{dataset}{suffix}.{table}"
+
+
+class Chain(str, Enum):
+    """Chain dimension (reference ``chains.py:4-64``): the only
+    first-class schema object in the reference. Retained as a plain
+    enum + routing properties; joins against chain attributes use a
+    broadcast dimension frame instead."""
+
+    BITCOIN = "bitcoin"
+    ETHEREUM = "ethereum"
+    LITECOIN = "litecoin"
+    TRON = "tron"
+    RIPPLE = "ripple"
+    HEDERA = "hedera"
+    POLYGON = "polygon"
+    BITCOIN_CASH = "bitcoin_cash"
+    DOGECOIN = "dogecoin"
+
+    @property
+    def database_name(self) -> str:
+        """Logical database routing (reference ``chains.py:40-43``)."""
+        return self.value
+
+    @property
+    def is_smart_contract_chain(self) -> bool:
+        """Smart-contract subset (reference ``chains.py:54-64``)."""
+        return self in {Chain.ETHEREUM, Chain.TRON, Chain.POLYGON, Chain.HEDERA}
+
+    def metadata_table(self) -> str:
+        """Token-metadata source routing: chains alphabetically >= 's'
+        read the shared ``aal_dictionaries`` namespace (reference
+        ``coinprice/pricing_checks.py:36-47``). Kept as a name-compat
+        shim; in Spark both resolve through the same catalog."""
+        if ord(self.value[0]) < ord("s"):
+            return f"{self.value}.tokens_metadata"
+        return f"aal_dictionaries.{self.value}_tokens_metadata"

@@ -1,0 +1,94 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle
+connection with the corpus pre-registered as views (mirrors the
+driver's verify harness)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from dataengineering_spark.catalog import TESTDATA_TABLES
+from dataengineering_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("dataengineering-spark-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine compare."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    try:  # Decimal → float-insensitive string
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+
+def assert_frames_match(spark_df, duck_rel, check_exact_floats=True):
+    """Order-insensitive, column-name-sorted comparison — the same
+    contract the driver's CORRECTNESS check uses (row count + schema
+    names + value hash), but with exact cell equality so any driver
+    hash scheme passes if this does."""
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_rel.columns)
+    assert s_cols == d_cols, f"column mismatch: {s_cols} vs {d_cols}"
+
+    s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()]
+    d_idx = {c: i for i, c in enumerate(duck_rel.columns)}
+    d_rows = [
+        tuple(_norm(row[d_idx[c]]) for c in s_cols) for row in duck_rel.fetchall()
+    ]
+    assert len(s_rows) == len(d_rows), f"row count {len(s_rows)} vs {len(d_rows)}"
+    s_sorted = sorted(s_rows, key=repr)
+    d_sorted = sorted(d_rows, key=repr)
+    mismatches = []
+    for a, b in zip(s_sorted, d_sorted):
+        if a != b:
+            if not check_exact_floats and _approx_eq(a, b):
+                continue
+            mismatches.append((a, b))
+            if len(mismatches) >= 5:
+                break
+    assert not mismatches, f"value mismatches (spark, duck): {mismatches}"
+
+
+def _approx_eq(a, b, rel=1e-9):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=rel, abs_tol=1e-12):
+                return False
+        elif x != y:
+            return False
+    return True

@@ -1,0 +1,33 @@
+"""Differential tests: every registry query vs its DuckDB oracle at
+sf0.01 — the same gate the driver's CORRECTNESS check applies."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineering_spark.plans.queries import QUERIES
+from tests.conftest import SF_ORACLE, assert_frames_match
+
+SQL_BACKED = [name for name, spec in QUERIES.items() if spec.sql is not None]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    rel = duck.sql(spec.sql)
+    assert_frames_match(sdf, rel)
+
+
+def test_all_queries_have_fn():
+    for name, spec in QUERIES.items():
+        assert callable(spec.fn), name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
