@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: one warm-up run of a trivial action to amortize JVM/codegen
+startup, then each headline query executed once with a count-style
+action (foreach(noop) would skip result materialization; we use
+``df.write.format("noop")`` so the full result is computed but nothing
+is collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = (
+    "pricing_summary",
+    "enrichment_pipeline",
+    "log_index",
+    "transactions_agg",
+    "link_inputs_agg",
+    "chain_state_pivot",
+    "tumbling_window",
+    "scale_and_reset",
+    "grouped_counts",
+    "constant_key_join",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dataengineering_spark.session import get_spark
+    from dataengineering_spark.plans.queries import QUERIES
+
+    spark = get_spark("dataengineering-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT, codegen cache, filesystem metadata
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    QUERIES["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
