@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+``pyspark.sql.functions`` column expressions — JVM-side, codegen'd,
+no Python in the hot path — so they run unchanged over 100 TB of
+documents.
+
+Cross-engine determinism notes (these back DuckDB-oracle checks):
+- regex only uses constructs common to Java regex and RE2
+  (character classes, \\b, alternation — no backrefs/lookahead);
+- no transcendental math (exp/log differ by ulps across libm);
+  quality_score is rational arithmetic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Order matters: ties resolve to the earlier language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh": ("de", "le", "shi", "bu", "wo", "ni", "ta", "men"),
+}
+
+# BPE-ish tokenization: letter runs, single digits, or single
+# non-alphanumeric marks — a common pre-tokenizer shape.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+WHITESPACE = r"\s+"
+
+
+def word_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text (both Spark and
+    DuckDB split a blank string into one empty token — guard it)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WHITESPACE))
+    )
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (regexp matches)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """Occurrences of the language's stopwords as whole words."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[^\w\s]"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The reference has no fingerprinting; rolling-hash shingles live
+    in operators/dedup.py — this is the whole-document variant.)"""
+    return F.md5(normalize_text(text))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality score in [0,1], rational arithmetic only:
+    40% length saturation (words/200 capped), 30% stopword ratio
+    saturation, 30% low-punctuation bonus."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_words = word_count(c).cast("double")
+    length_term = F.least(n_words / F.lit(200.0), F.lit(1.0))
+    stop_ratio = F.when(
+        n_words > 0, stopword_count(c).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_term = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    n_chars = F.length(c).cast("double")
+    punct_ratio = F.when(
+        n_chars > 0, punct_count(c).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term + F.lit(0.3) * stop_term + F.lit(0.3) * punct_term
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_count(text, lang) for lang in LANG_STOPWORDS}
+
+
+def detect_lang(text: Column | str) -> Column:
+    """Stopword-vote language ID: ordered when-chain, so ties resolve
+    to the first language in LANG_STOPWORDS order ('und' when no
+    votes) — the exact semantics of an ordered SQL CASE, which the
+    oracle mirrors."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    expr = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))

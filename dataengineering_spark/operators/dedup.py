@@ -1,0 +1,201 @@
+"""Approximate deduplication for document corpora at scale:
+MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Design for 100 TB:
+- Signatures are computed per-row with nested JVM array expressions
+  (``transform``/``aggregate`` higher-order functions) — no Python
+  UDFs, no explode of shingles, so a doc never becomes 40+ shuffle
+  rows during signature computation.
+- The only shuffle is the LSH band self-join, keyed on
+  ``(band_id, band_sig)`` — exactly the candidate-generation join of
+  the standard MinHash-LSH scheme, and the smallest possible shuffle
+  payload (doc_id + 32-char sig per band).
+- Hashes are md5-based so the DuckDB oracle can reproduce them
+  bit-for-bit; swap HASH_FN for xxhash64 in production if md5
+  throughput ever shows up in profiles.
+
+The pandas/driver reference has no near-dup capability at all; this
+is north-star surface (BASELINE.json) built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataengineering_spark.functions.text import normalize_text
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+DEFAULT_SHINGLE = 3
+
+
+def shingles(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles of the normalized text. Short
+    docs (< n words) contribute their whole text as one shingle."""
+    words = F.split(normalize_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    whole = F.array(F.concat_ws(" ", words))
+    return F.array_distinct(F.when(F.size(words) < n, whole).otherwise(grams))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """MinHash signature as an array of md5-min strings: element k is
+    ``min over shingles of md5(k || '|' || shingle)``. String min is a
+    valid uniform min-hash because md5 hex compares lexicographically
+    uniformly."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.md5(F.concat(k.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Explode a signature into (id, band_id, band_sig) rows — the LSH
+    bucketing key. band_sig is md5 of the band's concatenated rows."""
+    rows_per_band = num_hashes // bands
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    )
+    return banded.select(id_col, "band.band_id", "band.band_sig")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH."""
+    sigs = docs.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("signature"),
+    )
+    b = lsh_bands(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage of
+    the LSH pipeline). ``pairs`` has columns doc_a, doc_b."""
+    sh = docs.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+#
+# 32-bit SimHash from md5-derived word hashes. The bit arithmetic is
+# emitted as generated SQL text (Spark F.expr) so the DuckDB oracle
+# can be generated from the same Python constants — keeping both
+# engines' arithmetic in lockstep. Only engine-portable constructs:
+# position(x in y), substr, md5, floor division via exact doubles.
+
+SIMHASH_BITS = 32
+_HEXVAL = "(position(substr({h}, {pos}, 1) in '0123456789abcdef') - 1)"
+
+
+def _hex32_expr(h: str) -> str:
+    """SQL for: integer value of the first 8 hex chars of md5 text
+    ``h``, accumulated in double (exact: < 2^32 < 2^53; int literals
+    would overflow int32 under Spark's ANSI arithmetic)."""
+    terms = [
+        f"{_HEXVAL.format(h=h, pos=j + 1)} * {float(16 ** (7 - j))!r}" for j in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bit_expr(v: str, b: int) -> str:
+    """SQL for bit ``b`` of integer-valued double ``v`` (exact floor
+    division — both engines floor identically on exact doubles)."""
+    return f"(CAST(floor({v} / {2 ** b}) AS BIGINT) % 2)"
+
+
+def simhash_sql(words_expr: str, dialect: str) -> str:
+    """Generated SQL computing a 32-bit SimHash over a words-array
+    expression. dialect: 'spark' | 'duckdb' (fold syntax differs; the
+    arithmetic is identical)."""
+    v = _hex32_expr("md5(w)")
+    per_bit = []
+    for b in range(SIMHASH_BITS):
+        vote = f"({_bit_expr(v, b)} * 2 - 1)"
+        if dialect == "spark":
+            s = f"aggregate(transform({words_expr}, w -> {vote}), 0L, (acc, x) -> acc + x)"
+        else:
+            s = f"list_sum(list_transform({words_expr}, w -> {vote}))"
+        per_bit.append(f"(CASE WHEN {s} >= 0 THEN {2 ** b} ELSE 0 END)")
+    return "CAST(" + " + ".join(per_bit) + " AS BIGINT)"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document 32-bit SimHash (documents whose hashes are close in
+    Hamming distance are near-duplicates)."""
+    norm = docs.select(
+        F.col(id_col), normalize_text(text_col).alias("norm_text")
+    )
+    words = "split(norm_text, ' ')"
+    return norm.select(
+        id_col, F.expr(simhash_sql(words, "spark")).alias("simhash")
+    )

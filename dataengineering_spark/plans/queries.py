@@ -710,6 +710,18 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+def _register_llm_queries() -> None:
+    """Merge the LLM-pipeline registry (text/dedup/similarity/
+    multimodal north-star operators) into QUERIES."""
+    from dataengineering_spark.plans.queries_llm import LLM_QUERIES
+
+    for name, (fn, sql, ref) in LLM_QUERIES.items():
+        QUERIES[name] = QuerySpec(fn, sql, ref)
+
+
+_register_llm_queries()
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -1,0 +1,439 @@
+"""LLM-data-pipeline queries: text analysis, near-dup dedup,
+similarity search, multimodal plumbing — each as a (Spark callable,
+DuckDB oracle SQL) pair over the documents/embeddings tables.
+
+Cross-engine notes baked into the oracles:
+- DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+  matches by default);
+- hyperplanes for LSH are computed in *Python* (hashlib md5) and
+  embedded as double literals in both engines — no reliance on
+  engine-side RNG or hash parity;
+- cosine: Spark's left-to-right aggregate fold is bit-identical to
+  DuckDB's list_dot_product (verified empirically, see tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.functions.text import (
+    LANG_STOPWORDS,
+    BPE_PATTERN,
+    bpe_token_count,
+    detect_lang,
+    fingerprint,
+    punct_count,
+    quality_score,
+    stopword_count,
+    word_count,
+)
+from dataengineering_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_sql,
+)
+from dataengineering_spark.operators.similarity import cosine, cosine_topk
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, "embeddings", sf_dir)
+
+
+# SQL normalization mirroring functions.text.normalize_text
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ===========================================================================
+# Q: token_count — whitespace + BPE-ish token counting
+# ===========================================================================
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+  END AS n_words,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ===========================================================================
+# Q: doc_fingerprint — md5 of normalized text
+# ===========================================================================
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents
+"""
+
+
+# ===========================================================================
+# Q: quality_score — rational-arithmetic heuristic quality
+# ===========================================================================
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text", "en").alias("n_stopwords"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_EN_PAT = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+
+SQL_QUALITY_SCORE = f"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+    END AS n_words,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+    CAST(len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS INT) AS n_stopwords,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_punct, n_stopwords,
+  0.4 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
+  + 0.3 * least((CASE WHEN n_words > 0
+                 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END) * 4.0, 1.0)
+  + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars
+                        ELSE 0.0 END) * 5.0, 1.0)) AS quality
+FROM f
+"""
+
+
+# ===========================================================================
+# Q: lang_id — stopword-vote language detection
+# ===========================================================================
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", detect_lang("text").alias("predicted_lang")
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n    ".join(
+        "CAST(len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(words)
+        + ")\\b')) AS INT) AS s_" + lang
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents)
+SELECT doc_id, lang,
+  CASE {' '.join(cases)} ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+# ===========================================================================
+# Dedup corpus: documents + perturbed copies of even-id docs so the
+# near-dup operators have true positives to find (testdata texts are
+# all unique). Mirrored exactly in SQL.
+# ===========================================================================
+
+def _dedup_corpus(docs: DataFrame) -> DataFrame:
+    perturbed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz zz zz")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(perturbed)
+
+
+DEDUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || ' zz zz zz' AS text
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+# DuckDB mirror of operators.dedup: shingle → minhash → band pipeline
+_DEDUP_SQL_CTES = f"""
+WITH corpus AS ({DEDUP_CORPUS_SQL}),
+norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM corpus),
+w AS (SELECT doc_id, string_split(nt, ' ') AS words FROM norm),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                             i -> array_to_string(words[i:i+2], ' '))
+    END) AS sh
+  FROM w
+),
+sig AS (
+  SELECT doc_id, list_transform(range(0, 16),
+    k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || '|' || s)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_sig
+  FROM sig, range(0, 4) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+# ===========================================================================
+# Q: minhash_lsh — candidate near-duplicate pairs
+# ===========================================================================
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(corpus)
+
+
+SQL_MINHASH_LSH = _DEDUP_SQL_CTES + "SELECT doc_a, doc_b FROM pairs"
+
+
+# ===========================================================================
+# Q: ngram_jaccard — exact Jaccard verification of LSH candidates
+# ===========================================================================
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(_docs(spark, sf_dir))
+    pairs = minhash_lsh_pairs(corpus)
+    return jaccard_pairs(corpus, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+SQL_NGRAM_JACCARD = _DEDUP_SQL_CTES + """
+, jac AS (
+  SELECT p.doc_a, p.doc_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+# ===========================================================================
+# Q: simhash_fingerprint — 32-bit SimHash per document
+# ===========================================================================
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS norm_text FROM documents)
+SELECT doc_id, {simhash_sql("string_split(norm_text, ' ')", 'duckdb')} AS simhash
+FROM norm
+"""
+
+
+# ===========================================================================
+# Q: cosine_topk — exact brute-force ANN baseline (queries: vec_id<10)
+# ===========================================================================
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(qv, e.v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+# ===========================================================================
+# Q: lsh_ann — LSH-bucketed approximate ANN (the 100 TB scale path).
+# Hyperplanes are Python-computed md5 doubles, embedded as literals in
+# both engines.
+# ===========================================================================
+
+N_PLANES, DIM = 4, 64
+
+
+def _plane_component(p: int, d: int) -> float:
+    h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0 - 0.5
+
+
+PLANES: list[list[float]] = [
+    [_plane_component(p, d) for d in range(DIM)] for p in range(N_PLANES)
+]
+
+
+def _bucket_col(vec_col):
+    acc = F.lit(0).cast("long")
+    for p, plane in enumerate(PLANES):
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        acc = acc + F.when(cosine_dot(vec_col, plane_lit) >= 0, F.lit(2 ** p)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return acc
+
+
+def cosine_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("bucket", _bucket_col(F.col("cv")))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("bucket", _bucket_col(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _planes_duckdb() -> str:
+    return (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in plane) + "]" for plane in PLANES)
+        + "]"
+    )
+
+
+def _lsh_ann_sql() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, planes[{p + 1}]) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH p AS (SELECT {_planes_duckdb()} AS planes),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM embeddings, p
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(qv, e.v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cos_sim
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_LSH_ANN = _lsh_ann_sql()
+
+
+# ===========================================================================
+# Q: multimodal_metadata — binary-column plumbing (payload stats)
+# ===========================================================================
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+SQL_MULTIMODAL_METADATA = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text) AS payload_md5
+FROM documents
+"""
+
+
+LLM_QUERIES: dict[str, tuple] = {
+    "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),
+    "lang_id": (q_lang_id, SQL_LANG_ID, "north-star:text"),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH, "north-star:dedup"),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
+    "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),
+    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN, "north-star:similarity"),
+    "multimodal_metadata": (
+        q_multimodal_metadata,
+        SQL_MULTIMODAL_METADATA,
+        "north-star:multimodal",
+    ),
+}
