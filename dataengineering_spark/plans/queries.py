@@ -710,16 +710,17 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-def _register_llm_queries() -> None:
-    """Merge the LLM-pipeline registry (text/dedup/similarity/
-    multimodal north-star operators) into QUERIES."""
+def _register_extra_queries() -> None:
+    """Merge the LLM-pipeline and extended-relational registries."""
     from dataengineering_spark.plans.queries_llm import LLM_QUERIES
+    from dataengineering_spark.plans.queries_relational import RELATIONAL_QUERIES
 
-    for name, (fn, sql, ref) in LLM_QUERIES.items():
-        QUERIES[name] = QuerySpec(fn, sql, ref)
+    for extra in (LLM_QUERIES, RELATIONAL_QUERIES):
+        for name, (fn, sql, ref) in extra.items():
+            QUERIES[name] = QuerySpec(fn, sql, ref)
 
 
-_register_llm_queries()
+_register_extra_queries()
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

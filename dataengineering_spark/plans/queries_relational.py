@@ -1,0 +1,220 @@
+"""Additional relational queries: multi-join TPC-H shapes, session and
+sliding windows — widening §2 coverage (J4 joins, P5 predicates, W
+windows, streaming-window upgrades) with oracle-exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.functions.scalars import dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, name, sf_dir)
+
+
+DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# ===========================================================================
+# Q: shipping_priority — TPC-H Q3 shape: 3-way join, date predicates,
+# top-10 by exact revenue (broadcast customer dim, shuffle join on
+# orders⋈lineitem keys).
+# ===========================================================================
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ===========================================================================
+# Q: local_supplier_volume — TPC-H Q5 shape: 6-table snowflake join
+# with the customer-nation == supplier-nation constraint.
+# ===========================================================================
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ===========================================================================
+# Q: filtered_events — P4/P5 predicate stack: IN-list + date range +
+# column math, aggregated small.
+# ===========================================================================
+
+def q_filtered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("ts") >= "2024-01-08")
+            & (F.col("value") > 5.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+SQL_FILTERED_EVENTS = f"""
+SELECT event_type, COUNT(*) AS n,
+  {DSUM.format(e='value')} AS sum_value,
+  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND value > 5.0
+GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Q: session_window — gap-merged activity sessions per user (engine
+# uses native session_window; the oracle derives identical sessions
+# with the classic gaps-and-islands SQL).
+# ===========================================================================
+
+SESSION_GAP = "30 minutes"
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+  {DSUM.format(e='value')} AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ===========================================================================
+# Q: sliding_window — 2h windows sliding by 1h (each event in exactly
+# two windows; oracle expands via the two candidate window starts).
+# ===========================================================================
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH expanded AS (
+  SELECT date_trunc('hour', ts) - INTERVAL (h) HOUR AS window_start, event_type
+  FROM events, range(0, 2) t(h)
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY, "J4,P5,O1,O2,A5"),
+    "local_supplier_volume": (
+        q_local_supplier_volume,
+        SQL_LOCAL_SUPPLIER_VOLUME,
+        "J1,J2,J4 multi-join",
+    ),
+    "filtered_events": (q_filtered_events, SQL_FILTERED_EVENTS, "P4,P5,A5"),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW, "streaming-upgrade"),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW, "streaming-upgrade"),
+}

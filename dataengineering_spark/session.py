@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing instead of parallelism-preserving:
+        # shuffle partition count follows data volume (64 MB advisory),
+        # so small stages don't pay 32 tasks of scheduling overhead and
+        # big stages still fan out — the same conf is the recommended
+        # production setting for mixed-size stages.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",

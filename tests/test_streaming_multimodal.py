@@ -1,0 +1,215 @@
+"""Structured Streaming upgrade + multimodal plumbing + grouped-apply
+escape hatch."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import SCHEMAS, read_table
+from dataengineering_spark.functions.multimodal import (
+    attach_media_meta,
+    decode_images,
+    frame_sample_plan,
+    media_budget_partitions,
+)
+from dataengineering_spark.functions.udf_registry import grouped_apply, transform_batches
+from dataengineering_spark.streaming.structured import (
+    file_stream,
+    run_foreach_batch,
+    sessionized,
+    windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+# --- Structured Streaming ---------------------------------------------------
+
+def test_file_stream_foreach_batch_end_to_end(spark, tmp_path):
+    """readStream over a file dir → foreachBatch multi-sink → results
+    equal the batch computation; re-running with the same checkpoint
+    is a no-op (exactly-once per epoch)."""
+    src_dir = str(tmp_path / "in")
+    read_table(spark, "events", SF_SMOKE).drop("ts").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_fn(df, epoch_id):
+        (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = run_foreach_batch(
+        file_stream(spark, src_dir, schema), batch_fn, ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out_dir).groupBy("event_type").agg(F.sum("n").alias("n")).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(src_dir).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+    # same checkpoint → backlog already processed → no new rows
+    n_before = spark.read.parquet(out_dir).count()
+    q2 = run_foreach_batch(
+        file_stream(spark, src_dir, schema), batch_fn, ckpt, trigger_once=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    ev = read_table(spark, "events", SF_SMOKE)
+    win = windowed_counts(ev, window="1 hour")
+    manual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    j = win.join(manual, ["window_start", "event_type"], "full").filter(
+        win.n.isNull() | manual.n.isNull() | (win.n != manual.n)
+    )
+    assert j.count() == 0
+
+
+def test_sliding_window_covers_each_event_twice(spark):
+    ev = read_table(spark, "events", SF_SMOKE)
+    sliding = windowed_counts(ev, window="2 hours", slide="1 hour")
+    total = sliding.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * ev.count()  # every event in exactly 2 windows
+
+
+def test_sessionized_gap_semantics(spark):
+    """Session windows vs a hand-built gaps-and-islands computation."""
+    ev = read_table(spark, "events", SF_SMOKE)
+    sess = sessionized(ev, gap="30 minutes")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES"))
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    manual = gaps.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    )
+    j = sess.join(manual, ["user_id", "session_start"], "full").filter(
+        sess.n_events.isNull()
+        | manual.n_events.isNull()
+        | (sess.n_events != manual.n_events)
+    )
+    assert j.count() == 0
+
+
+# --- multimodal -------------------------------------------------------------
+
+@pytest.fixture
+def media(spark):
+    docs = read_table(spark, "documents", SF_SMOKE)
+    # synthesize payloads: PNG magic + text bytes (deterministic fake)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(bytes.fromhex("89504e470d0a1a0a")), F.encode("text", "UTF-8")
+        ).alias("payload"),
+    )
+
+
+def test_attach_media_meta_sniffs_format(spark, media):
+    out = attach_media_meta(media)
+    metas = out.select("media_meta.*").collect()
+    assert all(m.format == "png" for m in metas)
+    assert all(m.n_bytes > 8 for m in metas)
+
+
+def test_decode_images_stub_raises(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        decode_images(media).collect()
+
+
+def test_decode_images_with_injected_decoder(spark, media):
+    """The production plug-point: deterministic fake decoder exercises
+    the full Arrow batch path and schema contract."""
+
+    def fake_decoder(payload: bytes) -> dict:
+        return {
+            "width": len(payload) % 640,
+            "height": 480,
+            "mean_luma": (payload[8] if len(payload) > 8 else 0) / 255.0,
+            "feature": [float(len(payload)), float(payload[-1])],
+        }
+
+    out = decode_images(media, decoder=fake_decoder)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r.height == 480 and len(r.feature) == 2 for r in rows)
+    assert out.schema["feature"].dataType.simpleString() == "array<float>"
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame([(1, 3500), (2, 900)], "doc_id long, duration_ms long")
+    plan = frame_sample_plan(vids, every_ms=1000)
+    got = {(r.doc_id, r.frame_ts_ms) for r in plan.collect()}
+    assert got == {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)}
+
+
+def test_media_budget_partitions(spark, media):
+    sized = media.withColumn("n_bytes", F.octet_length("payload"))
+    out = media_budget_partitions(sized, "n_bytes", target_bytes=4096)
+    # ~50 docs * ~300B → a handful of 4KB partitions, not 1, not 1000
+    n = out.rdd.getNumPartitions()
+    assert 1 < n < 100
+
+
+# --- grouped apply escape hatch --------------------------------------------
+
+def test_grouped_apply_contract(spark):
+    ev = read_table(spark, "events", SF_SMOKE)
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "spread": [float(pdf["value"].max() - pdf["value"].min())],
+            }
+        )
+
+    out = grouped_apply(ev, ["event_type"], spread, "event_type string, spread double")
+    rows = {r.event_type: r.spread for r in out.collect()}
+    want = {
+        r.event_type: r.spread
+        for r in ev.groupBy("event_type")
+        .agg((F.max("value") - F.min("value")).alias("spread"))
+        .collect()
+    }
+    assert rows == want
+
+
+def test_transform_batches(spark):
+    ev = read_table(spark, "events", SF_SMOKE)
+
+    def enrich(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "double_value": pdf["value"] * 2}
+        )
+
+    out = transform_batches(ev, enrich, "event_id long, double_value double")
+    assert out.count() == ev.count()
+    r = out.orderBy("event_id").first()
+    src = ev.orderBy("event_id").first()
+    assert r.double_value == src.value * 2
