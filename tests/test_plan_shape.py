@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the 100 TB posture, checked in CI.
+
+A correct result with the wrong plan shape (shuffle instead of
+broadcast, full scan instead of pushdown) is a 1000-executor incident
+waiting to happen — so the plan shape is part of the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.plans.queries import QUERIES, q_enrichment_pipeline
+from dataengineering_spark.plans.queries_relational import q_shipping_priority
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrichment_joins_are_broadcast(spark):
+    plan = plan_of(q_enrichment_pipeline(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_multi_join_broadcasts_all_dims(spark):
+    plan = plan_of(q_shipping_priority(spark, SF_ORACLE))
+    assert plan.count("SortMergeJoin") <= 1  # orders⋈lineitem may merge
+    assert "BroadcastHashJoin" in plan  # customer must broadcast
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = read_table(spark, "events", SF_ORACLE)
+    df = ev.filter((F.col("event_id") > 100) & (F.col("event_type") == "click"))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(event_id,100)" in plan.replace(" ", "").replace("`", "") or "GreaterThan" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_table(spark, "lineitem", SF_ORACLE)
+    df = li.select("l_returnflag").distinct()
+    plan = plan_of(df)
+    # ReadSchema must carry only the projected column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_returnflag" in read_schema[0]
+    assert "l_extendedprice" not in read_schema[0]
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registry query may contain a cartesian/nested-loop join —
+    the plan shape that cannot scale. (The one intentional 1-row
+    attach is implemented as literals, exactly to avoid this.)"""
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = plan_of(spec.fn(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ("cosine_topk",):
+            # cosine_topk's query-broadcast crossJoin is the one
+            # deliberate nested-loop: |queries| is tiny by contract.
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+def test_log_index_matches_pandas_rank_semantics(spark):
+    """W1 exactness: row_number over (sort_cols) must equal pandas'
+    sort_values + groupby(key).rank(method='first') — the reference's
+    exact recipe (clickhouse/v1/operator.py:455-470)."""
+    import pandas as pd
+
+    from dataengineering_spark.operators.windows import log_index
+    from dataengineering_spark.plans.queries import transfers_from_events
+
+    tr = transfers_from_events(read_table(spark, "events", SF_ORACLE))
+    ours = {
+        (r.transfer_id): r.log_index
+        for r in log_index(
+            tr, "transaction_id", ["block_date_time", "transfer_id"]
+        ).collect()
+    }
+
+    pdf = tr.select(
+        "transfer_id", "transaction_id", "block_date_time"
+    ).toPandas()
+    pdf = pdf.sort_values(["block_date_time", "transfer_id"])
+    pdf["log_index"] = (
+        pdf.groupby("transaction_id")["block_date_time"]
+        .rank(method="first")
+        .astype(int)
+    )
+    theirs = dict(zip(pdf["transfer_id"], pdf["log_index"]))
+    assert ours == theirs
