@@ -1,0 +1,234 @@
+"""Analytics queries beyond the reference's surface: pivots, rollups,
+exact percentiles, per-group top-k, semi-joins — the query shapes a
+team replacing the reference's ClickHouse-side SQL would reach for
+next. All oracle-exact.
+
+Determinism notes:
+- percentiles are *discrete* (row-selected by integer index math,
+  percentile_disc semantics) — interpolated percentiles differ in
+  ulps across engines;
+- set universes are emitted as sorted comma-joined strings, not
+  arrays, so any value-hasher compares them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.functions.scalars import dsum
+from dataengineering_spark.plans.queries import transfers_from_events, TRANSFERS_SQL
+from dataengineering_spark.operators.windows import log_index
+
+DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, name, sf_dir)
+
+
+# ===========================================================================
+# Q: value_percentiles — exact discrete percentiles per event_type
+# ===========================================================================
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.floor(F.lit(p) * (F.col("n") - 1)) + 1,
+                F.col("value"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in PCTS
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+SQL_VALUE_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  MAX(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 THEN value END) AS p50,
+  MAX(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 THEN value END) AS p90,
+  MAX(CASE WHEN rn = floor(0.99 * (n - 1)) + 1 THEN value END) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Q: returns_rollup — ROLLUP grouping sets with grouping_id
+# ===========================================================================
+
+def q_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice", "sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_RETURNS_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  {DSUM.format(e='l_extendedprice')} AS sum_price,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ===========================================================================
+# Q: user_event_pivot — wide pivot per user (A4 generalization)
+# ===========================================================================
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value"))
+        .na.fill(0.0, list(EVENT_TYPES))
+    )
+
+
+SQL_USER_EVENT_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(
+        "COALESCE(CAST(SUM(CASE WHEN event_type = '"
+        + t
+        + "' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS "
+        + t
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+# ===========================================================================
+# Q: topk_per_group — top-3 events by value per type (window top-k)
+# ===========================================================================
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS INT) AS rnk
+  FROM events
+)
+SELECT event_type, rnk, event_id, value FROM r WHERE rnk <= 3
+"""
+
+
+# ===========================================================================
+# Q: active_customers — left-semi join (EXISTS)
+# ===========================================================================
+
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_ACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+# ===========================================================================
+# Q: log_index_desc — W1 with the {column: ascending} dict spec
+# ===========================================================================
+
+def q_log_index_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = transfers_from_events(_t(spark, sf_dir, "events"))
+    out = log_index(
+        tr,
+        partition_by="transaction_id",
+        sort_columns={"block_date_time": False, "transfer_id": True},
+    )
+    return out.select("transfer_id", "transaction_id", "log_index")
+
+
+SQL_LOG_INDEX_DESC = f"""
+WITH transfers AS ({TRANSFERS_SQL})
+SELECT transfer_id, transaction_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY transaction_id
+    ORDER BY block_date_time DESC, transfer_id ASC) AS INT) AS log_index
+FROM transfers
+"""
+
+
+# ===========================================================================
+# Q: user_type_universe — collect_set as deterministic sorted string
+# ===========================================================================
+
+def q_user_type_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "types"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+SQL_USER_TYPE_UNIVERSE = """
+SELECT user_id,
+  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES, "analytics:percentiles"),
+    "returns_rollup": (q_returns_rollup, SQL_RETURNS_ROLLUP, "analytics:rollup"),
+    "user_event_pivot": (q_user_event_pivot, SQL_USER_EVENT_PIVOT, "A4-general"),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP, "W2-general,O2"),
+    "active_customers": (q_active_customers, SQL_ACTIVE_CUSTOMERS, "J-semi"),
+    "log_index_desc": (q_log_index_desc, SQL_LOG_INDEX_DESC, "W1,O1-desc"),
+    "user_type_universe": (q_user_type_universe, SQL_USER_TYPE_UNIVERSE, "A7"),
+}
