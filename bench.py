@@ -29,6 +29,14 @@ HEADLINE = (
     "scale_and_reset",
     "grouped_counts",
     "constant_key_join",
+    "shipping_priority",
+    "session_window",
+    # north-star LLM-pipeline operators
+    "minhash_lsh",
+    "simhash_fingerprint",
+    "cosine_topk",
+    "lang_id",
+    "token_count",
 )
 
 

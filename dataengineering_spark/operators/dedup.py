@@ -30,6 +30,19 @@ DEFAULT_BANDS = 4
 DEFAULT_SHINGLE = 3
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work (md5 signature chains are
+    evaluated interpreted, not codegen'd) uses every core: a small
+    parquet file arrives as 1-2 partitions, which would serialize the
+    whole signature computation on one thread. No-op when the scan is
+    already parallel (the 100 TB case — file splits ≫ cores)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
     """Distinct word n-gram shingles of the normalized text. Short
     docs (< n words) contribute their whole text as one shingle."""
@@ -46,7 +59,13 @@ def minhash_signature(shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES)
     """MinHash signature as an array of md5-min strings: element k is
     ``min over shingles of md5(k || '|' || shingle)``. String min is a
     valid uniform min-hash because md5 hex compares lexicographically
-    uniformly."""
+    uniformly.
+
+    NOTE: this column form evaluates as an interpreted higher-order
+    function (~2 ms/element measured) — fine for small frames and for
+    oracle-readable parity, but the hot path is
+    ``minhash_signatures`` below, which computes the identical values
+    through whole-stage codegen."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
@@ -55,6 +74,71 @@ def minhash_signature(shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES)
                 lambda s: F.md5(F.concat(k.cast("string"), F.lit("|"), s)),
             )
         ),
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id, shingle) rows, fully codegen: words via split, n-grams via
+    arrays_zip of shifted slices (no lambda anywhere — interpreted
+    higher-order functions cost ~2 ms/element and were the measured
+    bottleneck of the LSH pipeline). Duplicate shingles are NOT
+    removed here: min-hash is duplicate-insensitive and Jaccard
+    callers build sets with collect_set."""
+    words = F.split(normalize_text(text_col), " ")
+    d = spread_for_compute(docs).select(F.col(id_col), words.alias("w"))
+    shifted = [
+        F.slice(F.col("w"), i + 1, F.greatest(F.size("w") - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(F.col("w"), *shifted)  # fields: w, 0, 1, ...
+    grams = d.select(id_col, F.explode(zipped).alias("z"))
+    field_names = grams.schema["z"].dataType.names  # post-explode: struct
+    parts = [F.col("z").getField(f) for f in field_names]
+    full = grams.filter(parts[-1].isNotNull()).select(
+        id_col, F.concat_ws(" ", *parts).alias("shingle")
+    )
+    short = (
+        d.filter(F.size("w") < n)
+        .select(id_col, F.concat_ws(" ", F.col("w")).alias("shingle"))
+    )
+    return full.unionByName(short)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id, signature) via the codegen path: explode shingles x k into
+    rows so md5 runs inside whole-stage codegen (~1000x the throughput
+    of the interpreted HOF form — nested lambdas cost ~2 ms/element),
+    then two aggregations rebuild the signature array.
+
+    Scale shape: the explode multiplies rows by |shingles| x k, but
+    map-side partial ``min`` combines before the shuffle, so shuffle
+    volume is docs x num_hashes x 32-char rows regardless of document
+    length — strictly better than shipping documents."""
+    exploded = exploded_shingles(docs, id_col, text_col, shingle_n).select(
+        id_col,
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k"),
+    )
+    mins = exploded.groupBy(id_col, "k").agg(
+        F.min(
+            F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("mh")
+    )
+    return mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]
+        ).alias("signature")
     )
 
 
@@ -96,12 +180,17 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH."""
-    sigs = docs.select(
-        F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("signature"),
-    )
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH.
+
+    Signatures come from the codegen path (``minhash_signatures``);
+    the band frame is persisted and materialized before the self-join —
+    Catalyst's projection collapse would otherwise inline the signature
+    pipeline into both join aliases. The cached frame is O(docs x
+    bands x 32 chars): tiny relative to the corpus at any scale."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     b = lsh_bands(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
+    b = b.persist()
+    b.count()  # materialize once; both join sides now read the cache
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -130,8 +219,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage of
     the LSH pipeline). ``pairs`` has columns doc_a, doc_b."""
-    sh = docs.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    sh = (
+        exploded_shingles(docs, id_col, text_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+        .persist()  # referenced by both sides of the pair join
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -191,11 +283,39 @@ def simhash_sql(words_expr: str, dialect: str) -> str:
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document 32-bit SimHash (documents whose hashes are close in
-    Hamming distance are near-duplicates)."""
-    norm = docs.select(
+    Hamming distance are near-duplicates).
+
+    Codegen shape (like minhash_signatures): words and bit positions
+    are exploded into rows so the md5/bit arithmetic compiles, then
+    two partial-combining aggregations rebuild the hash. Arithmetic is
+    identical to the generated-SQL form the oracle uses."""
+    norm = spread_for_compute(docs).select(
         F.col(id_col), normalize_text(text_col).alias("norm_text")
     )
-    words = "split(norm_text, ' ')"
-    return norm.select(
-        id_col, F.expr(simhash_sql(words, "spark")).alias("simhash")
+    per_word = norm.select(
+        id_col, F.explode(F.split("norm_text", " ")).alias("w")
+    ).select(id_col, F.expr(_hex32_expr("md5(w)")).alias("v"))
+    votes = per_word.select(
+        id_col,
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        id_col,
+        "b",
+        (
+            F.floor(F.col("v") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint")
+            % 2
+            * 2
+            - 1
+        ).alias("vote"),
+    )
+    bit_sums = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("sv"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("sv") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
     )
