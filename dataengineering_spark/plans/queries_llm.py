@@ -400,6 +400,61 @@ SQL_LSH_ANN = _lsh_ann_sql()
 
 
 # ===========================================================================
+# Q: embedding_neardup — embedding-cosine near-duplicate pairs, LSH-
+# prefiltered: candidates share a hyperplane bucket (the 100 TB scale
+# path — the bucket column doubles as the corpus partition key), then
+# exact cosine >= threshold. Completes the dedup modality set
+# (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine).
+# ===========================================================================
+
+NEARDUP_THRESHOLD = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", _bucket_col(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return pairs.select("vec_a", "vec_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= NEARDUP_THRESHOLD
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, planes[{p + 1}]) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH p AS (SELECT {_planes_duckdb()} AS planes),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM embeddings, p
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_NEARDUP = _embedding_neardup_sql()
+
+
+# ===========================================================================
 # Q: multimodal_metadata — binary-column plumbing (payload stats)
 # ===========================================================================
 
@@ -431,6 +486,11 @@ LLM_QUERIES: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN, "north-star:similarity"),
+    "embedding_neardup": (
+        q_embedding_neardup,
+        SQL_EMBEDDING_NEARDUP,
+        "north-star:dedup-embedding",
+    ),
     "multimodal_metadata": (
         q_multimodal_metadata,
         SQL_MULTIMODAL_METADATA,

@@ -55,6 +55,9 @@ def windowed_counts(
     batch frame (watermark is a no-op) and a stream."""
     df = events
     if df.isStreaming:
+        # watermarks demand TIMESTAMP (not NTZ); with the session
+        # pinned to UTC the cast is instant-preserving
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
     win = (
         F.window(ts_col, window)
@@ -84,6 +87,7 @@ def sessionized(
     """Session windows (gap-merged activity periods) per key."""
     df = events
     if df.isStreaming:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))

@@ -1,0 +1,80 @@
+"""Streaming windowed aggregation over a real stream + equivalence of
+the two shingle implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.operators.dedup import exploded_shingles, shingles
+from dataengineering_spark.streaming.structured import windowed_counts
+from tests.conftest import SF_SMOKE
+
+
+def test_windowed_counts_streaming_equals_batch(spark, tmp_path):
+    """windowed_counts over readStream (with watermark) must produce
+    the same finalized windows as the batch computation."""
+    ev = read_table(spark, "events", SF_SMOKE)
+    src = str(tmp_path / "in")
+    # two files → two micro-batches
+    ev.filter("event_id < 500").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id >= 500").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_stream").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in windowed_counts(ev, window="1 hour").collect()
+    }
+    assert got == want
+
+
+def test_exploded_shingles_equals_hof_shingles(spark):
+    """The codegen shingle pipeline and the column-expression form
+    must produce identical shingle sets (the oracle mirrors the
+    column form's semantics)."""
+    docs = read_table(spark, "documents", SF_SMOKE)
+    hof = {
+        r.doc_id: set(r.sh)
+        for r in docs.select("doc_id", shingles("text").alias("sh")).collect()
+    }
+    fast = {
+        r.doc_id: set(r.sh)
+        for r in exploded_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .collect()
+    }
+    assert hof == fast
+
+
+def test_exploded_shingles_edge_cases(spark):
+    edge = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words"), (4, "a b c d"), (5, "x  y   z")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in exploded_shingles(edge).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    assert got[1] == {"one"}
+    assert got[2] == {""}
+    assert got[3] == {"two words"}
+    assert got[4] == {"a b c", "b c d"}
+    assert got[5] == {"x y z"}  # whitespace normalized
