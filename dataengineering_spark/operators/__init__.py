@@ -10,6 +10,31 @@ from dataengineering_spark.operators.aggregates import (
     link_outputs_agg,
     chain_state_summary,
 )
+from dataengineering_spark.operators.setops import union_all, missing_keys, dedup_exact
+from dataengineering_spark.operators.transforms import (
+    select_columns,
+    drop_columns,
+    rename_columns,
+    mask_filter,
+    fill_nulls,
+    stringify_keys,
+    sort_rows,
+)
+from dataengineering_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    jaccard_pairs,
+    simhash,
+    exploded_shingles,
+)
+from dataengineering_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from dataengineering_spark.operators.skew import (
+    salted_join,
+    salted_collect,
+    explain_skew,
+)
+from dataengineering_spark.operators.chain_state import chain_state, dialect_for
+from dataengineering_spark.operators.maintenance import dedup_table_partitions
 
 __all__ = [
     "log_index",
@@ -21,4 +46,27 @@ __all__ = [
     "link_inputs_agg",
     "link_outputs_agg",
     "chain_state_summary",
+    "union_all",
+    "missing_keys",
+    "dedup_exact",
+    "select_columns",
+    "drop_columns",
+    "rename_columns",
+    "mask_filter",
+    "fill_nulls",
+    "stringify_keys",
+    "sort_rows",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "simhash",
+    "exploded_shingles",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "salted_join",
+    "salted_collect",
+    "explain_skew",
+    "chain_state",
+    "dialect_for",
+    "dedup_table_partitions",
 ]
