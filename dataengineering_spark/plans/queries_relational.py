@@ -207,7 +207,118 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+# ===========================================================================
+# Q: order_count_distribution — TPC-H Q13 shape: left outer join +
+# two-level aggregation (how many customers have k orders, incl. 0).
+# ===========================================================================
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("5")
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+# ===========================================================================
+# Q: supplier_part_counts — TPC-H Q16 shape: anti-join + count-distinct
+# ===========================================================================
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    bad_suppliers = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    joined = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_suppliers),
+            lineitem.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+    )
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+# ===========================================================================
+# Q: min_cost_supplier — TPC-H Q2 shape: per-group argmin via window
+# ===========================================================================
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+ranked AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT l_partkey, s_suppkey, s_name, s_acctbal FROM ranked WHERE rn = 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "order_count_distribution": (
+        q_order_count_distribution,
+        SQL_ORDER_COUNT_DISTRIBUTION,
+        "J4-outer,A6 two-level",
+    ),
+    "supplier_part_counts": (
+        q_supplier_part_counts,
+        SQL_SUPPLIER_PART_COUNTS,
+        "U2-anti,A7",
+    ),
+    "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER, "W2-argmin"),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY, "J4,P5,O1,O2,A5"),
     "local_supplier_volume": (
         q_local_supplier_volume,
