@@ -10,15 +10,17 @@ Design for 100 TB:
   ``(band_id, band_sig)`` — exactly the candidate-generation join of
   the standard MinHash-LSH scheme, and the smallest possible shuffle
   payload (doc_id + 32-char sig per band).
-- Hashes are md5-based so the DuckDB oracle can reproduce them
-  bit-for-bit; swap HASH_FN for xxhash64 in production if md5
-  throughput ever shows up in profiles.
+- Hashing is one md5 per shingle + k integer permutations mod 2^31-1
+  (the classic one-hash MinHash), so the DuckDB oracle reproduces the
+  values bit-for-bit while md5 cost is independent of num_hashes.
 
 The pandas/driver reference has no near-dup capability at all; this
 is north-star surface (BASELINE.json) built Spark-first.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +30,38 @@ from dataengineering_spark.functions.text import normalize_text
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 DEFAULT_SHINGLE = 3
+
+# Classic one-hash MinHash: a single base hash v per shingle, then k
+# independent permutations h_k(v) = (a_k * v + b_k) mod P. With
+# P = 2^31 - 1 and v, a_k < P the product stays < 2^62, so BIGINT
+# arithmetic is exact (and identical) in Spark and DuckDB — md5 runs
+# ONCE per shingle instead of once per (shingle, k).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_perm_constants(num_hashes: int = DEFAULT_NUM_HASHES) -> tuple[list[int], list[int]]:
+    """Deterministic (a_k, b_k) permutation constants, derived from md5
+    in Python so both engines consume them as plain integer literals."""
+    a = [
+        int(hashlib.md5(f"mh-a|{k}".encode()).hexdigest()[:8], 16)
+        % (MINHASH_PRIME - 1)
+        + 1
+        for k in range(num_hashes)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b|{k}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        for k in range(num_hashes)
+    ]
+    return a, b
+
+
+def _base_hash(shingle: Column) -> Column:
+    """v = (first 8 hex chars of md5 as an integer) mod P — the single
+    per-shingle hash every permutation derives from."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -56,22 +90,27 @@ def shingles(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """MinHash signature as an array of md5-min strings: element k is
-    ``min over shingles of md5(k || '|' || shingle)``. String min is a
-    valid uniform min-hash because md5 hex compares lexicographically
-    uniformly.
+    """MinHash signature as an array<bigint>: element k is
+    ``min over shingles of (a_k * v(shingle) + b_k) mod P`` with
+    v = first-8-hex-chars of md5 (one md5 per shingle, shared by all k).
 
     NOTE: this column form evaluates as an interpreted higher-order
-    function (~2 ms/element measured) — fine for small frames and for
-    oracle-readable parity, but the hot path is
+    function — fine for small frames, but the hot path is
     ``minhash_signatures`` below, which computes the identical values
-    through whole-stage codegen."""
+    through whole-stage codegen and a single aggregation."""
+    a, b = minhash_perm_constants(num_hashes)
+    a_lit = F.array(*[F.lit(x).cast("long") for x in a])
+    b_lit = F.array(*[F.lit(x).cast("long") for x in b])
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
             F.transform(
                 shingle_col,
-                lambda s: F.md5(F.concat(k.cast("string"), F.lit("|"), s)),
+                lambda s: (
+                    F.element_at(a_lit, k + 1) * _base_hash(s)
+                    + F.element_at(b_lit, k + 1)
+                )
+                % MINHASH_PRIME,
             )
         ),
     )
@@ -116,29 +155,32 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """(id, signature) via the codegen path: explode shingles x k into
-    rows so md5 runs inside whole-stage codegen (~1000x the throughput
-    of the interpreted HOF form — nested lambdas cost ~2 ms/element),
-    then two aggregations rebuild the signature array.
+    """(id, signature) via the codegen path: one md5 per exploded
+    shingle row (whole-stage codegen — interpreted HOF lambdas cost
+    ~2 ms/element), then ONE aggregation computing all k permutation
+    mins as separate agg columns. No k-fold row multiplication, no
+    second shuffle: hash-agg partials combine map-side, so shuffle
+    volume is docs x num_hashes bigints regardless of document length.
 
-    Scale shape: the explode multiplies rows by |shingles| x k, but
-    map-side partial ``min`` combines before the shuffle, so shuffle
-    volume is docs x num_hashes x 32-char rows regardless of document
-    length — strictly better than shipping documents."""
-    exploded = exploded_shingles(docs, id_col, text_col, shingle_n).select(
+    Scale shape at 100 TB: the only wide op is a single groupBy(id)
+    whose payload per doc is num_hashes x 8 bytes — strictly smaller
+    than the previous (doc, k)-row scheme and 16x fewer md5 calls."""
+    a, b = minhash_perm_constants(num_hashes)
+    base = exploded_shingles(docs, id_col, text_col, shingle_n).select(
+        id_col, _base_hash(F.col("shingle")).alias("v")
+    )
+    mins = base.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a[k]).cast("long") * F.col("v") + F.lit(b[k]).cast("long"))
+                % MINHASH_PRIME
+            ).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return mins.select(
         id_col,
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k"),
-    )
-    mins = exploded.groupBy(id_col, "k").agg(
-        F.min(
-            F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("mh")
-    )
-    return mins.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]
-        ).alias("signature")
+        F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -150,7 +192,8 @@ def lsh_bands(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Explode a signature into (id, band_id, band_sig) rows — the LSH
-    bucketing key. band_sig is md5 of the band's concatenated rows."""
+    bucketing key. band_sig is md5 of the band's comma-joined values
+    (bigints rendered as decimal strings, identically in DuckDB)."""
     rows_per_band = num_hashes // bands
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
@@ -162,7 +205,13 @@ def lsh_bands(
                     b.alias("band_id"),
                     F.md5(
                         F.concat_ws(
-                            ",", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
                         )
                     ).alias("band_sig"),
                 ),
@@ -257,6 +306,9 @@ def _hex32_expr(h: str) -> str:
         f"{_HEXVAL.format(h=h, pos=j + 1)} * {float(16 ** (7 - j))!r}" for j in range(8)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+hex32_sql = _hex32_expr  # public: oracle generators embed the same arithmetic
 
 
 def _bit_expr(v: str, b: int) -> str:

@@ -32,8 +32,11 @@ from dataengineering_spark.functions.text import (
     word_count,
 )
 from dataengineering_spark.operators.dedup import (
+    MINHASH_PRIME,
+    hex32_sql,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_perm_constants,
     simhash,
     simhash_sql,
 )
@@ -189,7 +192,16 @@ SELECT doc_id + 100000 AS doc_id, text || ' zz zz zz' AS text
 FROM documents WHERE doc_id % 2 = 0
 """
 
-# DuckDB mirror of operators.dedup: shingle → minhash → band pipeline
+# DuckDB mirror of operators.dedup: shingle → one-hash minhash → band
+# pipeline. Permutation constants and the mod-2^31-1 arithmetic come
+# from the same Python source as the Spark plan, so values match
+# bit-for-bit.
+_MH_A, _MH_B = minhash_perm_constants(16)
+_MH_V_SQL = f"CAST({hex32_sql('md5(s)')} AS BIGINT) % {MINHASH_PRIME}"
+_MH_MINS_SQL = ", ".join(
+    f"MIN(({a} * v + {b}) % {MINHASH_PRIME})" for a, b in zip(_MH_A, _MH_B)
+)
+
 _DEDUP_SQL_CTES = f"""
 WITH corpus AS ({DEDUP_CORPUS_SQL}),
 norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM corpus),
@@ -202,13 +214,13 @@ sh AS (
     END) AS sh
   FROM w
 ),
-sig AS (
-  SELECT doc_id, list_transform(range(0, 16),
-    k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || '|' || s)))) AS sig
-  FROM sh
-),
+shex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+vals AS (SELECT doc_id, {_MH_V_SQL} AS v FROM shex),
+sig AS (SELECT doc_id, [{_MH_MINS_SQL}] AS sig FROM vals GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_sig
+  SELECT doc_id, b,
+    md5(array_to_string(list_transform(sig[b*4+1:b*4+4],
+                                       x -> CAST(x AS VARCHAR)), ',')) AS band_sig
   FROM sig, range(0, 4) t(b)
 ),
 pairs AS (

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
-from dataengineering_spark.operators.dedup import exploded_shingles, shingles
+from dataengineering_spark.operators.dedup import (
+    exploded_shingles,
+    minhash_signature,
+    minhash_signatures,
+    shingles,
+)
 from dataengineering_spark.streaming.structured import windowed_counts
 from tests.conftest import SF_SMOKE
 
@@ -62,6 +67,21 @@ def test_exploded_shingles_equals_hof_shingles(spark):
         .agg(F.collect_set("shingle").alias("sh"))
         .collect()
     }
+    assert hof == fast
+
+
+def test_minhash_codegen_equals_hof_signature(spark):
+    """The one-aggregation codegen minhash path must produce values
+    identical to the column-expression (HOF) form — the same claim the
+    DuckDB oracle relies on."""
+    docs = read_table(spark, "documents", SF_SMOKE).limit(50)
+    hof = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", minhash_signature(shingles("text")).alias("sig")
+        ).collect()
+    }
+    fast = {r.doc_id: list(r.signature) for r in minhash_signatures(docs).collect()}
     assert hof == fast
 
 
