@@ -27,7 +27,12 @@ from dataengineering_spark.operators.dedup import (
     simhash,
     exploded_shingles,
 )
-from dataengineering_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from dataengineering_spark.operators.similarity import (
+    cosine_topk,
+    ivf_centroids,
+    ivf_topk,
+    lsh_cosine_topk,
+)
 from dataengineering_spark.operators.skew import (
     salted_join,
     salted_collect,
@@ -62,6 +67,8 @@ __all__ = [
     "simhash",
     "exploded_shingles",
     "cosine_topk",
+    "ivf_centroids",
+    "ivf_topk",
     "lsh_cosine_topk",
     "salted_join",
     "salted_collect",

@@ -115,6 +115,148 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+# --- IVF scale path ---------------------------------------------------------
+#
+# Inverted-file ANN: a coarse quantizer (k-means trained with a fixed
+# number of Lloyd iterations from deterministic seeds) partitions the
+# corpus into C cells; a query probes only its nprobe nearest cells.
+# Everything is engine-portable by construction:
+# - seeds: the C vectors with the smallest md5(vec_id) — a
+#   deterministic pseudo-random sample;
+# - centroid update: component sums are computed on floor(x * 1e6)
+#   BIGINTs (exact, order-independent — double summation order would
+#   differ between engines), then divided back in double;
+# - distances: d^2 = <v,v> - 2<v,c> + <c,c> with the same left-to-right
+#   dot fold the cosine path uses, ties broken by centroid id.
+# At 100 TB the cell id is the corpus partition key: training touches
+# each vector n_iters times (narrow scans + one tiny groupBy per
+# iteration — C x dim rows), and a query reads nprobe cells instead of
+# the full corpus.
+
+QUANT_SCALE = 1_000_000.0  # centroid-update fixed-point grid (1e-6)
+
+
+def _dist2(v: Column, c: Column) -> Column:
+    return dot(v, v) - 2 * dot(v, c) + dot(c, c)
+
+
+def ivf_seed_centroids(e: DataFrame, n_centroids: int) -> DataFrame:
+    """(cid, cv): deterministic seeds — the n vectors ranked first by
+    md5 of their id (engine-reproducible pseudo-random spread)."""
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_centroids)
+        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("cv"))
+    )
+
+
+def ivf_assign(e: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
+    """Assign each vector to its n nearest centroids (n=1: cell
+    assignment; n=nprobe: query probe list). Centroids are broadcast —
+    the corpus never shuffles for assignment."""
+    d = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", _dist2(F.col("v"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def ivf_update_centroids(asg: DataFrame, dim: int) -> DataFrame:
+    """One Lloyd update: per-cell element-wise mean, summed on a 1e-6
+    fixed-point grid so the result is bit-identical across engines.
+    Codegen shape: posexplode -> hash agg (map-side partial sums), so
+    the shuffle is C x dim rows no matter the corpus size."""
+    comps = (
+        asg.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * QUANT_SCALE).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cid",
+            "pos",
+            (F.col("s").cast("double") / (F.lit(QUANT_SCALE) * F.col("n"))).alias(
+                "comp"
+            ),
+        )
+    )
+    return comps.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ).alias("cv")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cv) after n_iters Lloyd iterations from deterministic
+    seeds. Returned persisted — it is re-read by assignment and probe."""
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = ivf_seed_centroids(e, n_centroids)
+    for _ in range(n_iters):
+        cents = ivf_update_centroids(ivf_assign(e, cents), dim)
+    return cents.persist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: brute-force cosine only within the
+    query's nprobe nearest cells. Same output shape as cosine_topk."""
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = ivf_centroids(corpus, n_centroids, n_iters, dim, id_col, vec_col)
+    cells = ivf_assign(e, cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    )
+    q = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    probes = ivf_assign(q, cents, n=nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    scored = (
+        cells.join(F.broadcast(probes), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

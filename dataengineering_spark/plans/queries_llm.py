@@ -40,7 +40,11 @@ from dataengineering_spark.operators.dedup import (
     simhash,
     simhash_sql,
 )
-from dataengineering_spark.operators.similarity import cosine, cosine_topk
+from dataengineering_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    ivf_topk,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +433,98 @@ SQL_LSH_ANN = _lsh_ann_sql()
 
 
 # ===========================================================================
+# Q: ivf_ann — IVF-partitioned approximate ANN (the second scale path
+# next to hyperplane LSH). The coarse quantizer is k-means with
+# deterministic md5-ranked seeds and a FIXED number of Lloyd
+# iterations whose centroid updates sum on a 1e-6 fixed-point grid —
+# so the whole training run is expressible as a DuckDB CTE chain and
+# matches the Spark plan bit-for-bit.
+# ===========================================================================
+
+IVF_C, IVF_NPROBE, IVF_ITERS = 8, 2, 2
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=IVF_C,
+        nprobe=IVF_NPROBE,
+        n_iters=IVF_ITERS,
+        dim=DIM,
+    )
+
+
+def _ivf_sql(n_centroids: int, nprobe: int, n_iters: int, dim: int, k: int) -> str:
+    def dd(a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    def dist2(v: str, c: str) -> str:
+        return f"({dd(v, v)} - 2*{dd(v, c)} + {dd(c, c)})"
+
+    def assign_cte(name: str, src: str, cents: str, n: int) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {dist2('s.v', 'c.cv')}, c.cid) AS rn
+    FROM {src} s CROSS JOIN {cents} c) WHERE rn <= {n}
+)"""
+
+    def cent_cte(name: str, asg: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(comp ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(floor(v[pos] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / (1000000.0 * COUNT(*)) AS comp
+    FROM {asg}, range(1, {dim + 1}) t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seeds AS (
+  SELECT rn - 1 AS cid, v AS cv FROM (
+    SELECT v, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e) WHERE rn <= {n_centroids}
+)""",
+    ]
+    cents = "seeds"
+    for i in range(n_iters):
+        ctes.append(assign_cte(f"asg{i}", "e", cents, 1))
+        cents = f"cent{i + 1}"
+        ctes.append(cent_cte(cents, f"asg{i}"))
+    ctes.append(assign_cte("cells", "e", cents, 1))
+    ctes.append(
+        assign_cte("probes", "(SELECT * FROM e WHERE vec_id < 10)", cents, nprobe)
+    )
+    joined_ctes = ",\n".join(ctes)
+    return f"""
+WITH {joined_ctes},
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+    {dd('p.v', 'a.v')} / (sqrt({dd('p.v', 'p.v')}) * sqrt({dd('a.v', 'a.v')}))
+      AS cos_sim
+  FROM probes p JOIN cells a ON p.cid = a.cid
+  WHERE a.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_IVF_ANN = _ivf_sql(IVF_C, IVF_NPROBE, IVF_ITERS, DIM, 5)
+
+
+# ===========================================================================
 # Q: embedding_neardup — embedding-cosine near-duplicate pairs, LSH-
 # prefiltered: candidates share a hyperplane bucket (the 100 TB scale
 # path — the bucket column doubles as the corpus partition key), then
@@ -515,6 +611,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN, "north-star:similarity"),
+    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN, "north-star:similarity"),
     "embedding_neardup": (
         q_embedding_neardup,
         SQL_EMBEDDING_NEARDUP,
