@@ -50,20 +50,67 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Derive the cheap metadata fields engine-side (no decode):
-    byte size always; format sniffed from magic bytes."""
-    p = F.col(payload_col)
-    fmt = (
+# format → media_type classification for everything the sniffer knows.
+MEDIA_TYPE_OF_FORMAT = {
+    "png": "image",
+    "jpeg": "image",
+    "gif": "image",
+    "webp": "image",
+    "wav": "audio",
+    "mp3": "audio",
+    "flac": "audio",
+    "ogg": "audio",
+    "mp4": "video",
+    "webm": "video",
+    "avi": "video",
+}
+
+
+def sniff_format(payload_col) -> "F.Column":
+    """Container format from magic bytes — image, audio, AND video
+    signatures, all engine-side substring compares (no decode, no
+    Python). RIFF containers (wav/webp/avi) disambiguate on the
+    chunk-type at offset 9; ISO-BMFF (mp4/mov) on 'ftyp' at offset 5;
+    Matroska/WebM share the EBML magic."""
+    p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    return (
         F.when(F.substring(p, 1, 8) == bytes.fromhex("89504e470d0a1a0a"), "png")
         .when(F.substring(p, 1, 3) == bytes.fromhex("ffd8ff"), "jpeg")
-        .when(F.substring(p, 1, 4) == b"RIFF", "wav")
+        .when(F.substring(p, 1, 4) == b"GIF8", "gif")
+        .when(
+            (F.substring(p, 1, 4) == b"RIFF") & (F.substring(p, 9, 4) == b"WEBP"),
+            "webp",
+        )
+        .when(
+            (F.substring(p, 1, 4) == b"RIFF") & (F.substring(p, 9, 4) == b"WAVE"),
+            "wav",
+        )
+        .when(
+            (F.substring(p, 1, 4) == b"RIFF") & (F.substring(p, 9, 4) == b"AVI "),
+            "avi",
+        )
+        .when(F.substring(p, 1, 3) == b"ID3", "mp3")
+        .when(F.substring(p, 1, 2) == bytes.fromhex("fffb"), "mp3")
+        .when(F.substring(p, 1, 4) == b"fLaC", "flac")
+        .when(F.substring(p, 1, 4) == b"OggS", "ogg")
+        .when(F.substring(p, 5, 4) == b"ftyp", "mp4")
+        .when(F.substring(p, 1, 4) == bytes.fromhex("1a45dfa3"), "webm")
         .otherwise("unknown")
     )
+
+
+def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Derive the cheap metadata fields engine-side (no decode):
+    byte size always; format + media_type sniffed from magic bytes."""
+    p = F.col(payload_col)
+    fmt = sniff_format(p)
+    media_type = F.lit("unknown")
+    for f, t in MEDIA_TYPE_OF_FORMAT.items():
+        media_type = F.when(fmt == f, t).otherwise(media_type)
     return df.withColumn(
         "media_meta",
         F.struct(
-            F.lit("image").alias("media_type"),
+            media_type.alias("media_type"),
             fmt.alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),

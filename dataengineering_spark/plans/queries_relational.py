@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
 from dataengineering_spark.functions.scalars import dsum
+from dataengineering_spark.streaming.structured import interval_join
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -307,7 +308,43 @@ SELECT l_partkey, s_suppkey, s_name, s_acctbal FROM ranked WHERE rn = 1
 """
 
 
+# ===========================================================================
+# Q: interval_join — range join: purchases within ±15 min of a click
+# by the same user. Batch face of streaming.interval_join — the exact
+# same operator joins two live streams with watermark-bounded state.
+# ===========================================================================
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("ts_l"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("ts_r"),
+    )
+    return interval_join(clicks, purchases, "user_id", bound="15 minutes").select(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.ts >= c.ts - INTERVAL 15 MINUTE
+ AND p.ts <= c.ts + INTERVAL 15 MINUTE
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN, "range-join,streaming T-upgrade"),
     "order_count_distribution": (
         q_order_count_distribution,
         SQL_ORDER_COUNT_DISTRIBUTION,

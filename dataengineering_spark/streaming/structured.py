@@ -102,6 +102,38 @@ def sessionized(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts_l",
+    right_ts: str = "ts_r",
+    bound: str = "15 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) equi + interval join: pairs rows that
+    share ``key_col`` with ``right_ts`` within ±``bound`` of
+    ``left_ts``. Callers pass frames whose non-key columns are already
+    disjoint. On streams, both sides get watermarks and the time-range
+    predicate bounds the join state Spark must keep — the canonical
+    Structured Streaming stream-stream join contract. On batch frames
+    the same plan is a range join the oracle can replay as ANSI SQL."""
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {bound}"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {bound}"))
+    )
+    return l.join(r, cond, how).drop(r[key_col])
+
+
 def run_foreach_batch(
     stream: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

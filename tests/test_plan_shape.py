@@ -59,9 +59,14 @@ def test_no_cartesian_products_anywhere(spark):
         plan = plan_of(spec.fn(spark, SF_ORACLE))
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
-        if "BroadcastNestedLoopJoin" in plan and name not in ("cosine_topk",):
-            # cosine_topk's query-broadcast crossJoin is the one
-            # deliberate nested-loop: |queries| is tiny by contract.
+        if "BroadcastNestedLoopJoin" in plan and name not in (
+            "cosine_topk",
+            "ivf_ann",
+        ):
+            # cosine_topk's query-broadcast crossJoin and ivf_ann's
+            # centroid-assignment crossJoin are the two deliberate
+            # nested-loops: the broadcast side (|queries|, C centroids)
+            # is tiny by contract.
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
@@ -12,8 +13,10 @@ from dataengineering_spark.operators.skew import (
 )
 from dataengineering_spark.streaming.stateful import (
     running_totals,
+    running_totals_tws,
     streaming_dedup_first_seen,
 )
+from dataengineering_spark.streaming.structured import interval_join
 from tests.conftest import SF_SMOKE
 
 
@@ -161,3 +164,114 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     assert first_seen[0][1] + later[0][1] == 2  # 3 occurrences - 1 first
     assert by_fp["b"] == [(0, 0)]
     assert by_fp["c"] == [(0, 0)]
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas drives a protobuf-based state-server
+    protocol; skip where google.protobuf is absent (this container)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf in the worker",
+)
+def test_running_totals_tws_across_microbatches(spark, tmp_path):
+    """transformWithStateInPandas variant must accumulate the same
+    final totals as the applyInPandasWithState one."""
+    ev = read_table(spark, "events", SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "in")
+    ev.filter("event_id < 300").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id >= 300 AND event_id < 600").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_totals_tws(stream, "event_type", "value")
+        .writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("SELECT * FROM tws_totals")
+    finals = {
+        r.key: r.rows
+        for r in res.groupBy("key").agg(F.max("total_rows").alias("rows")).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.filter("event_id < 600")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert finals == want
+    assert res.filter("total_rows > batch_rows").count() > 0
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (two file streams, multi-batch)
+    must emit exactly the batch range-join's row set."""
+    ev = read_table(spark, "events", SF_SMOKE)
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("ts_l")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("ts_r")
+    )
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    clicks.filter("click_id % 2 = 0").coalesce(1).write.mode("append").parquet(src_a)
+    clicks.filter("click_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_a)
+    purchases.filter("purchase_id % 2 = 0").coalesce(1).write.mode("append").parquet(src_b)
+    purchases.filter("purchase_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_b)
+
+    sa = (
+        spark.readStream.schema(spark.read.parquet(src_a).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_a)
+    )
+    sb = (
+        spark.readStream.schema(spark.read.parquet(src_b).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_b)
+    )
+    joined = interval_join(
+        sa, sb, "user_id", bound="15 minutes", watermark="30 days"
+    ).select("user_id", "click_id", "purchase_id")
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in interval_join(clicks, purchases, "user_id", bound="15 minutes")
+        .select("user_id", "click_id", "purchase_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0

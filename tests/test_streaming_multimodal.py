@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import SCHEMAS, read_table
 from dataengineering_spark.functions.multimodal import (
+    MEDIA_TYPE_OF_FORMAT,
     attach_media_meta,
     decode_images,
     frame_sample_plan,
@@ -213,3 +214,33 @@ def test_transform_batches(spark):
     r = out.orderBy("event_id").first()
     src = ev.orderBy("event_id").first()
     assert r.double_value == src.value * 2
+
+
+def test_sniff_format_matrix(spark):
+    """Every known magic-byte signature classifies to the right
+    (format, media_type); junk stays unknown."""
+    payloads = {
+        "png": bytes.fromhex("89504e470d0a1a0a") + b"x" * 8,
+        "jpeg": bytes.fromhex("ffd8ffe0") + b"x" * 8,
+        "gif": b"GIF89a" + b"x" * 8,
+        "webp": b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        "wav": b"RIFF\x10\x00\x00\x00WAVEfmt ",
+        "avi": b"RIFF\x10\x00\x00\x00AVI LIST",
+        "mp3": b"ID3\x04\x00" + b"x" * 8,
+        "flac": b"fLaC\x00\x00\x00\x22" + b"x" * 4,
+        "ogg": b"OggS\x00\x02" + b"x" * 8,
+        "mp4": b"\x00\x00\x00\x20ftypisom" + b"x" * 4,
+        "webm": bytes.fromhex("1a45dfa3") + b"x" * 8,
+        "unknown": b"plain text, no magic",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "expected string, payload binary"
+    )
+    got = {
+        r.expected: (r.format, r.media_type)
+        for r in attach_media_meta(df).select("expected", "media_meta.*").collect()
+    }
+    for fmt, (sniffed, mtype) in got.items():
+        assert sniffed == fmt, (fmt, sniffed)
+        want_type = MEDIA_TYPE_OF_FORMAT.get(fmt, "unknown")
+        assert mtype == want_type, (fmt, mtype)
