@@ -228,6 +228,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH.
 
@@ -235,9 +236,28 @@ def minhash_lsh_pairs(
     the band frame is persisted and materialized before the self-join —
     Catalyst's projection collapse would otherwise inline the signature
     pipeline into both join aliases. The cached frame is O(docs x
-    bands x 32 chars): tiny relative to the corpus at any scale."""
+    bands x 32 chars): tiny relative to the corpus at any scale.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a bucket of n docs
+    yields n^2/2 candidate pairs, so one adversarial bucket (boiler-
+    plate, empty docs, template spam) can dominate the whole join.
+    With a cap, buckets larger than the cap are dropped BEFORE the
+    self-join (a window count over the band frame — no extra shuffle
+    since it reuses the join's own (band_id, band_sig) partitioning).
+    Docs in a dropped bucket still pair through their other bands;
+    recall loss is bounded and the quadratic blowup is gone. None (the
+    default, used by the oracle-checked query) keeps every bucket."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     b = lsh_bands(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_sig")
+        b = (
+            b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
     b = b.persist()
     b.count()  # materialize once; both join sides now read the cache
     left = b.alias("a")

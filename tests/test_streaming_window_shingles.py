@@ -98,3 +98,23 @@ def test_exploded_shingles_edge_cases(spark):
     assert got[3] == {"two words"}
     assert got[4] == {"a b c", "b c d"}
     assert got[5] == {"x y z"}  # whitespace normalized
+
+
+def test_lsh_bucket_cap_drops_adversarial_mass(spark):
+    """An adversarial corpus (many identical docs) must not explode
+    into n^2 candidate pairs when max_bucket_size is set; normal
+    near-dup pairs must survive the cap."""
+    from dataengineering_spark.operators.dedup import minhash_lsh_pairs
+
+    spam = [(i, "buy cheap tokens now limited offer act fast") for i in range(40)]
+    real = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog tonight ok"),
+    ]
+    docs = spark.createDataFrame(spam + real, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(docs).count()
+    capped = minhash_lsh_pairs(docs, max_bucket_size=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert uncapped >= 40 * 39 // 2  # spam dominates uncapped
+    assert (100, 101) in got  # real near-dup survives
+    assert all(a >= 100 for a, _ in got)  # spam bucket dropped
