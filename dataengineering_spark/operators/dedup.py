@@ -306,6 +306,57 @@ def jaccard_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    sim: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs whose SimHashes differ in at most
+    ``max_distance`` bits, without an all-pairs join: split the hash
+    into ``max_distance + 1`` chunks — by pigeonhole, any pair within
+    the distance shares at least one chunk exactly — join on
+    (chunk_id, chunk_value), then verify with bit_count(xor).
+
+    Scale shape: the only shuffle is the chunk equi-join whose key
+    space is chunks x 2^(bits/chunks); candidates ~ n^2 / 2^chunk_bits
+    per chunk instead of n^2. Same contract as the MinHash band join
+    (and the same ``max_bucket_size``-style cap applies if a chunk
+    value is degenerate)."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sim.select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).select(
+        id_col,
+        sim_col,
+        "c",
+        F.expr(f"shiftright({sim_col}, {chunk_bits} * c) & {mask}").alias("cv"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col(sim_col).alias("sh_a"), "c", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col(sim_col).alias("sh_b"), "c", "cv"
+    )
+    cand = (
+        a.join(b, on=["c", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)").cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 #
 # 32-bit SimHash from md5-derived word hashes. The bit arithmetic is

@@ -38,6 +38,7 @@ from dataengineering_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_perm_constants,
     simhash,
+    simhash_neardup_pairs,
     simhash_sql,
 )
 from dataengineering_spark.operators.similarity import (
@@ -299,6 +300,40 @@ SQL_SIMHASH = f"""
 WITH norm AS (SELECT doc_id, {NORM_SQL} AS norm_text FROM documents)
 SELECT doc_id, {simhash_sql("string_split(norm_text, ' ')", 'duckdb')} AS simhash
 FROM norm
+"""
+
+
+# ===========================================================================
+# Q: simhash_neardup — pairs within Hamming distance 3, found via the
+# pigeonhole chunk join (d+1 chunks; a qualifying pair shares one
+# exactly) over the perturbed dedup corpus.
+# ===========================================================================
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash(_dedup_corpus(_docs(spark, sf_dir)))
+    return simhash_neardup_pairs(sim, max_distance=3)
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH corpus AS ({DEDUP_CORPUS_SQL}),
+norm AS (SELECT doc_id, {NORM_SQL} AS norm_text FROM corpus),
+sim AS (
+  SELECT doc_id,
+    {simhash_sql("string_split(norm_text, ' ')", 'duckdb')} AS simhash
+  FROM norm
+),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (8 * c)) & 255 AS cv
+  FROM sim, range(0, 4) t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
@@ -609,6 +644,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH, "north-star:dedup"),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
+    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP, "north-star:dedup"),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN, "north-star:similarity"),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN, "north-star:similarity"),
