@@ -1,4 +1,14 @@
-from dataengineering_spark.streaming.state import SyncStateStore, SyncState
+from dataengineering_spark.streaming.state import (
+    SyncState,
+    SyncStateStore,
+    TableSyncStateStore,
+)
 from dataengineering_spark.streaming.runner import IncrementalSyncRunner, SyncConfig
 
-__all__ = ["SyncStateStore", "SyncState", "IncrementalSyncRunner", "SyncConfig"]
+__all__ = [
+    "SyncStateStore",
+    "SyncState",
+    "TableSyncStateStore",
+    "IncrementalSyncRunner",
+    "SyncConfig",
+]

@@ -21,6 +21,9 @@ import os
 from dataclasses import asdict, dataclass
 from datetime import date
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 
 @dataclass
 class SyncState:
@@ -81,4 +84,113 @@ class SyncStateStore:
         for v in self._versions(stream):
             with open(os.path.join(self._dir(stream), f"{v:010d}.json")) as f:
                 out.append(SyncState(**json.load(f)))
+        return out
+
+
+class TableSyncStateStore:
+    """Transactional sync-offset TABLE (the Delta-style option next to
+    the JSON log): every commit is one immutable single-row parquet
+    file ``{stream}-{version:010d}.parquet`` published atomically via
+    hard-link (create-exclusive semantics — a torn write can never be
+    observed, and two committers racing on the same stream version get
+    exactly one winner; the loser re-reads and retries — optimistic
+    concurrency, the Delta commit protocol in miniature).
+
+    Unlike the JSON log, the whole store is *queryable as a DataFrame*
+    (``snapshot()``/``current()``): a fleet of thousands of streams'
+    offsets is just a table — joinable with lag monitors, with full
+    audit history and time travel by version predicate. The hot path
+    (``get``/``commit``) stays driver-side pyarrow: no Spark job per
+    micro-batch commit.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _versions(self, stream: str) -> list[int]:
+        pre = f"{stream}-"
+        out = []
+        for f in os.listdir(self.root):
+            if not (f.startswith(pre) and f.endswith(".parquet")):
+                continue
+            tail = f[len(pre):-8]
+            if tail.isdigit():  # skip streams whose name extends ours
+                out.append(int(tail))
+        return sorted(out)
+
+    def get(self, stream: str) -> SyncState:
+        import pyarrow.parquet as pq
+
+        versions = self._versions(stream)
+        if not versions:
+            return SyncState.initial()
+        path = os.path.join(self.root, f"{stream}-{versions[-1]:010d}.parquet")
+        row = pq.read_table(path).to_pylist()[0]
+        return SyncState(
+            **{k: row[k] for k in (
+                "last_synced_block",
+                "last_synced_block_date",
+                "latest_block",
+                "latest_block_date",
+            )}
+        )
+
+    def commit(self, stream: str, state: SyncState, max_retries: int = 20) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for _ in range(max_retries):
+            version = (self._versions(stream) or [-1])[-1] + 1
+            row = {"stream": stream, "version": version, **asdict(state)}
+            table = pa.table({k: [v] for k, v in row.items()})
+            tmp = os.path.join(self.root, f".{stream}-{version:010d}.tmp")
+            pq.write_table(table, tmp)
+            target = os.path.join(self.root, f"{stream}-{version:010d}.parquet")
+            try:
+                os.link(tmp, target)  # atomic create-exclusive publish
+                return version
+            except FileExistsError:
+                continue  # lost the race; re-derive next version
+            finally:
+                os.unlink(tmp)
+        raise RuntimeError(
+            f"could not commit stream {stream!r} after {max_retries} retries"
+        )
+
+    def snapshot(self) -> DataFrame:
+        """Full history as a DataFrame (one row per commit)."""
+        return self.spark.read.parquet(os.path.join(self.root, "*.parquet"))
+
+    def current(self) -> DataFrame:
+        """Latest state per stream — the offsets table a lag monitor
+        joins against."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("stream").orderBy(F.col("version").desc())
+        return (
+            self.snapshot()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def history(self, stream: str) -> list[SyncState]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for v in self._versions(stream):
+            path = os.path.join(self.root, f"{stream}-{v:010d}.parquet")
+            row = pq.read_table(path).to_pylist()[0]
+            out.append(
+                SyncState(
+                    **{k: row[k] for k in (
+                        "last_synced_block",
+                        "last_synced_block_date",
+                        "latest_block",
+                        "latest_block_date",
+                    )}
+                )
+            )
         return out

@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from dataengineering_spark.catalog import read_table
 from dataengineering_spark.sources.io import read_any
 from dataengineering_spark.streaming.runner import IncrementalSyncRunner, SyncConfig
-from dataengineering_spark.streaming.state import SyncState, SyncStateStore
+from dataengineering_spark.streaming.state import (
+    SyncState,
+    SyncStateStore,
+    TableSyncStateStore,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -128,3 +132,53 @@ def test_range_predicate_pushdown(spark, tmp_path, events):
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThan" in plan and "LessThanOrEqual" in plan
+
+
+def test_table_state_store_roundtrip_and_current(spark, tmp_path):
+    """TableSyncStateStore: per-stream versioning, queryable current()
+    across streams, history preserved."""
+    store = TableSyncStateStore(spark, str(tmp_path / "offsets"))
+    assert store.get("eth") == SyncState.initial()
+    s1 = SyncState(100, "2024-01-01", 150, "2024-01-02")
+    s2 = SyncState(150, "2024-01-02", 200, "2024-01-03")
+    assert store.commit("eth", s1) == 0
+    assert store.commit("eth", s2) == 1
+    assert store.commit("btc", s1) == 0
+    assert store.get("eth") == s2
+    assert store.get("btc") == s1
+    cur = {
+        r.stream: (r.version, r.last_synced_block)
+        for r in store.current().collect()
+    }
+    assert cur == {"eth": (1, 150), "btc": (0, 100)}
+    assert store.history("eth") == [s1, s2]
+    assert store.snapshot().count() == 3
+
+
+def test_table_state_store_commit_race_retries(spark, tmp_path):
+    """Optimistic concurrency: when the target version file already
+    exists (a racing committer won), commit retries at the next
+    version instead of overwriting."""
+    store = TableSyncStateStore(spark, str(tmp_path / "offsets"))
+    s1 = SyncState(1, "2024-01-01", 2, "2024-01-01")
+    store.commit("eth", s1)
+    # simulate a racer that already published version 1
+    racer = TableSyncStateStore(spark, str(tmp_path / "offsets"))
+    racer.commit("eth", SyncState(2, "2024-01-02", 3, "2024-01-02"))
+    v = store.commit("eth", SyncState(3, "2024-01-03", 4, "2024-01-03"))
+    assert v == 2
+    assert store.get("eth").last_synced_block == 3
+    assert [s.last_synced_block for s in store.history("eth")] == [1, 2, 3]
+
+
+def test_table_state_store_prefix_stream_names(spark, tmp_path):
+    """A stream whose name extends another's must not corrupt the
+    shorter stream's version sequence."""
+    store = TableSyncStateStore(spark, str(tmp_path / "offsets"))
+    s = SyncState(1, "2024-01-01", 2, "2024-01-01")
+    store.commit("a", s)
+    store.commit("a-b", s)
+    store.commit("a-b", SyncState(5, "2024-01-02", 6, "2024-01-02"))
+    assert store.get("a") == s
+    assert store.get("a-b").last_synced_block == 5
+    assert len(store.history("a")) == 1
