@@ -21,11 +21,13 @@ from dataengineering_spark.operators.transforms import (
     sort_rows,
 )
 from dataengineering_spark.operators.dedup import (
+    connected_components,
+    exploded_shingles,
+    jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
-    jaccard_pairs,
     simhash,
-    exploded_shingles,
+    simhash_neardup_pairs,
 )
 from dataengineering_spark.operators.similarity import (
     cosine_topk,
@@ -66,10 +68,12 @@ __all__ = [
     "jaccard_pairs",
     "simhash",
     "exploded_shingles",
+    "connected_components",
     "cosine_topk",
     "ivf_centroids",
     "ivf_topk",
     "lsh_cosine_topk",
+    "simhash_neardup_pairs",
     "salted_join",
     "salted_collect",
     "explain_skew",

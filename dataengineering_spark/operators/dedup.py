@@ -306,6 +306,68 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(doc_id, component) labels for the near-duplicate pair graph:
+    component = min doc id reachable from the doc. This is the final
+    dedup step — keep the row where doc_id == component, drop the rest.
+
+    Iterative min-label propagation (the scalable classic): each round
+    every node takes the min of its own label and its neighbors', and
+    the loop stops at fixpoint — rounds ≤ graph diameter, and near-dup
+    clusters are short-diameter by construction. Per round: one join +
+    one groupBy-min, both partitioned on doc id; frames are persisted
+    per round and the previous round unpersisted, so lineage stays
+    O(1) instead of exploding with iterations (the driver-loop
+    anti-pattern this module otherwise avoids is fine here: the loop
+    is over *rounds*, not rows, and each round is fully distributed).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_neardup_pairs(
     sim: DataFrame,
     max_distance: int = 3,

@@ -33,6 +33,7 @@ from dataengineering_spark.functions.text import (
 )
 from dataengineering_spark.operators.dedup import (
     MINHASH_PRIME,
+    connected_components,
     hex32_sql,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -300,6 +301,40 @@ SQL_SIMHASH = f"""
 WITH norm AS (SELECT doc_id, {NORM_SQL} AS norm_text FROM documents)
 SELECT doc_id, {simhash_sql("string_split(norm_text, ' ')", 'duckdb')} AS simhash
 FROM norm
+"""
+
+
+# ===========================================================================
+# Q: dedup_clusters — connected components over the LSH candidate
+# pairs: every doc in a near-dup cluster labeled with the cluster's
+# min doc id (keep doc_id == component, drop the rest). Spark runs
+# min-label propagation to fixpoint; the oracle replays it as a
+# recursive transitive closure — same labels because both compute
+# "min id reachable from the doc".
+# ===========================================================================
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    return connected_components(pairs)
+
+
+# the closure CTE is recursive, so the shared CTE chain needs the
+# RECURSIVE keyword (DuckDB allows mixing recursive/plain CTEs)
+SQL_DEDUP_CLUSTERS = _DEDUP_SQL_CTES.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1
+) + """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
 """
 
 
@@ -643,6 +678,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID, "north-star:text"),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH, "north-star:dedup"),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS, "north-star:dedup"),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP, "north-star:dedup"),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),

@@ -118,3 +118,15 @@ def test_lsh_bucket_cap_drops_adversarial_mass(spark):
     assert uncapped >= 40 * 39 // 2  # spam dominates uncapped
     assert (100, 101) in got  # real near-dup survives
     assert all(a >= 100 for a, _ in got)  # spam bucket dropped
+
+
+def test_connected_components_multihop(spark):
+    """Chain 1-2, 2-3, 3-4 is ONE component labeled by its min id even
+    though 1 and 4 never share a pair; disjoint pair keeps its own."""
+    from dataengineering_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
