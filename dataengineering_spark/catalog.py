@@ -150,6 +150,36 @@ def _nanos_to_ntz(col: str):
     return F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
 
 
+# Fact-scan parallelism floor. The driver's single-file parquet tables
+# hold ONE row group, so the scan is a single task no matter how small
+# maxPartitionBytes is — and every downstream stage of a scan-dominated
+# query serializes on one core. When the file's split-count estimate is
+# below the cluster's parallelism AND the file is big enough that the
+# round-robin shuffle pays for itself, spread the scan. At production
+# scale (splits >> cores) the gate never fires, so the plan keeps the
+# shuffle-free scan→partial-agg shape.
+SPREAD_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _spread_if_narrow(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        size = os.path.getsize(path)  # local paths only; object stores skip
+    except OSError:
+        return df
+    if size < SPREAD_MIN_BYTES:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    raw = raw.removesuffix("b")
+    mult = units.get(raw[-1:], 1)
+    max_split = int(raw.rstrip("kmg") or "134217728") * mult
+    est_splits = -(-size // max_split)
+    target = spark.sparkContext.defaultParallelism
+    if est_splits >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one corpus table with its pinned schema.
 
@@ -173,7 +203,8 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if nano_cols:
         # settable at runtime so this works under the driver's own session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = _spread_if_narrow(spark, reader.parquet(path), path)
     for c in nano_cols:
         df = df.withColumn(c, _nanos_to_ntz(c))
     return df

@@ -244,3 +244,77 @@ def test_sniff_format_matrix(spark):
         assert sniffed == fmt, (fmt, sniffed)
         want_type = MEDIA_TYPE_OF_FORMAT.get(fmt, "unknown")
         assert mtype == want_type, (fmt, mtype)
+
+
+# --- container duration parsing --------------------------------------------
+
+def _wav_bytes(byte_rate=16000, data_size=32000, extra_chunk=False):
+    fmt_body = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + (byte_rate // 2).to_bytes(4, "little")  # sample rate (16-bit)
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+    if extra_chunk:
+        info = b"INFOdemo"
+        chunks += b"LIST" + len(info).to_bytes(4, "little") + info
+    chunks += b"data" + data_size.to_bytes(4, "little") + b"\x00" * 64
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _mp4_bytes(timescale=600, duration=1200, version=0):
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + b"\x00" * 80
+    else:
+        body = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") + b"\x00" * 76
+    mvhd = (8 + len(body)).to_bytes(4, "big") + b"mvhd" + body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+    return ftyp + moov
+
+
+def test_parse_wav_duration_canonical_and_chunked():
+    from dataengineering_spark.functions.multimodal import parse_wav_duration
+
+    assert parse_wav_duration(_wav_bytes()) == 2000
+    assert parse_wav_duration(_wav_bytes(extra_chunk=True)) == 2000
+    assert parse_wav_duration(b"RIFFxxxxNOPE") is None
+
+
+def test_parse_mp4_duration_both_versions():
+    from dataengineering_spark.functions.multimodal import parse_mp4_duration
+
+    assert parse_mp4_duration(_mp4_bytes(version=0)) == 2000
+    assert parse_mp4_duration(_mp4_bytes(timescale=1000, duration=1500, version=1)) == 1500
+    assert parse_mp4_duration(b"\x00" * 32) is None
+
+
+def test_wav_duration_expression_matches_parser(spark):
+    from dataengineering_spark.functions.multimodal import wav_duration_ms
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes())), (2, bytearray(_mp4_bytes()))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.d for r in df.select("doc_id", wav_duration_ms("payload").alias("d")).collect()}
+    assert got == {1: 2000, 2: None}  # canonical WAV engine-side; mp4 null
+
+
+def test_media_durations_mapinpandas(spark):
+    from dataengineering_spark.functions.multimodal import media_durations
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes())),
+            (2, bytearray(_mp4_bytes(timescale=90000, duration=90000 * 3))),
+            (3, bytearray(b"\x89PNG\r\n\x1a\x0a" + b"x" * 16)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: (r.format, r.duration_ms) for r in media_durations(df).collect()}
+    assert rows[1] == ("wav", 2000)
+    assert rows[2] == ("mp4", 3000)
+    assert rows[3] == ("png", None)
