@@ -223,7 +223,113 @@ FROM events GROUP BY user_id
 """
 
 
+# ===========================================================================
+# Q: priority_line_counts — TPC-H Q12 shape: conditional counts over a
+# fact⋈fact join (urgent/high vs other order priority per line status).
+# ===========================================================================
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_LINE_COUNTS = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# ===========================================================================
+# Q: promo_revenue — TPC-H Q14 shape: conditional-revenue ratio. Both
+# sums route through DECIMAL then divide in double, so the quotient is
+# the same IEEE value on both engines.
+# ===========================================================================
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_revenue_pct"),
+            dsum(disc, "total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+SELECT
+  100.0 * {DSUM.format(e="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+        / {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS promo_revenue_pct,
+  {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+# ===========================================================================
+# Q: dormant_customers — TPC-H Q22 shape: scalar avg subquery (exact
+# decimal-sum/count) + anti-join to orders + per-nation rollup. The
+# scalar lands via a broadcast cross join, not a driver collect.
+# ===========================================================================
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    fulfilled = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        davg_scalar("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(fulfilled, customer.c_custkey == fulfilled.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
+    )
+
+
+def davg_scalar(col: str) -> F.Column:
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count(col)
+
+
+SQL_DORMANT_CUSTOMERS = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {DSUM.format(e='c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_nationkey
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "priority_line_counts": (q_priority_line_counts, SQL_PRIORITY_LINE_COUNTS, "A1-over-join,J4"),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE, "F4-ratio,J2"),
+    "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS, "U2-anti,A5-scalar"),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES, "analytics:percentiles"),
     "returns_rollup": (q_returns_rollup, SQL_RETURNS_ROLLUP, "analytics:rollup"),
     "user_event_pivot": (q_user_event_pivot, SQL_USER_EVENT_PIVOT, "A4-general"),
