@@ -671,7 +671,63 @@ FROM documents
 """
 
 
+# ===========================================================================
+# Q: media_durations — end-to-end binary container pipeline: synthesize
+# a canonical WAV per document (byte_rate/data_size are closed-form
+# functions of doc_id), then run the REAL path — binary payload →
+# magic-byte sniff → header parse in Arrow-batched mapInPandas. The
+# oracle recomputes the duration from the same closed form, so a bug
+# anywhere in the binary plumbing (byte order, chunk offsets, Arrow
+# binary transfer) breaks the match.
+# ===========================================================================
+
+def q_media_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import media_durations
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                byte_rate = 8000 + (doc_id % 7) * 1000
+                data_size = 16000 + (doc_id % 11) * 800
+                fmt_body = (
+                    (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + (byte_rate // 2).to_bytes(4, "little")
+                    + byte_rate.to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                )
+                chunks = (
+                    b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+                    + b"data" + data_size.to_bytes(4, "little") + b"\x00" * 8
+                )
+                payload = (
+                    b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+                )
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return media_durations(synthesized)
+
+
+SQL_MEDIA_DURATIONS = """
+SELECT doc_id, 'wav' AS format,
+  CAST((16000 + (doc_id % 11) * 800) * 1000 // (8000 + (doc_id % 7) * 1000) AS BIGINT)
+    AS duration_ms
+FROM documents
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "media_durations": (q_media_durations, SQL_MEDIA_DURATIONS, "north-star:multimodal"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),
