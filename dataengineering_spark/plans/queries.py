@@ -386,7 +386,10 @@ GROUP BY transaction_id
 
 def q_constant_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = transfers_from_events(_t(spark, sf_dir, "events"))
-    price_row = spark.createDataFrame([(0.51,)], "coin_price_usd double")
+    # JVM-side literal relation: a Python-list createDataFrame would
+    # route through a Python-RDD plan whose first collect pays the
+    # Python-worker spawn (~2 s measured) — pure overhead for 1 row.
+    price_row = spark.sql("SELECT CAST(0.51 AS DOUBLE) AS coin_price_usd")
     withp = attach_constant_price(tr, price_row)
     outgoing = F.col("coin_value") + F.col("fee")
     return withp.groupBy("sender_address").agg(
