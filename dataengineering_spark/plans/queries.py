@@ -306,6 +306,14 @@ def q_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("token_address") % 3).cast("int").alias("decimals"),
         )
     )
+    # Barrier on the derived dimension: Catalyst's projection collapse
+    # would otherwise re-inline the metadata subtree (and its distinct
+    # over the fact) into BOTH its consumers — the price derivation and
+    # the enrichment join — so the fact would be scanned three times.
+    # Persisting the (tiny: |token universe|) dim caps it at two scans:
+    # one to build the dim, one for the fact side of the join. At 100 TB
+    # the saved pass dominates; at bench scale it's still net-positive.
+    metadata = metadata.persist()
     # dimension: prices keyed by symbol (deterministic derivation)
     prices = metadata.select(
         "symbol",
