@@ -78,11 +78,26 @@ def usd_enrich(value: Column | str, price: Column | str) -> Column:
     return v * p
 
 
-def extract_nanos_timestamp(txn_id: Column | str) -> Column:
+def extract_nanos_timestamp(txn_id: Column | str, as_decimal: bool = True) -> Column:
     """Hedera nanosecond-timestamp recovery from a transaction id like
     ``0.0.887615-1651341539-309799857`` → ``1651341539.309799857``
     (reference ``clickhouse/utils.py:57-59``: strip the ``x.y.z-``
-    account prefix, then turn the remaining ``-`` into a ``.``)."""
+    account prefix, then turn the remaining ``-`` into a ``.``).
+
+    ``as_decimal=False`` returns the canonical ``secs.nanos`` STRING
+    instead of DECIMAL(20,9) — width-20 decimals exceed int64-backed
+    decimal ranges in some engines, so cross-engine comparators should
+    use the string (or split-BIGINT) form."""
     c = F.col(txn_id) if isinstance(txn_id, str) else txn_id
     stripped = F.regexp_replace(c, r"^\d+\.\d+\.\d+-", "")
-    return F.regexp_replace(stripped, "-", ".").cast("decimal(20,9)")
+    s = F.regexp_replace(stripped, "-", ".")
+    return s.cast("decimal(20,9)") if as_decimal else s
+
+
+def extract_nanos_timestamp_parts(txn_id: Column | str) -> tuple[Column, Column]:
+    """Split form of :func:`extract_nanos_timestamp`: (seconds BIGINT,
+    nanos BIGINT). Exact on any engine — no wide decimal involved."""
+    c = F.col(txn_id) if isinstance(txn_id, str) else txn_id
+    stripped = F.regexp_replace(c, r"^\d+\.\d+\.\d+-", "")
+    parts = F.split(stripped, "-")
+    return parts.getItem(0).cast("long"), parts.getItem(1).cast("long")

@@ -35,6 +35,7 @@ from dataengineering_spark.functions.scalars import (
     davg,
     dsum,
     extract_nanos_timestamp,
+    extract_nanos_timestamp_parts,
     scale_by_decimals,
     conditional_reset,
 )
@@ -607,10 +608,16 @@ def q_hedera_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("-"),
         (F.lit(100000000) + (F.col("event_id") % 899999999)).cast("string"),
     )
+    secs, nanos = extract_nanos_timestamp_parts(txn_id)
     return ev.select(
         "event_id",
         txn_id.alias("txn_id"),
-        extract_nanos_timestamp(txn_id).alias("consensus_ts"),
+        # Canonical string + split BIGINTs: a DECIMAL(20,9) here exceeds
+        # int64-backed decimal width in DuckDB's fetch path, so the
+        # cross-engine comparator would see float64 vs decimal.
+        extract_nanos_timestamp(txn_id, as_decimal=False).alias("consensus_ts"),
+        secs.alias("consensus_secs"),
+        nanos.alias("consensus_nanos"),
     )
 
 
@@ -623,8 +630,9 @@ WITH ids AS (
   FROM events
 )
 SELECT event_id, txn_id,
-  CAST(replace(regexp_replace(txn_id, '^\\d+\\.\\d+\\.\\d+-', ''), '-', '.')
-       AS DECIMAL(20,9)) AS consensus_ts
+  replace(regexp_replace(txn_id, '^\\d+\\.\\d+\\.\\d+-', ''), '-', '.') AS consensus_ts,
+  CAST(split_part(regexp_replace(txn_id, '^\\d+\\.\\d+\\.\\d+-', ''), '-', 1) AS BIGINT) AS consensus_secs,
+  CAST(split_part(regexp_replace(txn_id, '^\\d+\\.\\d+\\.\\d+-', ''), '-', 2) AS BIGINT) AS consensus_nanos
 FROM ids
 """
 
