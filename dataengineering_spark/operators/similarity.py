@@ -38,6 +38,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage top-k over (query_id, neighbor_id, cos_sim).
+
+    A single ``Window.partitionBy(query_id)`` shuffles every scored row
+    into |queries| partitions — with a handful of queries each becomes
+    one giant single-task partition. Stage 1 instead ranks within
+    (spark_partition_id, query_id): the exchange keys have cardinality
+    partitions × queries, so the same row volume spreads evenly, and
+    only ≤ k rows per (partition, query) survive into stage 2, whose
+    per-query window then sees ≤ partitions × k tiny rows. Results are
+    identical: the global top-k is a subset of the union of
+    per-partition top-ks, and ties break on neighbor_id both times.
+    """
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id").asc()]
+    w_local = Window.partitionBy("pid", "query_id").orderBy(*order)
+    pruned = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .drop("pid", "lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,11 +78,10 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, rank, cos_sim), neighbors exclude
     the query itself; ties broken by neighbor id for determinism.
-    The query side is broadcast — the corpus is never shuffled, only
-    the per-partition top-k rows move (window over query_id after a
-    partial filter would be the 1000-executor refinement; at sane k
-    and |queries| the window shuffle is |corpus|·|queries| filtered
-    rows).
+    The query side is broadcast — the corpus is never shuffled for
+    scoring, and the ranking runs through the two-stage
+    :func:`topk_per_query` so no single-task per-query partition ever
+    materializes.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -72,14 +100,7 @@ def cosine_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return topk_per_query(scored, k)
 
 
 # --- LSH scale path --------------------------------------------------------
@@ -142,12 +163,26 @@ def _dist2(v: Column, c: Column) -> Column:
 
 def ivf_seed_centroids(e: DataFrame, n_centroids: int) -> DataFrame:
     """(cid, cv): deterministic seeds — the n vectors ranked first by
-    md5 of their id (engine-reproducible pseudo-random spread)."""
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_centroids)
-        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("cv"))
+    md5 of their id (engine-reproducible pseudo-random spread).
+
+    orderBy + limit compiles to TakeOrderedAndProject — per-partition
+    top-n then a driver-side merge of n × partitions rows — instead of
+    a partition-less Window, which would funnel the whole corpus
+    through one task just to pick n seeds. The cid 0..n-1 is then
+    recovered by packing the n survivors into one sorted array and
+    posexploding (a single-row aggregate over n rows, not a Window)."""
+    ranked = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v"
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+    packed = ranked.agg(
+        F.array_sort(F.collect_list(F.struct("h", "vec_id", "v"))).alias("seeds")
+    )
+    return packed.select(F.posexplode("seeds").alias("cid", "s")).select(
+        "cid", F.col("s.v").alias("cv")
     )
 
 
@@ -247,14 +282,7 @@ def ivf_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return topk_per_query(scored, k)
 
 
 def lsh_cosine_topk(
@@ -288,11 +316,4 @@ def lsh_cosine_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return topk_per_query(scored, k)

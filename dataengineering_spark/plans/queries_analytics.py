@@ -36,24 +36,67 @@ PCTS = (0.5, 0.9, 0.99)
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    """Exact discrete percentiles without a per-group Window.
+
+    The naive shape — ``Window.partitionBy(event_type)`` — shuffles
+    every event into ~5 partitions, each a single task at scale.
+    Instead, global ranks are computed distributed:
+
+    1. per-group counts (tiny) → the target rank for each percentile;
+    2. ``repartitionByRange`` over the sort key spreads each group
+       across many ordered partitions; per-(partition, group) counts
+       (tiny) prefix-summed give each partition's global rank offset;
+    3. a Window partitioned by (partition-id, group) — cardinality
+       partitions × groups, evenly spread — yields local ranks;
+       global rank = offset + local rank;
+    4. equi-select rows whose global rank hits a target, then a
+       partial-combining groupBy folds them to one row per group.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    targets = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            *[
+                (F.floor(F.lit(p) * (F.col("n") - 1)) + 1).alias(f"r{int(p * 100)}")
+                for p in PCTS
+            ],
+        )
+    )
+    data = ev.repartitionByRange("event_type", "value", "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        data.groupBy("pid", "event_type")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .withColumn("off", F.coalesce(F.sum("pc").over(w_off), F.lit(0)))
+        .select("pid", "event_type", "off")
+    )
+    w_local = Window.partitionBy("pid", "event_type").orderBy("value", "event_id")
+    ranked = (
+        data.withColumn("lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["pid", "event_type"])
+        .withColumn("rn", F.col("off") + F.col("lrn"))
+        .join(F.broadcast(targets), "event_type")
+    )
+    hits = ranked.filter(
+        (F.col("rn") == F.col("r50"))
+        | (F.col("rn") == F.col("r90"))
+        | (F.col("rn") == F.col("r99"))
     )
     aggs = [
         F.max(
-            F.when(
-                F.col("rn") == F.floor(F.lit(p) * (F.col("n") - 1)) + 1,
-                F.col("value"),
-            )
+            F.when(F.col("rn") == F.col(f"r{int(p * 100)}"), F.col("value"))
         ).alias(f"p{int(p * 100)}")
         for p in PCTS
     ]
-    return ranked.groupBy("event_type").agg(*aggs)
+    return hits.groupBy("event_type").agg(*aggs)
 
 
 SQL_VALUE_PERCENTILES = """

@@ -73,6 +73,32 @@ def test_no_cartesian_products_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_no_single_partition_window_anywhere(spark):
+    """No registry query may rank/aggregate through a partition-less
+    Window: `Exchange SinglePartition` directly under a Window funnels
+    the entire input through one task — the classic scale-killer
+    (round-1 finding on the IVF seed selection). Global scalar
+    aggregates (SinglePartition over a 1-row-per-partition partial
+    agg) are fine; a Window over one is not."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = plan_of(spec.fn(spark, SF_ORACLE))
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window" not in line:
+                continue
+            # walk down the subtree printout until the next operator at
+            # the same-or-shallower depth; a SinglePartition exchange
+            # in between feeds this window.
+            for nxt in lines[i + 1 : i + 6]:
+                if "Exchange SinglePartition" in nxt:
+                    offenders.append((name, line.strip()[:80]))
+                    break
+                if "Exchange" in nxt or "Scan" in nxt or "Join" in nxt:
+                    break
+    assert not offenders, offenders
+
+
 def test_log_index_matches_pandas_rank_semantics(spark):
     """W1 exactness: row_number over (sort_cols) must equal pandas'
     sort_values + groupby(key).rank(method='first') — the reference's
