@@ -169,19 +169,17 @@ def minhash_signatures(
     base = exploded_shingles(docs, id_col, text_col, shingle_n).select(
         id_col, _base_hash(F.col("shingle")).alias("v")
     )
+    # One parsed expression per agg column instead of ~6 Py4J Column
+    # ops each: the Python expression-tree build was a measured chunk
+    # of the LSH pipeline's driver-side latency.
     mins = base.groupBy(id_col).agg(
         *[
-            F.min(
-                (F.lit(a[k]).cast("long") * F.col("v") + F.lit(b[k]).cast("long"))
-                % MINHASH_PRIME
-            ).alias(f"h{k}")
+            F.expr(f"min(({a[k]}L * v + {b[k]}L) % {MINHASH_PRIME}L) AS h{k}")
             for k in range(num_hashes)
         ]
     )
-    return mins.select(
-        id_col,
-        F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("signature"),
-    )
+    sig = ", ".join(f"h{k}" for k in range(num_hashes))
+    return mins.select(id_col, F.expr(f"array({sig}) AS signature"))
 
 
 def lsh_bands(
@@ -229,14 +227,23 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE,
     max_bucket_size: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH.
 
     Signatures come from the codegen path (``minhash_signatures``);
-    the band frame is persisted and materialized before the self-join —
-    Catalyst's projection collapse would otherwise inline the signature
-    pipeline into both join aliases. The cached frame is O(docs x
+    the band frame is persisted (lazily — persist alone is enough for
+    Catalyst to plan an InMemoryRelation, so the signature pipeline is
+    NOT re-inlined into both join aliases, and the single downstream
+    action materializes it exactly once). The cached frame is O(docs x
     bands x 32 chars): tiny relative to the corpus at any scale.
+
+    ``materialize=True`` runs that action here (count on the pair
+    frame, which is persisted and returned) and then unpersists the
+    band frame — callers that keep the pairs get a leak-free session.
+    With ``materialize=False`` (lazy), the band frame stays persisted
+    for the session; cluster-lifetime jobs should prefer the eager
+    form.
 
     ``max_bucket_size`` is the 100 TB safety valve: a bucket of n docs
     yields n^2/2 candidate pairs, so one adversarial bucket (boiler-
@@ -259,10 +266,9 @@ def minhash_lsh_pairs(
             .drop("bucket_n")
         )
     b = b.persist()
-    b.count()  # materialize once; both join sides now read the cache
     left = b.alias("a")
     right = b.alias("b")
-    return (
+    pairs = (
         left.join(
             right,
             on=[
@@ -277,6 +283,11 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if materialize:
+        pairs = pairs.persist()
+        pairs.count()  # one job: signatures -> band cache -> join -> pairs
+        b.unpersist()
+    return pairs
 
 
 def jaccard_pairs(
@@ -287,7 +298,15 @@ def jaccard_pairs(
     shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage of
-    the LSH pipeline). ``pairs`` has columns doc_a, doc_b."""
+    the LSH pipeline). ``pairs`` has columns doc_a, doc_b.
+
+    Cache lifetime: the shingle-set frame is persisted lazily so the
+    plan references one InMemoryRelation from both join sides; it is
+    materialized by whatever action consumes the returned frame and
+    stays cached for the session (storage is O(docs x shingle sets)).
+    Long-lived sessions re-running the dedup suite should call
+    ``spark.catalog.clearCache()`` or unpersist via the returned
+    frame's lineage between runs."""
     sh = (
         exploded_shingles(docs, id_col, text_col, shingle_n)
         .groupBy(id_col)
@@ -338,6 +357,7 @@ def connected_components(
         .select("doc_id", F.col("doc_id").alias("component"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -365,6 +385,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not reach fixpoint within "
+            f"{max_iterations} iterations ({changed} labels still "
+            f"changing); returned components may be over-split. "
+            f"Raise max_iterations for graphs with diameter > "
+            f"{max_iterations}.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -46,12 +46,23 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the left (large/skewed) side salted and the
-    right side replicated across all salts. Output columns match the
-    plain ``left.join(right, on, how)``.
+    right side replicated across all salts. Output matches the plain
+    ``left.join(right, on, how)`` for left-preserving joins only:
+    inner / left / left_outer / left_semi / left_anti. Right-preserving
+    joins (right/full outer) would emit each unmatched right row once
+    per salt replica, so they are rejected.
 
     Cost model: right side is shuffled n_salts times — use when
     |right| * n_salts ≪ |left|'s hot-key mass, i.e. the standard
     skew trade."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only "
+            f"({sorted(allowed)}); got how={how!r} — the replicated "
+            f"right side would duplicate unmatched right rows."
+        )
     salted_left = with_salt(left, n_salts)
     replicated_right = right.withColumn(
         "_salt",

@@ -253,10 +253,27 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIR_CACHE.get(key)
     if df is None:
-        df = minhash_lsh_pairs(_dedup_corpus(_docs(spark, sf_dir))).persist()
-        df.count()  # materialize so every consumer reads the cache
+        # materialize=True fuses the band-frame and pair-frame barriers
+        # into ONE job (signatures -> band cache -> join -> pair cache)
+        # and unpersists the intermediate band frame afterwards.
+        df = minhash_lsh_pairs(
+            _dedup_corpus(_docs(spark, sf_dir)), materialize=True
+        )
         _PAIR_CACHE[key] = df
     return df
+
+
+def evict_pair_cache(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop memoized LSH pair frames — the eviction hook
+    for long-lived sessions that re-run the dedup suite. With a
+    session, evicts only that session's entries; with None, all."""
+    evicted = 0
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_PAIR_CACHE):
+        if app_id is None or key[0] == app_id:
+            _PAIR_CACHE.pop(key).unpersist()
+            evicted += 1
+    return evicted
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

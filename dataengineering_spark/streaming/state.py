@@ -141,11 +141,20 @@ class TableSyncStateStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        import contextlib
+        import uuid
+
         for _ in range(max_retries):
             version = (self._versions(stream) or [-1])[-1] + 1
             row = {"stream": stream, "version": version, **asdict(state)}
             table = pa.table({k: [v] for k, v in row.items()})
-            tmp = os.path.join(self.root, f".{stream}-{version:010d}.tmp")
+            # Unique per-writer tmp name: a shared deterministic name
+            # would let a racing committer truncate/rewrite this file
+            # between write_table and the os.link publish, publishing a
+            # torn or foreign parquet under a committed version.
+            tmp = os.path.join(
+                self.root, f".{stream}-{version:010d}-{uuid.uuid4().hex}.tmp"
+            )
             pq.write_table(table, tmp)
             target = os.path.join(self.root, f"{stream}-{version:010d}.parquet")
             try:
@@ -154,7 +163,8 @@ class TableSyncStateStore:
             except FileExistsError:
                 continue  # lost the race; re-derive next version
             finally:
-                os.unlink(tmp)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(tmp)
         raise RuntimeError(
             f"could not commit stream {stream!r} after {max_retries} retries"
         )

@@ -56,6 +56,16 @@ def test_salted_join_left_outer(spark):
     assert salted.filter("w IS NULL").count() == 100  # cold keys keep nulls
 
 
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    left = _skewed(spark)
+    right = spark.createDataFrame([("hub", 1.5)], "k string, w double")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, on=["k"], how=how)
+
+
 def test_salted_collect_equals_plain(spark):
     df = _skewed(spark)
     plain = df.groupBy("k").agg(F.array_sort(F.collect_list("v")).alias("values"))
