@@ -743,8 +743,73 @@ FROM documents
 """
 
 
+# ===========================================================================
+# Q: image_decode — REAL image decode end-to-end: synthesize a valid
+# solid-color PNG per document (size/color are closed-form functions
+# of doc_id), run the actual decode path — zlib inflate + scanline
+# unfilter in Arrow-batched mapInPandas — and emit per-channel means.
+# The oracle recomputes everything from the closed form, so a bug in
+# PNG chunk walking, inflate, unfiltering, channel accumulation, or
+# the Arrow binary/float transfer breaks the match.
+# ===========================================================================
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        decode_images,
+        make_solid_png,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 8 + doc_id % 3
+                rgb = (
+                    (doc_id * 37) % 256,
+                    (doc_id * 59) % 256,
+                    (doc_id * 83) % 256,
+                )
+                rows.append((doc_id, make_solid_png(w, h, rgb)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    feats = decode_images(synthesized)
+    # mean channels are exact small integers, so the float32 feature
+    # lanes round-trip to double exactly.
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        F.element_at("feature", 1).cast("double").alias("mean_r"),
+        F.element_at("feature", 2).cast("double").alias("mean_g"),
+        F.element_at("feature", 3).cast("double").alias("mean_b"),
+    )
+
+
+SQL_IMAGE_DECODE = """
+SELECT doc_id,
+  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+  CAST(8 + doc_id % 3 AS BIGINT) AS height,
+  0.299 * CAST((doc_id * 37) % 256 AS DOUBLE)
+    + 0.587 * CAST((doc_id * 59) % 256 AS DOUBLE)
+    + 0.114 * CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_luma,
+  CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+  CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
+  CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "media_durations": (q_media_durations, SQL_MEDIA_DURATIONS, "north-star:multimodal"),
+    "image_decode": (q_image_decode, SQL_IMAGE_DECODE, "north-star:multimodal"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),
