@@ -343,7 +343,176 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+# ===========================================================================
+# Q: nation_trade_volume — TPC-H Q7 shape: two-nation shipping volume
+# by year. Fact⋈fact (lineitem⋈orders) shuffles on the key; supplier,
+# customer, and both nation legs broadcast. The symmetric nation-pair
+# predicate lands after the nation attach, exactly like Q7.
+# ===========================================================================
+
+N1, N2 = "NATION_9", "NATION_10"
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == N1) & (F.col("cust_nation") == N2)
+    ) | ((F.col("supp_nation") == N2) & (F.col("cust_nation") == N1))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(volume, "revenue"))
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT supp_nation, cust_nation, l_year,
+  {DSUM.format(e='volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{N1}' AND n2.n_name = '{N2}')
+      OR (n1.n_name = '{N2}' AND n2.n_name = '{N1}'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ===========================================================================
+# Q: small_quantity_revenue — TPC-H Q17 shape: per-part average-quantity
+# threshold (correlated scalar subquery) as a high-cardinality window.
+# The brand filter broadcasts into the fact first; the per-part avg is
+# a Window over l_partkey — thousands of keys, evenly spread, NOT a
+# low-cardinality skew window. avg(l_quantity) is exact across engines
+# (integral doubles sum exactly), so the threshold compare is
+# deterministic.
+# ===========================================================================
+
+from pyspark.sql import Window as _W
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    flt = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    w = _W.partitionBy("l_partkey")
+    hits = flt.withColumn("q_thresh", F.lit(0.2) * F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < F.col("q_thresh")
+    )
+    return hits.agg(dsum("l_extendedprice", "s")).select(
+        (F.col("s") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = f"""
+WITH flt AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+), pavg AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS q_thresh
+  FROM flt GROUP BY l_partkey
+)
+SELECT {DSUM.format(e='l_extendedprice')} / 7.0 AS avg_yearly
+FROM flt JOIN pavg USING (l_partkey)
+WHERE l_quantity < q_thresh
+"""
+
+
+# ===========================================================================
+# Q: prominent_suppliers — TPC-H Q20 shape: nested semi-joins. The
+# inner block (name-filtered parts ⋈ lineitem, per-supplier quantity
+# threshold) reduces to a tiny supplier-key set that semi-joins into
+# the nation-filtered supplier dim. No partsupp table exists in this
+# corpus, so lineitem plays the supply relation — same join nesting.
+# ===========================================================================
+
+def q_prominent_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supplier = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 120)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left_semi"
+        )
+        .join(F.broadcast(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_PROMINENT_SUPPLIERS = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 120
+  )
+ORDER BY s_name
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "nation_trade_volume": (
+        q_nation_trade_volume,
+        SQL_NATION_TRADE_VOLUME,
+        "TPC-H Q7 shape",
+    ),
+    "small_quantity_revenue": (
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
+        "TPC-H Q17 shape",
+    ),
+    "prominent_suppliers": (
+        q_prominent_suppliers,
+        SQL_PROMINENT_SUPPLIERS,
+        "TPC-H Q20 shape",
+    ),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN, "range-join,streaming T-upgrade"),
     "order_count_distribution": (
         q_order_count_distribution,
