@@ -1,0 +1,100 @@
+"""Backward as-of join — the time-series operator Spark's join zoo
+lacks (pandas ``merge_asof``, DuckDB ``ASOF JOIN``, kdb ``aj``).
+
+For each left row, attach value columns from the most recent right
+row whose timestamp is <= the left timestamp, per key. Implemented as
+a composition of existing DataFrame ops (no UDF, no per-row Python):
+
+1. union the two sides into one tagged stream,
+2. one Window per key ordered by (ts, side) with rights sorting
+   before lefts at equal timestamps (<= semantics),
+3. ``last(value, ignoreNulls=True)`` over the unbounded-preceding
+   frame carries the latest right value forward,
+4. keep only left rows.
+
+Scale shape: exactly ONE exchange, hash-partitioned by the join key —
+the same shuffle a sort-merge join would pay, with per-key windows
+over high-cardinality keys (users, instruments), never a global sort.
+An optional ``tolerance`` bounds the lookback like pandas
+``merge_asof(tolerance=...)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: left columns plus ``{value}{suffix}`` for
+    each value column (null when no right row at-or-before exists, or
+    when the match is older than ``tolerance_seconds``).
+
+    Right-side rows must be unique per (key, right_ts) — pre-aggregate
+    duplicates upstream (e.g. ``groupBy(key, ts).agg(max_by(...))``)
+    or the carried value at a tied timestamp is undefined.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    left_cols = left.columns
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # lefts sort AFTER rights at equal ts
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_v_{v}") for v in value_cols],
+        F.struct(*left_cols).alias("_row"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"_v_{v}") for v in value_cols],
+        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"_v_{v}", ignorenulls=True).over(w).alias(f"_f_{v}")
+            for v in value_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_match_ts"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("_ts").cast("long") - F.col("_match_ts").cast("long")
+            <= F.lit(tolerance_seconds)
+        )
+        out = out.select(
+            "*",
+            *[
+                F.when(fresh, F.col(f"_f_{v}")).alias(f"_t_{v}")
+                for v in value_cols
+            ],
+        )
+        fill_of = {v: f"_t_{v}" for v in value_cols}
+    else:
+        fill_of = {v: f"_f_{v}" for v in value_cols}
+    return out.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left_cols],
+        *[F.col(fill_of[v]).alias(f"{v}{suffix}") for v in value_cols],
+    )

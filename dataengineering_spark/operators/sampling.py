@@ -1,0 +1,75 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample``/``sampleBy`` draw from a seeded RNG whose stream depends
+on partitioning — re-running after a repartition (or on another
+engine) yields a different sample, which is poison for reproducible
+dataset builds. Everything here derives membership from md5 of the
+row's own key, so the sample is a pure function of the data: stable
+under retries, re-partitioning, engine changes, and incremental
+re-runs (a new batch's rows join the sample independently of history
+— the property that makes hash-sampling the standard for LLM corpus
+subsetting).
+
+Scale shape: ``hash_sample`` is a pure filter (codegen, pushes through
+joins, no shuffle). ``stratified_sample`` ranks by hash within each
+stratum through the two-stage top-k (rank within
+(spark_partition_id, stratum) first), so low-cardinality strata never
+serialize onto one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_hash(col: Column | str, salt: str = "") -> Column:
+    """uint32 sampling hash of ``salt|col`` — the md5-derived value
+    both membership tests below share. Engine-portable (DuckDB mirror:
+    :func:`sample_hash_sql`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(f"{salt}|"), c.cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def sample_hash_sql(expr: str, salt: str = "") -> str:
+    from dataengineering_spark.operators.dedup import hex32_sql
+
+    keyed = f"'{salt}|' || CAST({expr} AS VARCHAR)"
+    return f"CAST({hex32_sql(f'md5({keyed})')} AS BIGINT)"
+
+
+def hash_sample(
+    df: DataFrame, col: str, denom: int, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose sampling hash is ≡ 0 (mod denom) — a stable
+    ~1/denom sample keyed on ``col``. Different ``salt`` values give
+    independent samples over the same keys."""
+    return df.filter(sample_hash(col, salt) % denom == 0)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash rank
+    (ties broken by the key itself) — a deterministic quota sample.
+    Two-stage ranking keeps giant strata off single tasks."""
+    h = sample_hash(key_col, salt).alias("_h")
+    base = df.select("*", h)
+    order = [F.col("_h"), F.col(key_col)]
+    w_local = Window.partitionBy(F.spark_partition_id(), *strata_cols).orderBy(*order)
+    pruned = (
+        base.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= n_per_stratum)
+        .drop("_lr")
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn", "_h")
+    )

@@ -1,0 +1,83 @@
+"""Distinct-count sketches that are deterministic ACROSS ENGINES.
+
+Spark's ``approx_count_distinct`` (HyperLogLog++) and DuckDB's
+``approx_count_distinct`` use different hash functions and register
+layouts, so their estimates can never be compared exactly. The KMV
+(k-minimum-values) sketch here derives every hash from md5, which both
+engines compute identically — the estimate is a pure function of the
+data, reproducible bit-for-bit anywhere md5 and IEEE doubles exist.
+
+Estimator (Bar-Yossef et al. 2002): map each value to a uniform hash
+in (0, 1]; if the k-th smallest hash among distinct values is h_k, the
+distinct count is ≈ (k-1)/h_k (exact count when fewer than k distinct
+values exist).
+
+Scale shape: the global path is distinct → TakeOrdered(k) — the
+distinct is the only shuffle and the top-k never concentrates rows on
+one task. The grouped path reuses the two-stage top-k pattern
+(rank within (partition, group), then within group over ≤ partitions×k
+survivors) — no low-cardinality single-task windows. Sketch state is
+k doubles per group: mergeable, tiny, the same contract as a real
+sketch library's serialized registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+UNIT_DENOM = 4294967296.0  # 2^32
+
+
+def kmv_unit_hash(col: Column | str) -> Column:
+    """Uniform hash in (0, 1]: (first 8 md5 hex chars as uint32 + 1)
+    / 2^32. Engine-portable: DuckDB reproduces it from the same md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    u32 = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    return (u32 + F.lit(1.0)) / F.lit(UNIT_DENOM)
+
+
+def kmv_unit_hash_sql(expr: str) -> str:
+    """The DuckDB/ANSI mirror of :func:`kmv_unit_hash` for oracle
+    generation (same 2^32 grid, same +1 offset)."""
+    from dataengineering_spark.operators.dedup import hex32_sql
+
+    return f"(({hex32_sql(f'md5(CAST({expr} AS VARCHAR))')}) + 1.0) / {UNIT_DENOM!r}"
+
+
+def _estimate(k: int) -> Column:
+    n, hk = F.count(F.lit(1)), F.max("h")
+    return (
+        F.when(n < k, n.cast("double"))
+        .otherwise((F.lit(float(k)) - F.lit(1.0)) / hk)
+        .alias("distinct_est")
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Single-row frame with ``distinct_est`` for one column."""
+    hs = df.select(kmv_unit_hash(col).alias("h")).distinct()
+    kmin = hs.orderBy("h").limit(k)  # TakeOrderedAndProject
+    return kmin.agg(_estimate(k))
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV estimates: group columns + ``distinct_est``."""
+    hs = df.select(*group_cols, kmv_unit_hash(col).alias("h")).distinct()
+    w_local = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy("h")
+    pruned = (
+        hs.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .drop("lr")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kmin = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return kmin.groupBy(*group_cols).agg(_estimate(k))

@@ -369,7 +369,61 @@ GROUP BY c_nationkey
 """
 
 
+# ===========================================================================
+# Q: kmv_distinct — engine-deterministic approximate distinct counts.
+# Native HLLs (Spark approx_count_distinct vs DuckDB's) can never
+# hash-match across engines; the KMV sketch is md5-derived so the
+# ESTIMATE itself is oracle-exact, checked against the exact count.
+# ===========================================================================
+
+KMV_K = 32
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sketches import kmv_distinct_by
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct_by(ev, ["event_type"], "user_id", k=KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "distinct_est", "exact_distinct"
+    )
+
+
+def _kmv_sql() -> str:
+    from dataengineering_spark.operators.sketches import kmv_unit_hash_sql
+
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {kmv_unit_hash_sql('user_id')} AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+est AS (
+  SELECT event_type,
+    CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE ({float(KMV_K - 1)!r}) / MAX(h) END AS distinct_est
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, distinct_est, exact_distinct
+FROM est JOIN ex USING (event_type)
+"""
+
+
+SQL_KMV_DISTINCT = _kmv_sql()
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "priority_line_counts": (q_priority_line_counts, SQL_PRIORITY_LINE_COUNTS, "A1-over-join,J4"),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE, "F4-ratio,J2"),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS, "U2-anti,A5-scalar"),

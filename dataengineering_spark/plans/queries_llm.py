@@ -807,7 +807,141 @@ FROM documents
 """
 
 
+# ===========================================================================
+# Q: hash_sample / stratified_sample — deterministic corpus subsetting.
+# Sample membership is a pure function of the row key (md5), so the
+# oracle reproduces the exact member set — the property seeded-RNG
+# sampling cannot offer across engines.
+# ===========================================================================
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    return hash_sample(docs, "doc_id", denom=8, salt="corpus_v1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _hash_sample_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {sample_hash_sql('doc_id', 'corpus_v1')} % 8 = 0
+"""
+
+
+SQL_HASH_SAMPLE = _hash_sample_sql()
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, ["lang"], "doc_id", n_per_stratum=20, salt="strata_v1"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY {sample_hash_sql('doc_id', 'strata_v1')}, doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sample_sql()
+
+
+# ===========================================================================
+# Q: doc_chunks — sliding context-window chunks over normalized words;
+# Q: token_shards — contiguous token-budget packing via distributed
+# global cumsum. Both oracle-exact (DuckDB replays the slice grid and
+# the running sum with window SQL).
+# ===========================================================================
+
+CHUNK_LEN, CHUNK_STRIDE = 32, 24
+SHARD_BUDGET = 4096
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_len=CHUNK_LEN, stride=CHUNK_STRIDE
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+w AS (SELECT doc_id, string_split(nt, ' ') AS words FROM norm),
+s AS (
+  SELECT doc_id, words,
+    UNNEST(range(0, GREATEST(len(words) - 1, 0) + 1, {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+  CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+  CAST(LEAST({CHUNK_LEN}, len(words) - start) AS BIGINT) AS n_chunk_words,
+  array_to_string(list_slice(words, start + 1, start + {CHUNK_LEN}), ' ')
+    AS chunk_text
+FROM s
+"""
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import word_count
+    from dataengineering_spark.operators.chunking import token_budget_shards
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", word_count("text").cast("long").alias("n_words")
+    )
+    return token_budget_shards(
+        docs, size_col="n_words", order_col="doc_id", budget=SHARD_BUDGET
+    )
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      AS n_words
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_words,
+    CAST(COALESCE(SUM(n_words) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, n_words, cum_before,
+  CAST(cum_before // {SHARD_BUDGET} AS BIGINT) AS seq_id,
+  CAST(cum_before % {SHARD_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS, "chunking:context-windows"),
+    "token_shards": (q_token_shards, SQL_TOKEN_SHARDS, "chunking:budget-packing"),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE, "sampling:hash"),
+    "stratified_sample": (
+        q_stratified_sample,
+        SQL_STRATIFIED_SAMPLE,
+        "sampling:stratified",
+    ),
     "media_durations": (q_media_durations, SQL_MEDIA_DURATIONS, "north-star:multimodal"),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE, "north-star:multimodal"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),

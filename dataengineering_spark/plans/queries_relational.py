@@ -497,7 +497,45 @@ ORDER BY s_name
 """
 
 
+# ===========================================================================
+# Q: asof_join — backward as-of join (pandas merge_asof / DuckDB ASOF
+# JOIN semantics): each click gets the most recent at-or-before
+# purchase value for its user. The right side is pre-aggregated to one
+# row per (user, ts) so tied timestamps are deterministic on both
+# engines.
+# ===========================================================================
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["pvalue"],
+    ).select(
+        "event_id", "user_id", F.col("pvalue_asof").alias("last_purchase_value")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.pvalue AS last_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN, "as-of join (merge_asof/ASOF JOIN)"),
     "nation_trade_volume": (
         q_nation_trade_volume,
         SQL_NATION_TRADE_VOLUME,
