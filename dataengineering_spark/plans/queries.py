@@ -743,9 +743,49 @@ def _register_extra_queries() -> None:
 _register_extra_queries()
 
 
+# The external correctness driver checks at most the FIRST 50 entries of
+# queries() per round, while the registry holds more.  Entries listed here are
+# emitted first so queries that have never (or not yet) received a green
+# driver row get checked before long-stable ones rotate back in.  Every query
+# stays covered by tests/test_oracle_parity.py regardless of this ordering.
+_DRIVER_PRIORITY: list[str] = [
+    # failed hash in r1; fix is pytest-green but never driver-confirmed
+    "priority_line_counts",
+    # never driver-checked in any round
+    "active_customers",
+    "kmv_distinct",
+    "log_index_desc",
+    "user_type_universe",
+    # green in r1 only, displaced from the r02 50-slot run
+    "dormant_customers",
+    "promo_revenue",
+    "returns_rollup",
+    "session_window",
+    "sliding_window",
+    "topk_per_group",
+    "user_event_pivot",
+    "value_percentiles",
+    # new in round 3
+    "kmv_merge",
+    "market_share",
+    "waiting_suppliers",
+    "asof_join_nulls",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _DRIVER_PRIORITY]
+    return head + rest
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def get_oracle_sql() -> dict[str, str]:
-    return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}
+    return {
+        name: QUERIES[name].sql
+        for name in _ordered_names()
+        if QUERIES[name].sql is not None
+    }
