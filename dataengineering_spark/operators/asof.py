@@ -8,8 +8,13 @@ a composition of existing DataFrame ops (no UDF, no per-row Python):
 1. union the two sides into one tagged stream,
 2. one Window per key ordered by (ts, side) with rights sorting
    before lefts at equal timestamps (<= semantics),
-3. ``last(value, ignoreNulls=True)`` over the unbounded-preceding
-   frame carries the latest right value forward,
+3. ``last(struct(ts, values...), ignoreNulls=True)`` over the
+   unbounded-preceding frame carries the latest right ROW forward —
+   the struct is non-null for every right row, so a right row whose
+   value columns are NULL still matches and attaches its NULLs
+   (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics), and the
+   match timestamp used by ``tolerance`` always comes from the same
+   row that supplied the values,
 4. keep only left rows.
 
 Scale shape: exactly ONE exchange, hash-partitioned by the join key —
@@ -68,33 +73,32 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # One carried struct per row, non-null exactly for RIGHT rows: a
+    # right row with NULL value columns still advances the match (its
+    # NULLs attach), and tolerance is judged against the timestamp of
+    # the very row the values came from.
+    match_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ts").alias("_mts"),
+            *[F.col(f"_v_{v}").alias(v) for v in value_cols],
+        ),
+    )
     filled = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"_v_{v}", ignorenulls=True).over(w).alias(f"_f_{v}")
-            for v in value_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias("_match_ts"),
+        "*", F.last(match_struct, ignorenulls=True).over(w).alias("_m")
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         fresh = (
-            F.col("_ts").cast("long") - F.col("_match_ts").cast("long")
+            F.col("_ts").cast("long") - F.col("_m._mts").cast("long")
             <= F.lit(tolerance_seconds)
         )
-        out = out.select(
-            "*",
-            *[
-                F.when(fresh, F.col(f"_f_{v}")).alias(f"_t_{v}")
-                for v in value_cols
-            ],
-        )
-        fill_of = {v: f"_t_{v}" for v in value_cols}
+        fill = [
+            F.when(fresh, F.col(f"_m.{v}")).alias(f"{v}{suffix}")
+            for v in value_cols
+        ]
     else:
-        fill_of = {v: f"_f_{v}" for v in value_cols}
+        fill = [F.col(f"_m.{v}").alias(f"{v}{suffix}") for v in value_cols]
     return out.select(
-        *[F.col(f"_row.{c}").alias(c) for c in left_cols],
-        *[F.col(fill_of[v]).alias(f"{v}{suffix}") for v in value_cols],
+        *[F.col(f"_row.{c}").alias(c) for c in left_cols], *fill
     )

@@ -69,16 +69,26 @@ def token_budget_shards(
     packing: shard boundaries may split a document across seq_id and
     seq_id+1 — the standard streaming-tokenizer layout where documents
     are concatenated and sliced every ``budget`` tokens."""
-    data = df.repartitionByRange(order_col).withColumn(
-        "_pid", F.spark_partition_id()
+    # PERSIST IS CORRECTNESS-CRITICAL, not a cache hint: the totals
+    # collect and the caller's final action are two separate jobs, and
+    # RangePartitioner re-samples its bounds per execution — without a
+    # shared materialization the `_pid` offsets collected in job 1 can
+    # misalign with job 2's partitioning (wrong cum_before, and the
+    # `_pid` join silently drops rows). The totals job below touches
+    # every partition, so the cache is fully built before the offsets
+    # are read. The frame stays cached for the caller's action; callers
+    # running inside a long pipeline should unpersist via
+    # ``df.sparkSession.catalog.clearCache()`` or track the handle.
+    data = (
+        df.repartitionByRange(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     # Per-partition totals prefix-summed ON THE DRIVER: the relation is
     # one row per range partition — bounded metadata of the same class
     # Spark's own RangePartitioner collects for its bounds, never the
     # data. (A window here would need an Exchange SinglePartition,
-    # which the plan-shape CI bans outright.) The totals job scans the
-    # projected input once; the main query scans it again — callers
-    # packing a wide frame should pre-project/persist upstream.
+    # which the plan-shape CI bans outright.)
     totals = data.groupBy("_pid").agg(F.sum(size_col).alias("_pt")).collect()
     running = 0
     offs: list[tuple[int, int]] = []

@@ -534,8 +534,55 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+# ===========================================================================
+# Q: asof_join_nulls — as-of join where right VALUE columns can be
+# NULL. Pins merge_asof/ASOF JOIN row semantics: a right row whose
+# value is NULL still matches (its NULL attaches); it is NOT skipped
+# in favor of an older non-null value.
+# ===========================================================================
+
+def q_asof_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("_pv"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("_pv") >= 100.0, F.col("_pv")).alias("pvalue"),
+        )
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["pvalue"],
+    ).select(
+        "event_id", "user_id", F.col("pvalue_asof").alias("last_big_purchase")
+    )
+
+
+SQL_ASOF_JOIN_NULLS = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts,
+             CASE WHEN MAX(value) >= 100.0 THEN MAX(value) END AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.pvalue AS last_big_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN, "as-of join (merge_asof/ASOF JOIN)"),
+    "asof_join_nulls": (
+        q_asof_join_nulls,
+        SQL_ASOF_JOIN_NULLS,
+        "as-of join NULL-value row semantics",
+    ),
     "nation_trade_volume": (
         q_nation_trade_volume,
         SQL_NATION_TRADE_VOLUME,

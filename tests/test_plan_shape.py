@@ -99,6 +99,30 @@ def test_no_single_partition_window_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_value_percentiles_single_range_exchange(spark):
+    """q_value_percentiles references its range-partitioned frame from
+    two branches (offsets + ranked) and is only correct because
+    ReuseExchange collapses the two identical range exchanges into one
+    execution — RangePartitioner samples bounds per execution, so two
+    independent exchanges could assign different pids and misalign the
+    offsets. This guard fails if the plan ever stops reusing (config
+    change, canonicalization defeat), at which point the frame must be
+    persisted instead (see operators/chunking.py for that pattern)."""
+    from dataengineering_spark.plans.queries_analytics import q_value_percentiles
+
+    df = q_value_percentiles(spark, SF_ORACLE)
+    df.collect()  # AQE reuse is a runtime decision — inspect the final plan
+    plan = plan_of(df)
+    final = plan.split("== Initial Plan ==")[0]
+    n_range = sum(
+        1
+        for line in final.splitlines()
+        if "Exchange rangepartitioning" in line and "Reused" not in line
+    )
+    assert n_range == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_log_index_matches_pandas_rank_semantics(spark):
     """W1 exactness: row_number over (sort_cols) must equal pandas'
     sort_values + groupby(key).rank(method='first') — the reference's
