@@ -32,6 +32,16 @@ Options (all strings, per the DataSource API):
 - ``streamingLag``      blocks held back from head (default 0)
 - ``startOffset``       exclusive start (default -1: from the origin)
 - ``rangeSplits``       input partitions per trigger (default 8)
+- ``cursorPath``        optional file the reader persists its committed
+  offset to (atomic tmp+rename on ``commit``) and restores from on
+  construction. Without it, a checkpoint restart builds a fresh reader
+  whose FIRST ``latestOffset`` runs before ``partitions()`` can heal
+  the cursor from the engine's start, so the first clamp is computed
+  from ``startOffset`` — an ``availableNow`` restart then drains
+  nothing for that run (one ``latestOffset`` per start), and a
+  ``processingTime`` restart wastes its first trigger. Point this at a
+  file next to the engine's checkpointLocation to make restarts
+  resume exactly where the last commit left off.
 """
 
 from __future__ import annotations
@@ -94,7 +104,35 @@ class BlockRangeStreamReader(DataSourceStreamReader):
         self.start = int(options.get("startoffset", -1))
         self.n_splits = max(1, int(options.get("rangesplits", 8)))
         self.columns = [f.name for f in schema.fields]
-        self._current: int | None = None
+        self.cursor_path = options.get("cursorpath")
+        self._current: int | None = self._restore_cursor()
+
+    def _restore_cursor(self) -> int | None:
+        """Heal the driver-side cursor across query restarts: the first
+        ``latestOffset`` of a fresh reader runs before ``partitions()``
+        ever shows us the engine's checkpointed start, so without this
+        the first clamp would regress to ``startOffset``."""
+        if not self.cursor_path:
+            return None
+        import os
+
+        if not os.path.exists(self.cursor_path):
+            return None
+        try:
+            with open(self.cursor_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _persist_cursor(self, offset: int) -> None:
+        if not self.cursor_path:
+            return
+        import os
+
+        tmp = f"{self.cursor_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(offset))
+        os.replace(tmp, self.cursor_path)  # atomic on POSIX
 
     def initialOffset(self) -> dict:
         return {"block": self.start}
@@ -152,6 +190,7 @@ class BlockRangeStreamReader(DataSourceStreamReader):
         e = int(end["block"])
         if self._current is None or self._current < e:
             self._current = e
+        self._persist_cursor(e)
 
 
 class BlockRangeDataSource(DataSource):
@@ -181,11 +220,14 @@ def block_range_stream(
     streaming_lag: int = 0,
     start_offset: int = -1,
     range_splits: int = 8,
+    cursor_path: str | None = None,
 ):
     """Convenience: register the source (idempotent) and open a
-    rate-limited readStream over ``path``."""
+    rate-limited readStream over ``path``. Pass ``cursor_path`` (a file
+    next to your checkpointLocation) so query restarts clamp from the
+    last committed offset instead of ``start_offset``."""
     spark.dataSource.register(BlockRangeDataSource)
-    return (
+    reader = (
         spark.readStream.format("block_range")
         .option("path", path)
         .option("offsetCol", offset_col)
@@ -193,5 +235,7 @@ def block_range_stream(
         .option("streamingLag", str(streaming_lag))
         .option("startOffset", str(start_offset))
         .option("rangeSplits", str(range_splits))
-        .load()
     )
+    if cursor_path is not None:
+        reader = reader.option("cursorPath", cursor_path)
+    return reader.load()

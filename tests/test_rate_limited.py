@@ -161,3 +161,57 @@ def test_rate_limited_stream_commits_from_destination(spark, tmp_path):
     landed = spark.read.parquet(dest)
     assert landed.count() == N_BLOCKS - LAG
     assert landed.select("block").distinct().count() == N_BLOCKS - LAG
+
+
+def test_rate_limited_restart_resumes_from_cursor(spark, tmp_path):
+    """Checkpoint-restart semantics: each trigger(availableNow) run
+    drains exactly one clamped range (the documented one-latestOffset-
+    per-start model). With cursorPath, run N+1's first clamp starts
+    from run N's committed offset — without it, a fresh reader would
+    clamp from startOffset and the restarted run would drain nothing."""
+    src = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt_restart")
+    cursor = str(tmp_path / "cursor.txt")
+    _write_blocks(spark, src)
+
+    def run_once():
+        got: list = []
+
+        def sink(df, epoch_id):
+            r = df.agg(
+                F.min("block").alias("lo"),
+                F.max("block").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if r.n:
+                got.append((r.lo, r.hi, r.n))
+
+        stream = block_range_stream(
+            spark,
+            src,
+            max_offsets_per_trigger=MAX_PER_TRIGGER,
+            streaming_lag=LAG,
+            range_splits=4,
+            cursor_path=cursor,
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = run_once()
+    assert len(first) == 1, first
+    assert first[0] == (0, MAX_PER_TRIGGER - 1, MAX_PER_TRIGGER), first
+
+    # restart: a brand-new query (and reader) over the same checkpoint
+    second = run_once()
+    assert len(second) == 1, second
+    assert second[0] == (
+        MAX_PER_TRIGGER,
+        2 * MAX_PER_TRIGGER - 1,
+        MAX_PER_TRIGGER,
+    ), second
