@@ -188,17 +188,38 @@ def ivf_seed_centroids(e: DataFrame, n_centroids: int) -> DataFrame:
 
 def ivf_assign(e: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
     """Assign each vector to its n nearest centroids (n=1: cell
-    assignment; n=nprobe: query probe list). Centroids are broadcast —
-    the corpus never shuffles for assignment."""
-    d = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid", _dist2(F.col("v"), F.col("cv")).alias("d2")
+    assignment; n=nprobe: query probe list) — SHUFFLE-FREE.
+
+    The C centroids (a bounded C × dim scalar probe, C ≤ dozens by
+    construction) are collected and inlined as an array-of-structs
+    literal; each row then sorts ``struct(d2, cid)`` in-place and keeps
+    the first n — a narrow map, no Exchange anywhere between the
+    corpus scan and its cell id. The earlier crossJoin + Window shape
+    shuffled corpus × C scored rows per Lloyd iteration; at 100 TB
+    that is a C× shuffle amplification of the whole corpus, repeated
+    n_iters+1 times. ``array_sort`` on structs orders by (d2, cid) —
+    the exact tie-break the Window used, so results are bit-identical.
+    """
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])  # C rows, bounded
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in rows
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n)
-        .select("vec_id", "v", "cid")
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            _dist2(F.col("v"), c["cv"]).alias("d2"), c["cid"].alias("cid")
+        ),
     )
+    picked = F.slice(F.array_sort(scored), 1, min(n, len(rows)))
+    return e.select(
+        "vec_id", "v", F.explode(picked).alias("_p")
+    ).select("vec_id", "v", F.col("_p.cid").alias("cid"))
 
 
 def ivf_update_centroids(asg: DataFrame, dim: int) -> DataFrame:

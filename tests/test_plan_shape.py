@@ -99,6 +99,27 @@ def test_no_single_partition_window_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a narrow map: centroids inlined as
+    literals, per-row struct(d2, cid) sort — no Exchange, Join, or
+    Window between the corpus scan and the cell id (round-2 finding:
+    the crossJoin+Window shape shuffled corpus × C rows per Lloyd
+    iteration)."""
+    from dataengineering_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    emb = read_table(spark, "embeddings", SF_ORACLE)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plan = plan_of(ivf_assign(e, ivf_seed_centroids(e, 8)))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_value_percentiles_single_range_exchange(spark):
     """q_value_percentiles references its range-partitioned frame from
     two branches (offsets + ranked) and is only correct because
