@@ -286,6 +286,77 @@ def make_solid_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, channels: int):
+    """Numpy-vectorized PNG unfilter → (h, stride) uint8 matrix.
+
+    Per-row work by filter type: None is a copy; Sub is a per-channel
+    cumsum (recon[x] = Σ raw mod 256 — the recurrence telescopes); Up
+    is one vector add against the previous reconstructed row. Average
+    and Paeth carry a true sequential dependency along x (recon[x]
+    needs recon[x-bpp]), so those rows fall back to a tight Python
+    loop over plain ints (lists, not numpy scalars — element access on
+    numpy scalars is ~10× slower than list ints). Rows are processed
+    in order because every filter except None/Sub reads the previous
+    row's reconstruction."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)].reshape(
+        h, stride + 1
+    )
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    prev_list: list[int] | None = [0] * stride  # lazy mirror of prev
+    for y in range(h):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:]
+        if ftype == 0:
+            out = line
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            out = (
+                np.cumsum(
+                    line.reshape(-1, channels), axis=0, dtype=np.int64
+                ).ravel()
+                & 0xFF
+            ).astype(np.uint8)
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256 natively
+            out = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x
+            li = line.tobytes()  # bytes indexing yields plain fast ints
+            if prev_list is None:
+                prev_list = prev.tolist()
+            pr = prev_list
+            o = [0] * stride
+            if ftype == 3:
+                for i in range(channels):  # first pixel: a = 0
+                    o[i] = (li[i] + (pr[i] >> 1)) & 0xFF
+                for i in range(channels, stride):
+                    o[i] = (li[i] + ((o[i - channels] + pr[i]) >> 1)) & 0xFF
+            else:
+                for i in range(channels):  # first pixel: a = c = 0 → pred = up
+                    o[i] = (li[i] + pr[i]) & 0xFF
+                for i in range(channels, stride):
+                    a = o[i - channels]
+                    c = pr[i - channels]
+                    up = pr[i]
+                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else c)
+                    )
+                    o[i] = (li[i] + pred) & 0xFF
+            recon[y] = o
+            prev = recon[y]
+            prev_list = o
+            continue
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[y] = out
+        prev = recon[y]
+        prev_list = None
+    return recon
+
+
 def decode_png(payload: bytes) -> dict:
     """REAL pure-stdlib PNG decode: zlib inflate + full scanline
     unfilter (None/Sub/Up/Average/Paeth) for non-interlaced 8-bit
@@ -325,43 +396,17 @@ def decode_png(payload: bytes) -> dict:
     channels = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = w * channels
-    prev = bytearray(stride)
-    sums = [0] * channels
-    p = 0
-    for _ in range(h):
-        ftype = raw[p]
-        p += 1
-        line = bytearray(raw[p : p + stride])
-        p += stride
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
-                up = prev[i]
-                pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        for i in range(0, stride, channels):
-            for ch in range(channels):
-                sums[ch] += line[i + ch]
-        prev = line
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    recon = _unfilter_scanlines(raw, h, stride, channels)
+    # channel sums are exact integers (numpy int64 reduction), so the
+    # means — and everything derived from them — stay bit-reproducible
+    sums = recon.reshape(h * w, channels).sum(axis=0, dtype="int64")
     n = w * h
     if channels == 1:
-        mr = mg = mb = sums[0] / n
+        mr = mg = mb = int(sums[0]) / n
     else:
-        mr, mg, mb = sums[0] / n, sums[1] / n, sums[2] / n
+        mr, mg, mb = int(sums[0]) / n, int(sums[1]) / n, int(sums[2]) / n
     return {
         "width": w,
         "height": h,

@@ -412,3 +412,162 @@ def test_media_durations_mapinpandas(spark):
     assert rows[1] == ("wav", 2000)
     assert rows[2] == ("mp4", 3000)
     assert rows[3] == ("png", None)
+
+
+def test_unfilter_numpy_matches_and_beats_bytewise():
+    """The vectorized unfilter must be byte-identical to the per-byte
+    reference on a large mixed-filter image, and markedly faster (the
+    round-2 finding: three nested Python loops per image)."""
+    import time
+    import zlib
+
+    import numpy as np
+
+    from dataengineering_spark.functions.multimodal import _unfilter_scanlines
+
+    def unfilter_reference(raw, h, stride, channels):
+        prev = bytearray(stride)
+        rows = []
+        p = 0
+        for _ in range(h):
+            ftype = raw[p]
+            p += 1
+            line = bytearray(raw[p : p + stride])
+            p += stride
+            if ftype == 1:
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    c = prev[i - channels] if i >= channels else 0
+                    up = prev[i]
+                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            rows.append(bytes(line))
+            prev = line
+        return rows
+
+    w, h, channels = 256, 200, 3
+    stride = w * channels
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(h, stride), dtype=np.uint8)
+    # deterministic pseudo-image with structure (so filters matter)
+    pixels = np.cumsum(pixels, axis=1, dtype=np.int64).astype(np.uint8)
+
+    def encode(ftypes):
+        raw = bytearray()
+        prevrow = [0] * stride
+        for y in range(h):
+            ft = ftypes[y % len(ftypes)]
+            line = pixels[y].tolist()
+            enc = bytearray([ft])
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                up = prevrow[i]
+                c = prevrow[i - channels] if i >= channels else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    pa, pb, pc = abs(up - c), abs(a - c), abs(a + up - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc.append((line[i] - pred) & 0xFF)
+            raw += enc
+            prevrow = line
+        return bytes(raw)
+
+    # byte-identity on every filter type, including the sequential ones
+    raw_mixed = encode((0, 1, 2, 3, 4))
+    got = _unfilter_scanlines(raw_mixed, h, stride, channels)
+    assert [bytes(r) for r in got] == unfilter_reference(
+        raw_mixed, h, stride, channels
+    )
+
+    # perf on the vectorizable filters (None/Sub/Up — what our own
+    # encoder and Up/Sub-heavy real encoders emit): Average and Paeth
+    # carry a true per-pixel dependency and cannot vectorize in
+    # numpy, so the mixed case above is identity-checked only.
+    raw_vec = encode((0, 1, 2))
+    t0 = time.perf_counter()
+    ref = unfilter_reference(raw_vec, h, stride, channels)
+    t_ref = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got = _unfilter_scanlines(raw_vec, h, stride, channels)
+    t_new = time.perf_counter() - t0
+    assert [bytes(r) for r in got] == ref
+    # measured ~5x; demand 2.5x to stay robust under CI noise
+    assert t_new * 2.5 < t_ref, (t_new, t_ref)
+
+
+def test_decode_png_vectorized_speedup_end_to_end():
+    """Whole-decode speedup on the production-shaped payload (our
+    encoder emits filter-0 scanlines): the old per-byte unfilter +
+    per-byte channel-sum loops are replaced by numpy, so decode cost
+    per image drops by an order of magnitude."""
+    import time
+
+    from dataengineering_spark.functions.multimodal import (
+        decode_png,
+        make_solid_png,
+    )
+
+    payload = make_solid_png(512, 256, (13, 77, 201))
+
+    def decode_old_style(b):
+        """The round-2 per-byte decode loop, kept here as the baseline."""
+        import zlib
+
+        # parse chunks exactly like decode_png
+        pos, idat = 8, b""
+        w = h = None
+        bb = bytes(payload)
+        while pos + 8 <= len(bb):
+            ln = int.from_bytes(bb[pos : pos + 4], "big")
+            typ = bb[pos + 4 : pos + 8]
+            data = bb[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+            elif typ == b"IDAT":
+                idat += data
+        raw = zlib.decompress(idat)
+        stride = w * 3
+        sums = [0, 0, 0]
+        p = 0
+        prev = bytearray(stride)
+        for _ in range(h):
+            p += 1  # filter type 0
+            line = bytearray(raw[p : p + stride])
+            p += stride
+            for i in range(0, stride, 3):
+                sums[0] += line[i]
+                sums[1] += line[i + 1]
+                sums[2] += line[i + 2]
+            prev = line
+        n = w * h
+        return [s / n for s in sums]
+
+    t0 = time.perf_counter()
+    old_means = decode_old_style(payload)
+    t_old = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d = decode_png(payload)
+    t_new = time.perf_counter() - t0
+    assert d["feature"] == old_means == [13.0, 77.0, 201.0]
+    # measured ~25x; demand 5x to stay robust under CI noise
+    assert t_new * 5 < t_old, (t_new, t_old)
