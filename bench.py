@@ -5,16 +5,19 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology: one warm-up run of a trivial action to amortize JVM/codegen
-startup, then each headline query executed once with a count-style
-action (foreach(noop) would skip result materialization; we use
-``df.write.format("noop")`` so the full result is computed but nothing
-is collected to the driver).
+startup, then each headline query executed N_RUNS times with a
+count-style action (foreach(noop) would skip result materialization; we
+use ``df.write.format("noop")`` so the full result is computed but
+nothing is collected to the driver) and the per-query MEDIAN reported —
+single-run timings at this scale carry ±0.2s of noise, which made
+round-over-round deltas unreadable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,14 +55,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     QUERIES["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            # queries that persist intermediates (LSH band frame, IVF
+            # centroids) must not serve later samples from cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "runs": n_runs,
             }
         )
     )

@@ -69,9 +69,43 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     evaluated interpreted, not codegen'd) uses every core: a small
     parquet file arrives as 1-2 partitions, which would serialize the
     whole signature computation on one thread. No-op when the scan is
-    already parallel (the 100 TB case — file splits ≫ cores)."""
+    already parallel (the 100 TB case — file splits ≫ cores).
+
+    The split-count estimate prefers ``inputFiles()`` + local file
+    sizes (a file listing, ~30 ms) over ``df.rdd.getNumPartitions()``
+    (a full plan analysis + RDD conversion, ~300 ms of driver latency
+    per dedup query); the RDD probe remains the fallback for
+    non-file and remote sources."""
+    import os
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    split_bytes = 128 << 20  # spark.sql.files.maxPartitionBytes default
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df  # ≥ one split per core already
+    est = 0
+    local_ok = bool(files)
+    for f in files:
+        if not f.startswith("file:"):
+            local_ok = False
+            break
+        p = f[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            sz = os.path.getsize(p)
+        except OSError:
+            local_ok = False
+            break
+        est += max(1, -(-sz // split_bytes))
+        if est >= target:
+            return df
+    if local_ok:
+        return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -131,13 +165,18 @@ def exploded_shingles(
     words = F.split(normalize_text(text_col), " ")
     d = spread_for_compute(docs).select(F.col(id_col), words.alias("w"))
     shifted = [
-        F.slice(F.col("w"), i + 1, F.greatest(F.size("w") - i, F.lit(0)))
+        F.slice(F.col("w"), i + 1, F.greatest(F.size("w") - i, F.lit(0))).alias(
+            f"g{i}"
+        )
         for i in range(1, n)
     ]
-    zipped = F.arrays_zip(F.col("w"), *shifted)  # fields: w, 0, 1, ...
+    # aliasing every zip input fixes the struct field names up front —
+    # the previous `grams.schema[...]` probe cost one full analysis
+    # pass of the pipeline just to learn them (measured driver-side
+    # latency on the LSH path)
+    zipped = F.arrays_zip(F.col("w").alias("g0"), *shifted)
     grams = d.select(id_col, F.explode(zipped).alias("z"))
-    field_names = grams.schema["z"].dataType.names  # post-explode: struct
-    parts = [F.col("z").getField(f) for f in field_names]
+    parts = [F.col("z").getField(f"g{i}") for i in range(n)]
     full = grams.filter(parts[-1].isNotNull()).select(
         id_col, F.concat_ws(" ", *parts).alias("shingle")
     )
