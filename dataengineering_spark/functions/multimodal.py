@@ -259,6 +259,108 @@ def media_durations(
     return fmt_df.mapInPandas(_parse, schema=DURATIONS_SCHEMA)
 
 
+def parse_jpeg_dimensions(b: bytes) -> "tuple[int, int] | None":
+    """(width, height) from the JPEG SOFn frame header — a marker-
+    segment walk, no codec library (the WAV/MP4 pattern applied to
+    images, closing the JPEG-metadata modality without pillow). Any
+    SOF0..SOF15 except DHT/JPG/DAC counts (baseline, progressive,
+    arithmetic, lossless all carry the same geometry layout)."""
+    if b[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seglen < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            h = int.from_bytes(b[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(b[pos + 7 : pos + 9], "big")
+            return (w, h)
+        if marker == 0xDA:  # start-of-scan: SOF must have preceded
+            return None
+        pos += 2 + seglen
+    return None
+
+
+def parse_png_dimensions(b: bytes) -> "tuple[int, int] | None":
+    """(width, height) from the PNG IHDR chunk (always first)."""
+    if b[:8] != bytes.fromhex("89504e470d0a1a0a") or len(b) < 24:
+        return None
+    return (
+        int.from_bytes(b[16:20], "big"),
+        int.from_bytes(b[20:24], "big"),
+    )
+
+
+def make_test_jpeg(width: int, height: int) -> bytes:
+    """Minimal structurally-valid JPEG header (SOI + JFIF APP0 + SOF0
+    + EOI) for exercising the marker walk without a real encoder."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (2 + len(app0)).to_bytes(2, "big") + app0
+        + b"\xff\xc0" + (2 + len(sof0)).to_bytes(2, "big") + sof0
+        + b"\xff\xd9"
+    )
+
+
+_DIMENSION_PARSERS: dict[str, Callable[[bytes], "tuple[int, int] | None"]] = {
+    "jpeg": parse_jpeg_dimensions,
+    "png": parse_png_dimensions,
+}
+
+DIMENSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def image_dimensions(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, format, width, height) for PNG/JPEG payloads via
+    Arrow-batched mapInPandas over the header parsers — image geometry
+    without any decode library. Unknown formats yield null dims."""
+    fmt_df = df.select(id_col, payload_col).withColumn(
+        "format", sniff_format(payload_col)
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, fmt in zip(
+                pdf[id_col], pdf[payload_col], pdf["format"]
+            ):
+                parser = _DIMENSION_PARSERS.get(fmt)
+                dims = parser(bytes(payload)) if parser else None
+                w, h = dims if dims else (None, None)
+                rows.append((int(doc_id), fmt, w, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "width", "height"]
+            )
+
+    return fmt_df.mapInPandas(_parse, schema=DIMENSIONS_SCHEMA)
+
+
 PNG_SIGNATURE = bytes.fromhex("89504e470d0a1a0a")
 
 

@@ -81,3 +81,67 @@ def kmv_distinct_by(
         .drop("rn")
     )
     return kmin.groupBy(*group_cols).agg(_estimate(k))
+
+
+# --- mergeable sketch state -------------------------------------------------
+#
+# The form a 100 TB incremental pipeline actually uses: per-shard (or
+# per-stream-epoch) sketches materialize as (group, kmins array<double>)
+# rows — k doubles of state, the same contract as a sketch library's
+# serialized registers — and combine with a lossless union-merge: the k
+# smallest distinct hashes of the union of per-shard k-min sets ARE the
+# k smallest of the union (any global top-k hash is top-k in its own
+# shard), so estimate(merge(shards)) == estimate(whole), exactly.
+
+
+def kmv_sketch_by(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Sketch STATE per group: group columns + ``kmins`` — the sorted
+    ≤ k smallest distinct unit hashes. Same two-stage top-k shape as
+    :func:`kmv_distinct_by` (no low-cardinality single-task windows)."""
+    hs = df.select(*group_cols, kmv_unit_hash(col).alias("h")).distinct()
+    w_local = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy("h")
+    pruned = (
+        hs.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .drop("lr")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kmin = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return kmin.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("h")).alias("kmins")
+    )
+
+
+def kmv_merge_sketches(
+    sketches: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Union-merge sketch states across shards/streams: one row per
+    group with the merged ``kmins``. The shuffle payload is one ≤ k
+    double array per input sketch row — never the data."""
+    return sketches.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmins")))),
+            1,
+            k,
+        ).alias("kmins")
+    )
+
+
+def kmv_estimate_from_sketch(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Attach ``distinct_est`` to a sketch-state frame (exact count
+    when the group never filled its k slots)."""
+    n = F.size("kmins")
+    est = (
+        F.when(n < k, n.cast("double"))
+        .otherwise(
+            (F.lit(float(k)) - F.lit(1.0)) / F.element_at(F.col("kmins"), k)
+        )
+        .alias("distinct_est")
+    )
+    return sketch.select("*", est)

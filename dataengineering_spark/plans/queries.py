@@ -770,6 +770,7 @@ _DRIVER_PRIORITY: list[str] = [
     "market_share",
     "waiting_suppliers",
     "asof_join_nulls",
+    "jpeg_meta",
 ]
 
 

@@ -422,8 +422,49 @@ FROM est JOIN ex USING (event_type)
 SQL_KMV_DISTINCT = _kmv_sql()
 
 
+# ===========================================================================
+# Q: kmv_merge — mergeable sketch STATE. Events are split into 4
+# disjoint shards, each shard builds its own (event_type, kmins)
+# sketch, the sketches union-merge per event_type, and the estimate
+# from the MERGED state must equal the estimate computed directly over
+# the whole table (KMV union-merge is lossless up to k: any global
+# k-min hash is a k-min within its own shard). The oracle is the
+# direct whole-table computation — the merge path exists only on the
+# Spark side, which is exactly what makes the equality a real check.
+# ===========================================================================
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sketches import (
+        kmv_estimate_from_sketch,
+        kmv_merge_sketches,
+        kmv_sketch_by,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("event_id") % 4).cast("int")
+    )
+    shard_sketches = kmv_sketch_by(
+        ev, ["event_type", "shard"], "user_id", k=KMV_K
+    ).drop("shard")
+    merged = kmv_merge_sketches(shard_sketches, ["event_type"], k=KMV_K)
+    est = kmv_estimate_from_sketch(merged, k=KMV_K).select(
+        "event_type", "distinct_est"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "distinct_est", "exact_distinct"
+    )
+
+
+SQL_KMV_MERGE = _kmv_sql()  # merged estimate must equal the direct one
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
+    "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),
     "priority_line_counts": (q_priority_line_counts, SQL_PRIORITY_LINE_COUNTS, "A1-over-join,J4"),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE, "F4-ratio,J2"),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS, "U2-anti,A5-scalar"),

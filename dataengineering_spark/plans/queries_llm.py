@@ -808,6 +808,53 @@ FROM documents
 
 
 # ===========================================================================
+# Q: jpeg_meta — image geometry WITHOUT a decode library: JPEG SOFn /
+# PNG IHDR header walks (the WAV/MP4 container pattern applied to
+# images). Payloads are synthesized per doc (even ids JPEG, odd PNG)
+# so the oracle is closed-form over doc_id.
+# ===========================================================================
+
+
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        image_dimensions,
+        make_solid_png,
+        make_test_jpeg,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 9, 16 + doc_id % 7
+                payload = (
+                    make_test_jpeg(w, h)
+                    if doc_id % 2 == 0
+                    else make_solid_png(w, h, (1, 2, 3))
+                )
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return image_dimensions(synthesized)
+
+
+SQL_JPEG_META = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+  CAST(16 + doc_id % 9 AS BIGINT) AS width,
+  CAST(16 + doc_id % 7 AS BIGINT) AS height
+FROM documents
+"""
+
+
+# ===========================================================================
 # Q: hash_sample / stratified_sample — deterministic corpus subsetting.
 # Sample membership is a pure function of the row key (md5), so the
 # oracle reproduces the exact member set — the property seeded-RNG
@@ -944,6 +991,7 @@ LLM_QUERIES: dict[str, tuple] = {
     ),
     "media_durations": (q_media_durations, SQL_MEDIA_DURATIONS, "north-star:multimodal"),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE, "north-star:multimodal"),
+    "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),

@@ -576,12 +576,155 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+# ===========================================================================
+# Q: market_share — TPC-H Q8 shape: a nation's share of regional
+# revenue for one part type, by order year. Two fact-fact shuffles
+# (lineitem⋈orders); part, customer, supplier, both nation legs, and
+# region all broadcast. The share is a ratio of two DECIMAL-exact
+# sums, so the division is bit-reproducible across engines.
+# ===========================================================================
+
+MKT_REGION, MKT_TYPE, MKT_NATION = "EUROPE", "ECONOMY", "NATION_8"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == MKT_TYPE)
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == MKT_REGION)
+    cust_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == MKT_NATION, volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(national) / dsum(volume)).alias("mkt_share"))
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  {DSUM.format(e=f"CASE WHEN n2.n_name = '{MKT_NATION}' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+    / {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = '{MKT_REGION}' AND p_type = '{MKT_TYPE}'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_year
+"""
+
+
+# ===========================================================================
+# Q: waiting_suppliers — TPC-H Q21 shape: suppliers who were the ONLY
+# late shipper on a multi-supplier finalized order. This corpus has no
+# l_commitdate/l_receiptdate, so "late" is l_shipdate more than 60
+# days after o_orderdate — the exists / not-exists nesting is the
+# point and is preserved, expressed as per-order distinct-supplier
+# counts over a high-cardinality window (n_supp > 1: the EXISTS;
+# n_late_supp = 1 with this row late: the NOT EXISTS on other late
+# suppliers).
+# ===========================================================================
+
+WAIT_NATION = "NATION_3"
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == WAIT_NATION)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    w = _W.partitionBy("l_orderkey")
+    marked = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    hits = marked.filter(
+        F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        hits.join(F.broadcast(supplier), hits.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), g AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM l GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l
+JOIN g USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE is_late AND n_supp > 1 AND n_late_supp = 1
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = '{WAIT_NATION}')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN, "as-of join (merge_asof/ASOF JOIN)"),
     "asof_join_nulls": (
         q_asof_join_nulls,
         SQL_ASOF_JOIN_NULLS,
         "as-of join NULL-value row semantics",
+    ),
+    "market_share": (q_market_share, SQL_MARKET_SHARE, "TPC-H Q8 shape"),
+    "waiting_suppliers": (
+        q_waiting_suppliers,
+        SQL_WAITING_SUPPLIERS,
+        "TPC-H Q21 shape",
     ),
     "nation_trade_volume": (
         q_nation_trade_volume,

@@ -571,3 +571,32 @@ def test_decode_png_vectorized_speedup_end_to_end():
     assert d["feature"] == old_means == [13.0, 77.0, 201.0]
     # measured ~25x; demand 5x to stay robust under CI noise
     assert t_new * 5 < t_old, (t_new, t_old)
+
+
+def test_jpeg_dimension_parse():
+    """Marker walk: dims from SOF0 behind APP segments; progressive
+    SOF2 accepted; DHT-before-SOF skipped; truncated/non-JPEG -> None."""
+    from dataengineering_spark.functions.multimodal import (
+        make_test_jpeg,
+        parse_jpeg_dimensions,
+        parse_png_dimensions,
+        make_solid_png,
+    )
+
+    assert parse_jpeg_dimensions(make_test_jpeg(640, 480)) == (640, 480)
+    assert parse_jpeg_dimensions(make_test_jpeg(1, 65535)) == (1, 65535)
+
+    # SOF2 (progressive) + a DHT segment before it
+    j = make_test_jpeg(320, 200)
+    dht = b"\xff\xc4" + (2 + 3).to_bytes(2, "big") + b"\x00\x01\x02"
+    progressive = j[:2] + dht + j[2:].replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert parse_jpeg_dimensions(progressive) == (320, 200)
+
+    assert parse_jpeg_dimensions(b"\xff\xd8\xff\xe0") is None  # truncated
+    assert parse_jpeg_dimensions(b"not a jpeg") is None
+    # scan before any SOF
+    sos_first = j[:2] + b"\xff\xda\x00\x02" + j[2:]
+    assert parse_jpeg_dimensions(sos_first) is None
+
+    assert parse_png_dimensions(make_solid_png(12, 34, (0, 0, 0))) == (12, 34)
+    assert parse_png_dimensions(b"\x89PNG") is None
