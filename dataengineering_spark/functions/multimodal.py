@@ -361,6 +361,78 @@ def image_dimensions(
     return fmt_df.mapInPandas(_parse, schema=DIMENSIONS_SCHEMA)
 
 
+def make_test_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal structurally-valid ISO-BMFF header (ftyp + moov/mvhd v0)
+    for exercising the box walk without a real muxer."""
+    units = duration_ms * timescale // 1000
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + (0).to_bytes(4, "big")  # creation_time
+        + (0).to_bytes(4, "big")  # modification_time
+        + timescale.to_bytes(4, "big")
+        + units.to_bytes(4, "big")
+    )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_id", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Uniform frame sampling over video payloads: container duration
+    from the MP4 box walk, midpoint-rule timestamps
+    ``ts_i = ((2i+1)·duration_ms) // (2k)`` (always strictly inside
+    the clip), one output row per sampled frame — the frame-extraction
+    stage of a video training pipeline as an Arrow-batched per-frame
+    fan-out.  The pixel decode itself is a DETERMINISTIC STUB (md5 of
+    ``"{id}:{ts}"``) because no codec library exists in this
+    environment; the Spark-side plumbing — schema, batching, row
+    fan-out, timestamp math — is real, and the stub is the documented
+    seam where a real decoder plugs in.  Payloads whose container
+    cannot be parsed produce no rows."""
+    import hashlib
+
+    fmt_df = df.select(id_col, payload_col).withColumn(
+        "format", sniff_format(payload_col)
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, fmt in zip(
+                pdf[id_col], pdf[payload_col], pdf["format"]
+            ):
+                parser = _DURATION_PARSERS.get(fmt)
+                dur = parser(bytes(payload)) if parser else None
+                if dur is None:
+                    continue
+                doc_id = int(doc_id)
+                for i in range(n_frames):
+                    ts = ((2 * i + 1) * dur) // (2 * n_frames)
+                    fid = hashlib.md5(f"{doc_id}:{ts}".encode()).hexdigest()
+                    rows.append((doc_id, i, ts, fid))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_id"]
+            )
+
+    return fmt_df.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
 PNG_SIGNATURE = bytes.fromhex("89504e470d0a1a0a")
 
 

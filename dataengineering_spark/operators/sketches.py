@@ -145,3 +145,44 @@ def kmv_estimate_from_sketch(sketch: DataFrame, k: int = 64) -> DataFrame:
         .alias("distinct_est")
     )
     return sketch.select("*", est)
+
+
+# --- Apache DataSketches HLL state ------------------------------------------
+#
+# The JVM-native counterpart of the KMV state above: Spark ships the
+# Apache DataSketches HLL aggregates (hll_sketch_agg / hll_union_agg /
+# hll_sketch_estimate), whose serialized sketch is a binary column —
+# register state that merges losslessly across shards (register-wise
+# max in dense mode, coupon-set union in sparse mode), so
+# estimate(union(shard sketches)) == estimate(direct sketch of the
+# whole), exactly, for equal lgConfigK. These wrappers pin that
+# contract: same lgK on build and merge, and the merge path carries
+# one ~2^lgK-byte blob per (group, shard) — never the data. The
+# estimate is NOT engine-portable (DuckDB's HLL hashes differently);
+# cross-engine checks assert merge-consistency and error bounds, not
+# the raw estimate — that is what the KMV sketch is for.
+
+
+def hll_sketch_by(
+    df: DataFrame, group_cols: list[str], col: str, lgk: int = 12
+) -> DataFrame:
+    """HLL sketch STATE per group: group columns + ``hll`` binary."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_merge_sketches(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union-merge HLL states across shards/streams (equal lgK)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg("hll", F.lit(False)).alias("hll")
+    )
+
+
+def hll_estimate_from_sketch(sketch: DataFrame) -> DataFrame:
+    """Attach ``distinct_est`` (double) to an HLL-state frame."""
+    return sketch.select(
+        "*", F.hll_sketch_estimate("hll").cast("double").alias("distinct_est")
+    )

@@ -771,6 +771,9 @@ _DRIVER_PRIORITY: list[str] = [
     "waiting_suppliers",
     "asof_join_nulls",
     "jpeg_meta",
+    "frame_sample",
+    "bin_packing",
+    "hll_merge",
 ]
 
 

@@ -462,9 +462,76 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KMV_MERGE = _kmv_sql()  # merged estimate must equal the direct one
 
 
+# ===========================================================================
+# Q: hll_merge — Apache DataSketches HLL state (Spark's JVM-native
+# hll_sketch_agg/hll_union_agg), the binary-register counterpart of
+# kmv_merge. DuckDB cannot reproduce the DataSketches hash, so the
+# cross-engine check asserts the PROPERTIES instead of the raw
+# estimate: (a) the union of per-shard sketches estimates within 2%
+# of the direct whole-table sketch (the union is lossless on register
+# state, but a direct sketch answers with the stream-order HIP
+# estimator, which the merge necessarily discards — estimates
+# coincide exactly only in the sparse regime), and (b) the merged
+# estimate lands within 5% of the exact distinct count (loose vs the
+# ~1.6% relative-error bound at lgK=12) — alongside the exact count
+# itself, which both engines must agree on.
+# ===========================================================================
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sketches import (
+        hll_estimate_from_sketch,
+        hll_merge_sketches,
+        hll_sketch_by,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("event_id") % 4).cast("int")
+    )
+    shard_sketches = hll_sketch_by(ev, ["event_type", "shard"], "user_id").drop(
+        "shard"
+    )
+    merged = hll_estimate_from_sketch(
+        hll_merge_sketches(shard_sketches, ["event_type"])
+    ).select("event_type", F.col("distinct_est").alias("est_merged"))
+    direct = hll_estimate_from_sketch(
+        hll_sketch_by(ev, ["event_type"], "user_id")
+    ).select("event_type", F.col("distinct_est").alias("est_direct"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("est_merged") - F.col("est_direct"))
+                <= 0.02 * F.col("est_direct")
+            ).alias("merge_consistent"),
+            (
+                F.abs(F.col("est_merged") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+SQL_HLL_MERGE = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+  TRUE AS merge_consistent,
+  TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),
+    "hll_merge": (q_hll_merge, SQL_HLL_MERGE, "sketch:DataSketches HLL merge"),
     "priority_line_counts": (q_priority_line_counts, SQL_PRIORITY_LINE_COUNTS, "A1-over-join,J4"),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE, "F4-ratio,J2"),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS, "U2-anti,A5-scalar"),

@@ -855,6 +855,122 @@ FROM documents
 
 
 # ===========================================================================
+# Q: frame_sample — uniform video-frame sampling: parse the MP4
+# container duration (real box walk), emit k midpoint-rule timestamps
+# per clip, with the pixel decode deterministically stubbed (md5 of
+# "id:ts" — the documented seam for a real codec). Durations are
+# closed-form in doc_id so the oracle replays timestamp math + stub.
+# ===========================================================================
+
+FRAME_K = 4
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        make_test_mp4,
+        sample_frames,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                dur = 30000 + (doc_id % 97) * 250
+                rows.append((doc_id, make_test_mp4(dur)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return sample_frames(synthesized, n_frames=FRAME_K)
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, 30000 + (doc_id % 97) * 250 AS dur,
+         UNNEST(range({FRAME_K})) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+  CAST(((2 * i + 1) * dur) // (2 * {FRAME_K}) AS BIGINT) AS frame_ts_ms,
+  md5(CAST(doc_id AS VARCHAR) || ':'
+      || CAST(((2 * i + 1) * dur) // (2 * {FRAME_K}) AS VARCHAR)) AS frame_id
+FROM f
+"""
+
+
+# ===========================================================================
+# Q: bin_packing — first-fit-decreasing packing of whole documents
+# into fixed-capacity sequences within bounded windows (exact packing,
+# vs token_shards' contiguous slicing). The oracle REPLAYS FFD in
+# DuckDB with a recursive CTE carrying the per-window bin-load list —
+# both engines walk (size DESC, id ASC) and take the first bin that
+# fits, so every assignment matches exactly.
+# ===========================================================================
+
+PACK_BUDGET = 4000
+PACK_WINDOWS = 8
+
+
+def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.packing import pack_bins_ffd
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") % PACK_WINDOWS).alias("window_id"),
+    )
+    return pack_bins_ffd(
+        docs,
+        window_col="window_id",
+        size_col="n_chars",
+        id_col="doc_id",
+        budget=PACK_BUDGET,
+    )
+
+
+def _ffd_fit(item_size: str = "it.n_chars") -> str:
+    """First 1-based bin index whose load still fits ``item_size``
+    (DuckDB's list_position returns 0, not NULL, when nothing fits)."""
+    return (
+        f"list_position(list_transform(r.loads, x -> x + {item_size}"
+        f" <= {PACK_BUDGET}), true)"
+    )
+
+
+SQL_BIN_PACKING = f"""
+WITH RECURSIVE it AS (
+  SELECT doc_id % {PACK_WINDOWS} AS window_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id % {PACK_WINDOWS}
+           ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+), r AS (
+  SELECT window_id, rn, doc_id, n_chars,
+         CAST(0 AS BIGINT) AS bin_idx, [n_chars] AS loads
+  FROM it WHERE rn = 1
+  UNION ALL
+  SELECT it.window_id, it.rn, it.doc_id, it.n_chars,
+         CAST(CASE WHEN {_ffd_fit()} = 0 THEN len(r.loads)
+                   ELSE {_ffd_fit()} - 1 END AS BIGINT),
+         CASE WHEN {_ffd_fit()} = 0
+              THEN list_append(r.loads, it.n_chars)
+              ELSE [CASE WHEN i = {_ffd_fit()} THEN r.loads[i] + it.n_chars
+                         ELSE r.loads[i] END
+                    FOR i IN range(1, len(r.loads) + 1)]
+         END
+  FROM r JOIN it ON it.window_id = r.window_id AND it.rn = r.rn + 1
+)
+SELECT window_id, doc_id, n_chars, bin_idx FROM r
+"""
+
+
+# ===========================================================================
 # Q: hash_sample / stratified_sample — deterministic corpus subsetting.
 # Sample membership is a pure function of the row key (md5), so the
 # oracle reproduces the exact member set — the property seeded-RNG
@@ -992,6 +1108,8 @@ LLM_QUERIES: dict[str, tuple] = {
     "media_durations": (q_media_durations, SQL_MEDIA_DURATIONS, "north-star:multimodal"),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE, "north-star:multimodal"),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
+    "bin_packing": (q_bin_packing, SQL_BIN_PACKING, "chunking:FFD-exact-packing"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),

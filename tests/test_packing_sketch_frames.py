@@ -1,0 +1,134 @@
+"""Unit-level invariants for FFD bin packing, mergeable HLL sketch
+state, and video frame sampling (the round-3 additions; the oracle
+parity of their registry queries is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ffd_reference(items: list[tuple[int, int]], budget: int) -> dict[int, int]:
+    """(id, size) -> bin via the textbook FFD loop."""
+    loads: list[int] = []
+    out: dict[int, int] = {}
+    for iid, s in sorted(items, key=lambda t: (-t[1], t[0])):
+        for b, load in enumerate(loads):
+            if load + s <= budget:
+                loads[b] = load + s
+                out[iid] = b
+                break
+        else:
+            out[iid] = len(loads)
+            loads.append(s)
+    return out
+
+
+def test_pack_bins_ffd_matches_reference_and_respects_budget(spark):
+    from dataengineering_spark.operators.packing import pack_bins_ffd
+
+    budget = 900
+    rows = [(i, i % 5, 100 + (i * 37) % 450) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, window_id long, n_chars long")
+    packed = pack_bins_ffd(df, "window_id", "n_chars", "doc_id", budget)
+    pdf = packed.toPandas()
+
+    assert len(pdf) == 200
+    # every bin within budget
+    loads = pdf.groupby(["window_id", "bin_idx"])["n_chars"].sum()
+    assert (loads <= budget).all()
+    # assignment == textbook FFD per window
+    for wid, grp in pdf.groupby("window_id"):
+        ref = _ffd_reference(
+            list(zip(grp["doc_id"], grp["n_chars"])), budget
+        )
+        got = dict(zip(grp["doc_id"], grp["bin_idx"]))
+        assert got == ref, wid
+
+
+def test_pack_bins_ffd_partitioning_invariant_and_oversize(spark):
+    from dataengineering_spark.operators.packing import pack_bins_ffd
+
+    budget = 500
+    rows = [(i, 0, 5000 if i < 3 else 90 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, window_id long, n_chars long")
+    a = pack_bins_ffd(df.repartition(13), "window_id", "n_chars", "doc_id", budget)
+    b = pack_bins_ffd(df.coalesce(1), "window_id", "n_chars", "doc_id", budget)
+    pa = a.orderBy("doc_id").toPandas()
+    pb = b.orderBy("doc_id").toPandas()
+    assert pa.equals(pb)
+    # oversize items land in singleton bins
+    over = pa[pa.n_chars > budget]
+    assert len(over) == 3
+    for bin_idx in over.bin_idx:
+        assert (pa.bin_idx == bin_idx).sum() == 1
+
+
+def test_hll_sketch_state_merges_losslessly(spark):
+    from dataengineering_spark.operators.sketches import (
+        hll_estimate_from_sketch,
+        hll_merge_sketches,
+        hll_sketch_by,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 16).alias("shard"),
+        (F.col("id") % 4111).alias("v"),
+    )
+    direct = hll_estimate_from_sketch(hll_sketch_by(df, ["g"], "v"))
+    shards = hll_sketch_by(df, ["g", "shard"], "v").drop("shard")
+    merged = hll_estimate_from_sketch(hll_merge_sketches(shards, ["g"]))
+    d = {r["g"]: r["distinct_est"] for r in direct.collect()}
+    m = {r["g"]: r["distinct_est"] for r in merged.collect()}
+    # the union is lossless on register state, but the direct sketch
+    # answers via the stream-order HIP estimator, which a merge
+    # necessarily discards — so merged vs direct agree to within the
+    # sketch error, not bit-for-bit (they DO coincide in sparse mode)
+    for g in d:
+        assert abs(d[g] - m[g]) <= 0.02 * d[g], (g, d[g], m[g])
+    # merge of merges (re-merge a merged state) is a no-op
+    twice = hll_estimate_from_sketch(
+        hll_merge_sketches(hll_merge_sketches(shards, ["g"]), ["g"])
+    )
+    assert {r["g"]: r["distinct_est"] for r in twice.collect()} == m
+    # estimate quality: within 5% of exact at lgK=12
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g, est in m.items():
+        assert abs(est - exact[g]) <= 0.05 * exact[g], (g, est, exact[g])
+
+
+def test_sample_frames_rows_and_bounds(spark):
+    from dataengineering_spark.functions.multimodal import (
+        make_solid_png,
+        make_test_mp4,
+        parse_mp4_duration,
+        sample_frames,
+    )
+
+    assert parse_mp4_duration(make_test_mp4(31500)) == 31500
+    # non-1000 timescale round-trips through units conversion
+    assert parse_mp4_duration(make_test_mp4(2000, timescale=90000)) == 2000
+
+    payloads = [
+        (1, make_test_mp4(10000)),
+        (2, make_test_mp4(777)),
+        (3, make_solid_png(4, 4, (1, 2, 3))),  # not a video: no rows
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = sample_frames(df, n_frames=5).toPandas()
+    assert sorted(out.doc_id.unique()) == [1, 2]
+    assert (out.groupby("doc_id").size() == 5).all()
+    for _, r in out.iterrows():
+        dur = 10000 if r.doc_id == 1 else 777
+        assert 0 <= r.frame_ts_ms < dur
+        assert len(r.frame_id) == 32
+    # midpoint rule: frame k of doc 1 at (2k+1)*10000//10
+    one = out[out.doc_id == 1].sort_values("frame_idx")
+    assert list(one.frame_ts_ms) == [1000, 3000, 5000, 7000, 9000]
