@@ -774,6 +774,12 @@ _DRIVER_PRIORITY: list[str] = [
     "frame_sample",
     "bin_packing",
     "hll_merge",
+    "product_profit",
+    "returned_revenue",
+    "important_parts",
+    "top_supplier",
+    "large_volume_customers",
+    "disjunctive_revenue",
 ]
 
 

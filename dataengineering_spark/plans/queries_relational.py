@@ -713,6 +713,267 @@ LIMIT 20
 """
 
 
+# ===========================================================================
+# Q: product_profit — TPC-H Q9 shape: per-(supplier-nation, order-year)
+# profit for a part-name family. This corpus has no partsupp, so unit
+# cost is proxied as half the part's retail price — the JOIN TOPOLOGY
+# is the point: two fact-fact shuffles (lineitem⋈orders), part /
+# supplier / nation broadcast, and the name filter pushed into the
+# part scan before the broadcast.
+# ===========================================================================
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  {DSUM.format(e='l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity')}
+    AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ===========================================================================
+# Q: returned_revenue — TPC-H Q10 shape: customers ranked by revenue
+# they returned in one quarter. lineitem filtered on returnflag,
+# orders on the date window, customer+nation broadcast; top 20 with a
+# deterministic key tiebreak.
+# ===========================================================================
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_REVENUE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ===========================================================================
+# Q: top_supplier — TPC-H Q15 shape: supplier(s) with the maximum
+# revenue in one quarter. The per-supplier aggregate is persisted
+# (lazily — one compute) and self-compared against its own broadcast
+# 1-row max, so DECIMAL-exact revenues make the equality portable.
+# ===========================================================================
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = (
+        li.groupBy("l_suppkey").agg(dsum(revenue, "total_revenue")).persist()
+    )
+    top = per_supp.agg(F.max("total_revenue").alias("_max"))
+    return (
+        per_supp.join(
+            F.broadcast(top), F.col("total_revenue") == F.col("_max")
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH r AS (
+  SELECT l_suppkey, {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')}
+    AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+# ===========================================================================
+# Q: large_volume_customers — TPC-H Q18 shape: orders whose total
+# quantity exceeds a threshold, with their customers. The HAVING
+# aggregate runs FIRST (map-side-combined groupBy on the fact table),
+# so only qualifying orderkeys reach the joins.
+# ===========================================================================
+
+LVC_QTY = 300
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > LVC_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {LVC_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ===========================================================================
+# Q: disjunctive_revenue — TPC-H Q19 shape: revenue under an OR of
+# three conjunctive brand/size/quantity envelopes. The disjunction
+# stays a single scan predicate (no union of scans), and the part
+# side of each envelope pushes into the broadcast build.
+# ===========================================================================
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#11") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#14") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#17") & s.between(1, 15) & q.between(20, 30))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = f"""
+SELECT {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ===========================================================================
+# Q: important_parts — TPC-H Q11 shape: parts whose revenue exceeds a
+# fixed fraction of TOTAL revenue. The scalar threshold is a 1-row
+# broadcast cross join against the persisted per-part aggregate — the
+# HAVING-over-global-subquery pattern with no single-partition window.
+# ===========================================================================
+
+IMP_FRACTION = 0.0007
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(revenue, "value")).persist()
+    total = per_part.agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > IMP_FRACTION * F.col("_total"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH v AS (
+  SELECT l_partkey, {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')}
+    AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM v
+WHERE value > {IMP_FRACTION} * (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM v
+)
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN, "as-of join (merge_asof/ASOF JOIN)"),
     "asof_join_nulls": (
@@ -721,6 +982,20 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         "as-of join NULL-value row semantics",
     ),
     "market_share": (q_market_share, SQL_MARKET_SHARE, "TPC-H Q8 shape"),
+    "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT, "TPC-H Q9 shape"),
+    "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE, "TPC-H Q10 shape"),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS, "TPC-H Q11 shape"),
+    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER, "TPC-H Q15 shape"),
+    "large_volume_customers": (
+        q_large_volume_customers,
+        SQL_LARGE_VOLUME_CUSTOMERS,
+        "TPC-H Q18 shape",
+    ),
+    "disjunctive_revenue": (
+        q_disjunctive_revenue,
+        SQL_DISJUNCTIVE_REVENUE,
+        "TPC-H Q19 shape",
+    ),
     "waiting_suppliers": (
         q_waiting_suppliers,
         SQL_WAITING_SUPPLIERS,

@@ -63,12 +63,13 @@ def test_no_cartesian_products_anywhere(spark):
             "cosine_topk",
             "ivf_ann",
             "dormant_customers",
+            "important_parts",
         ):
             # cosine_topk's query-broadcast crossJoin, ivf_ann's
-            # centroid-assignment crossJoin, and dormant_customers'
-            # 1-row scalar-subquery attach are the deliberate
-            # nested-loops: the broadcast side (|queries|, C centroids,
-            # one scalar row) is tiny by contract.
+            # centroid-assignment crossJoin, and dormant_customers' /
+            # important_parts' 1-row scalar-subquery attaches are the
+            # deliberate nested-loops: the broadcast side (|queries|,
+            # C centroids, one scalar row) is tiny by contract.
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
 
