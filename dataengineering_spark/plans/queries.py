@@ -780,6 +780,9 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier",
     "large_volume_customers",
     "disjunctive_revenue",
+    "doc_rarity",
+    "table_profile",
+    "histogram_merge",
 ]
 
 

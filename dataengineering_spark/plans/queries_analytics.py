@@ -528,10 +528,81 @@ GROUP BY event_type
 """
 
 
+# ===========================================================================
+# Q: table_profile — single-pass multi-column statistics (one scan for
+# N columns, unpivoted into rows engine-side). The oracle is N
+# per-column aggregates UNION ALL'd — same numbers, N scans; the
+# single-scan plan is the point of the Spark side.
+# ===========================================================================
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+  COUNT(*) FILTER ({c} IS NULL) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(MIN({c}) AS DOUBLE) AS min_val,
+  CAST(MAX({c}) AS DOUBLE) AS max_val,
+  CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+# ===========================================================================
+# Q: histogram_merge — mergeable equi-width histogram state: 4
+# disjoint event shards each build their own histogram, the states
+# merge bin-wise, and the result must equal the direct whole-table
+# histogram the oracle computes (histogram merge is lossless — counts
+# add). Out-of-range values clamp into the edge bins.
+# ===========================================================================
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 400.0, 20
+
+
+def q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.profiling import (
+        histogram_by,
+        merge_histograms,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("event_id") % 4).cast("int")
+    )
+    shard_hists = histogram_by(
+        ev, "value", HIST_LO, HIST_HI, HIST_BINS, group_cols=["shard"]
+    )
+    return merge_histograms(shard_hists)
+
+
+SQL_HISTOGRAM_MERGE = f"""
+SELECT CAST(LEAST({HIST_BINS - 1}, GREATEST(0,
+    FLOOR((value - {HIST_LO}) * {HIST_BINS} / ({HIST_HI} - {HIST_LO}))
+  )) AS BIGINT) AS bin_idx,
+  COUNT(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY bin_idx
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE, "sketch:DataSketches HLL merge"),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE, "profiling:one-scan stats"),
+    "histogram_merge": (
+        q_histogram_merge,
+        SQL_HISTOGRAM_MERGE,
+        "profiling:mergeable histogram",
+    ),
     "priority_line_counts": (q_priority_line_counts, SQL_PRIORITY_LINE_COUNTS, "A1-over-join,J4"),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE, "F4-ratio,J2"),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS, "U2-anti,A5-scalar"),

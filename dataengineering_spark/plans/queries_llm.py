@@ -855,6 +855,48 @@ FROM documents
 
 
 # ===========================================================================
+# Q: doc_rarity — corpus-level rarity profile (the two-pass CCNet-
+# filter shape: corpus vocab aggregate, then score each doc against
+# the broadcast vocab). Rational arithmetic only — BIGINT/BIGINT
+# double division is bit-identical across engines, log-prob is not.
+# ===========================================================================
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.corpus import doc_rarity
+
+    return doc_rarity(_docs(spark, sf_dir))
+
+
+SQL_DOC_RARITY = f"""
+WITH t AS (
+  SELECT doc_id, UNNEST(string_split({NORM_SQL}, ' ')) AS token
+  FROM documents
+), toks AS (
+  SELECT doc_id, token FROM t WHERE length(token) > 0
+), f AS (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+), d AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT token) AS n_distinct,
+         CAST(SUM(freq) AS BIGINT) AS sum_token_freq,
+         COUNT(*) FILTER (freq <= 2) AS n_rare
+  FROM toks JOIN f USING (token)
+  GROUP BY doc_id
+)
+SELECT documents.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_distinct, 0) AS n_distinct,
+  COALESCE(sum_token_freq, 0) AS sum_token_freq,
+  sum_token_freq / n_tokens AS mean_token_freq,
+  n_rare / n_tokens AS rare_ratio,
+  n_distinct / n_tokens AS distinct_ratio
+FROM documents LEFT JOIN d USING (doc_id)
+"""
+
+
+# ===========================================================================
 # Q: frame_sample — uniform video-frame sampling: parse the MP4
 # container duration (real box walk), emit k midpoint-rule timestamps
 # per clip, with the pixel decode deterministically stubbed (md5 of
@@ -1109,6 +1151,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE, "north-star:multimodal"),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
+    "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY, "north-star:text corpus-pass"),
     "bin_packing": (q_bin_packing, SQL_BIN_PACKING, "chunking:FFD-exact-packing"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
