@@ -783,6 +783,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_rarity",
     "table_profile",
     "histogram_merge",
+    "label_centroids",
 ]
 
 

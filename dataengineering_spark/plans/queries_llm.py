@@ -855,6 +855,64 @@ FROM documents
 
 
 # ===========================================================================
+# Q: label_centroids — per-label embedding centroids (the IVF/k-means
+# building block as a standalone aggregate): posexplode to
+# (label, dim, val), then a per-dimension mean over 1e-6-quantized
+# values summed as exact BIGINT micro-units — row-order independent
+# AND engine-exact. (A DECIMAL(18,6) cast is NOT portable here:
+# Spark rounds the float's shortest decimal representation while
+# DuckDB rounds the exact binary value, and they disagree on
+# halfway-looking floats; floor(x*1e6 + 0.5) is the same double
+# arithmetic in both engines.) Re-assembled into an ordered array
+# engine-side.
+# ===========================================================================
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    micro = F.floor(
+        F.col("val").cast("double") * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    per_dim = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(micro).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0))
+        ).alias("avg_val")
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "avg_val"))),
+            lambda s: s["avg_val"],
+        ).alias("centroid")
+    )
+    nv = emb.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vectors"))
+    return cent.join(nv, "label").select("label", "n_vectors", "centroid")
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, embedding AS emb, UNNEST(range(len(embedding))) AS dim
+  FROM embeddings
+), v AS (
+  SELECT label, dim,
+    CAST(SUM(CAST(FLOOR(CAST(emb[dim + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1000000.0) AS avg_val
+  FROM e GROUP BY label, dim
+), c AS (
+  SELECT label, list(avg_val ORDER BY dim) AS centroid FROM v GROUP BY label
+), n AS (
+  SELECT label, COUNT(DISTINCT vec_id) AS n_vectors
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vectors, centroid FROM c JOIN n USING (label)
+"""
+
+
+# ===========================================================================
 # Q: doc_rarity — corpus-level rarity profile (the two-pass CCNet-
 # filter shape: corpus vocab aggregate, then score each doc against
 # the broadcast vocab). Rational arithmetic only — BIGINT/BIGINT
@@ -1152,6 +1210,11 @@ LLM_QUERIES: dict[str, tuple] = {
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
     "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY, "north-star:text corpus-pass"),
+    "label_centroids": (
+        q_label_centroids,
+        SQL_LABEL_CENTROIDS,
+        "north-star:embedding aggregate",
+    ),
     "bin_packing": (q_bin_packing, SQL_BIN_PACKING, "chunking:FFD-exact-packing"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
