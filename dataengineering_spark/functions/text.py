@@ -119,3 +119,64 @@ def detect_lang(text: Column | str) -> Column:
                 cond = cond & (scores[lang] >= scores[other])
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+# --- Gopher/C4-style repetition & format metrics ----------------------------
+#
+# Per-document repetition signals (the "remove documents that repeat
+# themselves" family of pretraining filters), computed entirely with
+# array expressions — a pure narrow map, no explode, no shuffle: the
+# right 100 TB shape for bounded-length documents. (For very long
+# documents the O(L^2) distinct-count-in-array step should switch to
+# an explode + groupBy(doc, ngram) path; at typical web-doc lengths
+# the shuffle-free form wins.) All metrics are count ratios — exact
+# rational arithmetic, engine-portable.
+
+
+def word_array(text: Column | str) -> Column:
+    """Normalized word list; empty array (not ['']) for blank text."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = normalize_text(c)
+    return F.when(
+        F.length(norm) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
+
+
+def ngram_array(words: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty when fewer than n words."""
+    return F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def dup_ratio(arr: Column) -> Column:
+    """Fraction of elements that are repeats of an earlier element:
+    (len - distinct) / len; NULL for empty arrays."""
+    return F.when(
+        F.size(arr) > 0,
+        (F.size(arr) - F.size(F.array_distinct(arr))) / F.size(arr),
+    )
+
+
+def top_mass(arr: Column) -> Column:
+    """Fraction of the array occupied by its single most frequent
+    element (Gopher's top-n-gram-mass rule); NULL for empty arrays."""
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda x: F.size(F.filter(arr, lambda y: y == x)),
+    )
+    return F.when(F.size(arr) > 0, F.array_max(counts) / F.size(arr))
+
+
+def mean_word_length(words: Column) -> Column:
+    """Average word length; NULL for empty arrays. Integer-sum /
+    integer-count division — deterministic across engines."""
+    total = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(F.size(words) > 0, total / F.size(words))

@@ -784,6 +784,7 @@ _DRIVER_PRIORITY: list[str] = [
     "table_profile",
     "histogram_merge",
     "label_centroids",
+    "repetition_metrics",
 ]
 
 

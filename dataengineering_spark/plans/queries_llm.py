@@ -855,6 +855,67 @@ FROM documents
 
 
 # ===========================================================================
+# Q: repetition_metrics — Gopher/C4-style per-document repetition
+# signals (duplicate-word mass, duplicate-3-gram mass, top-3-gram
+# mass, mean word length), computed as pure array expressions — a
+# narrow shuffle-free map over the corpus. All count ratios: exact
+# rational arithmetic in both engines.
+# ===========================================================================
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import (
+        dup_ratio,
+        mean_word_length,
+        ngram_array,
+        top_mass,
+        word_array,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = word_array("text")
+    d = docs.select("doc_id", w.alias("_w"), ngram_array(w, 3).alias("_g"))
+    return d.select(
+        "doc_id",
+        F.size("_w").alias("n_words"),
+        dup_ratio(F.col("_w")).alias("dup_word_ratio"),
+        dup_ratio(F.col("_g")).alias("dup_3gram_ratio"),
+        top_mass(F.col("_g")).alias("top_3gram_mass"),
+        mean_word_length(F.col("_w")).alias("mean_word_len"),
+    )
+
+
+SQL_REPETITION_METRICS = f"""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length({NORM_SQL}) = 0 THEN []
+         ELSE string_split({NORM_SQL}, ' ') END AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(len(ws) - 2),
+              i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]) END AS gs
+  FROM w
+)
+SELECT doc_id,
+  len(ws) AS n_words,
+  CASE WHEN len(ws) > 0
+       THEN (len(ws) - len(list_distinct(ws))) / len(ws) END AS dup_word_ratio,
+  CASE WHEN len(gs) > 0
+       THEN (len(gs) - len(list_distinct(gs))) / len(gs) END AS dup_3gram_ratio,
+  CASE WHEN len(gs) > 0
+       THEN list_max(list_transform(list_distinct(gs),
+            x -> len(list_filter(gs, y -> y = x)))) / len(gs)
+  END AS top_3gram_mass,
+  CASE WHEN len(ws) > 0
+       THEN list_sum(list_transform(ws, x -> length(x))) / len(ws)
+  END AS mean_word_len
+FROM g
+"""
+
+
+# ===========================================================================
 # Q: label_centroids — per-label embedding centroids (the IVF/k-means
 # building block as a standalone aggregate): posexplode to
 # (label, dim, val), then a per-dimension mean over 1e-6-quantized
@@ -1214,6 +1275,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_label_centroids,
         SQL_LABEL_CENTROIDS,
         "north-star:embedding aggregate",
+    ),
+    "repetition_metrics": (
+        q_repetition_metrics,
+        SQL_REPETITION_METRICS,
+        "north-star:text Gopher-repetition",
     ),
     "bin_packing": (q_bin_packing, SQL_BIN_PACKING, "chunking:FFD-exact-packing"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
