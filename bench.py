@@ -40,6 +40,11 @@ HEADLINE = (
     "cosine_topk",
     "lang_id",
     "token_count",
+    # round-3 additions
+    "doc_rarity",
+    "repetition_metrics",
+    "bin_packing",
+    "histogram_merge",
 )
 
 
