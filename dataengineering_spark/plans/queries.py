@@ -785,6 +785,8 @@ _DRIVER_PRIORITY: list[str] = [
     "histogram_merge",
     "label_centroids",
     "repetition_metrics",
+    "dedup_survivors",
+    "redact_pii",
 ]
 
 

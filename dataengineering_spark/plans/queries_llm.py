@@ -356,6 +356,48 @@ FROM reach GROUP BY src
 
 
 # ===========================================================================
+# Q: dedup_survivors — the keep-canonical END of the dedup pipeline:
+# LSH candidates → connected components → drop every doc whose
+# cluster label is a smaller doc id. Output = the surviving corpus
+# (cluster canonicals + never-clustered docs) — what actually ships
+# to training. Left-anti join against the dropped set, so the
+# surviving side never shuffles by cluster.
+# ===========================================================================
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    corpus = _dedup_corpus(_docs(spark, sf_dir)).select("doc_id")
+    return corpus.join(dropped, "doc_id", "left_anti")
+
+
+SQL_DEDUP_SURVIVORS = _DEDUP_SQL_CTES.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1
+) + """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+dropped AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) < src
+)
+SELECT doc_id FROM corpus
+EXCEPT
+SELECT doc_id FROM dropped
+"""
+
+
+# ===========================================================================
 # Q: simhash_neardup — pairs within Hamming distance 3, found via the
 # pigeonhole chunk join (d+1 chunks; a qualifying pair shares one
 # exactly) over the perturbed dedup corpus.
@@ -857,31 +899,70 @@ FROM documents
 # ===========================================================================
 # Q: repetition_metrics — Gopher/C4-style per-document repetition
 # signals (duplicate-word mass, duplicate-3-gram mass, top-3-gram
-# mass, mean word length), computed as pure array expressions — a
-# narrow shuffle-free map over the corpus. All count ratios: exact
-# rational arithmetic in both engines.
+# mass, mean word length). All count ratios: exact rational
+# arithmetic in both engines. Plan shape: EVERYTHING is native
+# codegen — word metrics are engine array expressions, mean word
+# length is CLOSED-FORM from the normalized string length (len -
+# spaces), and the n-grams are built with three aligned slices +
+# arrays_zip + explode + concat_ws, then counted with two
+# partial-combined groupBys. Spark HOF lambdas (transform/filter)
+# never codegen and cost ~0.2 ms/eval interpreted: the
+# filter-in-transform cut of this query took ~20 s at sf0.1 and even
+# a transform-built n-gram list took ~58 s; this shape takes ~1 s.
 # ===========================================================================
 
 
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.functions.text import (
-        dup_ratio,
-        mean_word_length,
-        ngram_array,
-        top_mass,
+        normalize_text,
         word_array,
     )
 
     docs = _docs(spark, sf_dir)
     w = word_array("text")
-    d = docs.select("doc_id", w.alias("_w"), ngram_array(w, 3).alias("_g"))
-    return d.select(
+    base = docs.select(
         "doc_id",
-        F.size("_w").alias("n_words"),
-        dup_ratio(F.col("_w")).alias("dup_word_ratio"),
-        dup_ratio(F.col("_g")).alias("dup_3gram_ratio"),
-        top_mass(F.col("_g")).alias("top_3gram_mass"),
-        mean_word_length(F.col("_w")).alias("mean_word_len"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("_nd_words"),
+        F.length(normalize_text(F.col("text"))).alias("_norm_len"),
+        F.col("text"),
+    )
+    w2 = word_array("text")
+    n_ng = F.greatest(F.size(w2) - 2, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(w2, 1, n_ng).alias("w1"),
+        F.slice(w2, 2, n_ng).alias("w2"),
+        F.slice(w2, 3, n_ng).alias("w3"),
+    )
+    ngram_stats = (
+        base.select("doc_id", F.explode(zipped).alias("_z"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("_z.w1"), F.col("_z.w2"), F.col("_z.w3")
+            ).alias("ngram"),
+        )
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_g_total"),
+            F.count(F.lit(1)).alias("_g_distinct"),
+            F.max("c").alias("_g_max"),
+        )
+    )
+    n = F.col("n_words")
+    return base.drop("text").join(ngram_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.when(n > 0, (n - F.col("_nd_words")) / n).alias("dup_word_ratio"),
+        ((F.col("_g_total") - F.col("_g_distinct")) / F.col("_g_total")).alias(
+            "dup_3gram_ratio"
+        ),
+        (F.col("_g_max") / F.col("_g_total")).alias("top_3gram_mass"),
+        F.when(n > 0, (F.col("_norm_len") - (n - 1)) / n).alias(
+            "mean_word_len"
+        ),
     )
 
 
@@ -912,6 +993,58 @@ SELECT doc_id,
        THEN list_sum(list_transform(ws, x -> length(x))) / len(ws)
   END AS mean_word_len
 FROM g
+"""
+
+
+# ===========================================================================
+# Q: redact_pii — contact scrubbing: deterministic emails/phones are
+# SYNTHESIZED into each document (closed-form in doc_id, so the
+# oracle rebuilds them), then redacted with patterns from the
+# Java/RE2-common regex subset. The full redacted text ships in the
+# result, so one divergent replacement anywhere breaks the hash.
+# ===========================================================================
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import (
+        contact_counts,
+        redact_contacts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com now or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", synth.alias("_t"))
+    n_emails, n_phones = contact_counts(F.col("_t"))
+    return d.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        redact_contacts(F.col("_t")).alias("redacted"),
+    )
+
+
+SQL_REDACT_PII = """
+WITH s AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com now or call 555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+       AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM s
 """
 
 
@@ -1281,6 +1414,12 @@ LLM_QUERIES: dict[str, tuple] = {
         SQL_REPETITION_METRICS,
         "north-star:text Gopher-repetition",
     ),
+    "dedup_survivors": (
+        q_dedup_survivors,
+        SQL_DEDUP_SURVIVORS,
+        "north-star:dedup keep-canonical",
+    ),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII, "north-star:PII scrubbing"),
     "bin_packing": (q_bin_packing, SQL_BIN_PACKING, "chunking:FFD-exact-packing"),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
