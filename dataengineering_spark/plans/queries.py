@@ -787,6 +787,8 @@ _DRIVER_PRIORITY: list[str] = [
     "repetition_metrics",
     "dedup_survivors",
     "redact_pii",
+    "gapfill_hourly",
+    "rolling_24h",
 ]
 
 

@@ -593,11 +593,113 @@ GROUP BY bin_idx
 """
 
 
+# ===========================================================================
+# Q: gapfill_hourly — dense time spine per group: every hour between a
+# group's first and last event exists in the output, zero-filled where
+# nothing happened (the resample/gap-fill primitive every time-series
+# rollup needs). The spine is a per-group sequence() explode — narrow,
+# no driver loop; the join back to sparse counts is on (group, hour).
+# The oracle rebuilds the spine with UNNEST(range(...)) epoch math —
+# DuckDB table functions can't lateral-join on columns.
+# ===========================================================================
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = (
+        ev.groupBy("event_type", hour.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min(hour).alias("_lo"), F.max(hour).alias("_hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return (
+        spine.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("window_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+SQL_GAPFILL_HOURLY = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(min(date_trunc('hour', ts)))) AS BIGINT) AS lo,
+         CAST(floor(epoch(max(date_trunc('hour', ts)))) AS BIGINT) AS hi
+  FROM events GROUP BY event_type
+), spine AS (
+  SELECT event_type,
+         to_timestamp(lo + 3600 * UNNEST(range((hi - lo) // 3600 + 1)))
+           AS window_start
+  FROM b
+), c AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT spine.event_type, spine.window_start::TIMESTAMP AS window_start,
+       COALESCE(c.n, 0) AS n
+FROM spine LEFT JOIN c USING (event_type, window_start)
+"""
+
+
+# ===========================================================================
+# Q: rolling_24h — event-time RANGE window per user: each event with
+# the count/sum of that user's events in the trailing 24 hours.
+# The sum routes through DECIMAL because windowed float aggregation
+# is engine-specific (DuckDB uses segment trees, Spark accumulates in
+# frame order — different summation orders drift in the last ulp).
+# ===========================================================================
+
+
+def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-86399, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_24h"),
+    )
+
+
+SQL_ROLLING_24H = """
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS n_24h,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE, "sketch:DataSketches HLL merge"),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE, "profiling:one-scan stats"),
+    "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY, "timeseries:gap-fill"),
+    "rolling_24h": (q_rolling_24h, SQL_ROLLING_24H, "timeseries:RANGE window"),
     "histogram_merge": (
         q_histogram_merge,
         SQL_HISTOGRAM_MERGE,
