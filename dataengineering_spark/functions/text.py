@@ -216,3 +216,34 @@ def contact_counts(text: Column | str) -> tuple[Column, Column]:
         F.regexp_count(c, F.lit(EMAIL_PATTERN)),
         F.regexp_count(c, F.lit(PHONE_PATTERN)),
     )
+
+
+# --- Markup stripping -------------------------------------------------------
+#
+# Web-extracted pretraining text arrives tag-ridden; the cleaner is a
+# regex pipeline (tags -> entity decode -> whitespace collapse) kept
+# to the Java/RE2-common regex subset so the DuckDB oracle runs the
+# very same patterns. Entity decode replaces the named entities FIRST
+# and '&amp;' LAST so '&amp;lt;' decodes to the literal '&lt;' (one
+# level, no double-decode) — the order HTML serializers assume.
+
+TAG_PATTERN = r"<[^>]*>"
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&")]
+
+
+def strip_markup(text: Column | str) -> Column:
+    """Markup-bearing string -> clean text: drop tags (replaced by a
+    space so adjacent words don't fuse), decode the four core named
+    entities, collapse runs of whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, TAG_PATTERN, " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def tag_count(text: Column | str) -> Column:
+    """Number of markup tags in the string."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TAG_PATTERN))

@@ -575,3 +575,60 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .cast("bigint")
         .alias("simhash")
     )
+
+
+def incremental_lsh_matches(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Cross-batch LSH candidates: incoming documents that share a
+    MinHash band bucket with an already-indexed document — the
+    INCREMENTAL form of near-dup dedup, where a (small) new batch is
+    screened against a (huge) existing corpus instead of re-running
+    the all-pairs self-join.
+
+    Returns distinct (new_doc, index_doc) candidate matches; verify
+    with ``jaccard_pairs`` as usual.
+
+    Scale shape (100 TB index, GB-scale batch): the batch's band frame
+    is docs x bands rows of (band_id, 32-char band_sig) — megabytes
+    for any realistic ingest tick — so it is BROADCAST, and the index
+    band table is filtered map-side with NO shuffle of the index at
+    all.  The only exchange in the whole plan carries the matched
+    candidates into the final distinct.  In production the index band
+    frame is a materialized table (write ``lsh_bands(signatures)`` out
+    once, append per batch); here it is computed inline so the
+    operator is self-contained.
+    """
+    new_bands = lsh_bands(
+        minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col=id_col,
+        bands=bands,
+        num_hashes=num_hashes,
+    )
+    idx_bands = lsh_bands(
+        minhash_signatures(index_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col=id_col,
+        bands=bands,
+        num_hashes=num_hashes,
+    )
+    return (
+        idx_bands.alias("i")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            on=[
+                F.col("i.band_id") == F.col("n.band_id"),
+                F.col("i.band_sig") == F.col("n.band_sig"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_doc"),
+            F.col(f"i.{id_col}").alias("index_doc"),
+        )
+        .distinct()
+    )

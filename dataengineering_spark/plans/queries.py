@@ -789,6 +789,12 @@ _DRIVER_PRIORITY: list[str] = [
     "redact_pii",
     "gapfill_hourly",
     "rolling_24h",
+    "late_order_priority",
+    "forecast_revenue",
+    "benchmark_overlap",
+    "dedup_incremental",
+    "char_stats",
+    "html_strip",
 ]
 
 

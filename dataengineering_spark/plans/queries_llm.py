@@ -183,12 +183,17 @@ SQL_LANG_ID = _lang_id_sql()
 # all unique). Mirrored exactly in SQL.
 # ===========================================================================
 
-def _dedup_corpus(docs: DataFrame) -> DataFrame:
-    perturbed = docs.filter(F.col("doc_id") % 2 == 0).select(
+def _perturbed_batch(docs: DataFrame) -> DataFrame:
+    """Near-duplicate copies of the even-id docs — doubles as the
+    'incoming batch' for the incremental dedup query."""
+    return docs.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz zz zz")).alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(perturbed)
+
+
+def _dedup_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionByName(_perturbed_batch(docs))
 
 
 DEDUP_CORPUS_SQL = """
@@ -1390,7 +1395,237 @@ FROM c
 """
 
 
+# ===========================================================================
+# Q: benchmark_overlap — contamination detection: which corpus docs
+# contain a verbatim 8-gram from a benchmark set.  The benchmark here
+# is synthesized as 15-word excerpts of every 50th document (real
+# benchmarks ARE verbatim excerpts of crawled text — that is exactly
+# why the check exists).  Plan: corpus n-grams meet the broadcast
+# benchmark n-gram set map-side; only hits shuffle.
+# ===========================================================================
+
+BENCH_NGRAM = 8
+
+
+def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import word_array
+    from dataengineering_spark.operators.contamination import benchmark_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("item_id"),
+        F.concat_ws(" ", F.slice(word_array("text"), 6, 15)).alias("text"),
+    )
+    return benchmark_overlap(docs, bench, n=BENCH_NGRAM)
+
+
+def _ngram_list_sql(ws: str, n: int) -> str:
+    """DuckDB word-n-gram list over a VARCHAR[] expression (mirrors
+    operators.contamination.exploded_ngrams)."""
+    return (
+        f"CASE WHEN len({ws}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(len({ws}) - {n - 1}), "
+        f"i -> array_to_string({ws}[i + 1:i + {n}], ' ')) END"
+    )
+
+
+SQL_BENCHMARK_OVERLAP = f"""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length({NORM_SQL}) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split({NORM_SQL}, ' ') END AS ws
+  FROM documents
+),
+bw AS (SELECT doc_id AS item_id, ws[6:20] AS bws FROM w WHERE doc_id % 50 = 0),
+bn AS (
+  SELECT DISTINCT item_id, ng FROM (
+    SELECT item_id, unnest({_ngram_list_sql('bws', BENCH_NGRAM)}) AS ng FROM bw
+  )
+),
+cn AS (
+  SELECT doc_id, unnest({_ngram_list_sql('ws', BENCH_NGRAM)}) AS ng FROM w
+)
+SELECT c.doc_id,
+  CAST(COUNT(DISTINCT c.ng) AS BIGINT) AS hit_ngrams,
+  CAST(COUNT(DISTINCT b.item_id) AS BIGINT) AS bench_items
+FROM cn c JOIN bn b ON c.ng = b.ng
+GROUP BY c.doc_id
+"""
+
+
+# ===========================================================================
+# Q: dedup_incremental — near-dup screening of an incoming batch
+# against an existing index: cross-batch LSH candidates (batch bands
+# BROADCAST, index never shuffles) verified with exact Jaccard.  The
+# oracle reuses the union-corpus band CTEs restricted to cross-batch
+# pairs — provably the same set the two-sided join produces.
+# ===========================================================================
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import incremental_lsh_matches
+
+    docs = _docs(spark, sf_dir)
+    index = docs.select("doc_id", "text")
+    new = _perturbed_batch(docs)
+    cand = incremental_lsh_matches(new, index)
+    pairs = cand.select(
+        F.col("index_doc").alias("doc_a"), F.col("new_doc").alias("doc_b")
+    )
+    verified = jaccard_pairs(index.unionByName(new), pairs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return verified.select(
+        F.col("doc_b").alias("new_doc"),
+        F.col("doc_a").alias("index_doc"),
+        "jaccard",
+    )
+
+
+SQL_DEDUP_INCREMENTAL = _DEDUP_SQL_CTES + """
+, jac AS (
+  SELECT p.doc_a, p.doc_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+  WHERE p.doc_a < 100000 AND p.doc_b >= 100000
+)
+SELECT doc_b AS new_doc, doc_a AS index_doc, jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
+# ===========================================================================
+# Q: char_stats — character-distribution signals (mojibake / binary-
+# junk / repeated-char detector): distinct chars, Simpson
+# concentration sum(c_i^2)/n^2, top-char mass.  All exact rational
+# arithmetic (BIGINT sums, one double division at the end) — the
+# engine-portable stand-in for char-entropy scoring, same policy as
+# operators/corpus.py.  Plan: explode + two partial-combined groupBys;
+# shuffle is docs x distinct-chars (alphabet-bounded), never the char
+# stream.
+# ===========================================================================
+
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.max("c").alias("_mx"),
+        F.sum(F.col("c") * F.col("c")).alias("_c2"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        (F.col("_c2").cast("double") / (F.col("n_chars") * F.col("n_chars")).cast("double")).alias(
+            "simpson"
+        ),
+        (F.col("_mx").cast("double") / F.col("n_chars").cast("double")).alias(
+            "top_char_ratio"
+        ),
+    )
+
+
+SQL_CHAR_STATS = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+c AS (SELECT doc_id, unnest(string_split(nt, '')) AS ch FROM n),
+cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM c WHERE length(ch) > 0 GROUP BY doc_id, ch
+),
+s AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_chars,
+    CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+    MAX(c) AS mx,
+    CAST(SUM(c * c) AS BIGINT) AS c2
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars,
+  CAST(c2 AS DOUBLE) / CAST(n_chars * n_chars AS DOUBLE) AS simpson,
+  CAST(mx AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top_char_ratio
+FROM s
+"""
+
+
+# ===========================================================================
+# Q: html_strip — markup-stripping text cleaner.  Documents are
+# wrapped in deterministic HTML (tags + named entities) in-query, then
+# cleaned with functions.text.strip_markup; the oracle runs the same
+# regex pipeline (RE2/Java-common subset).  Pure codegen string ops —
+# no UDF, no shuffle at all.
+# ===========================================================================
+
+_HTML_TAIL = '</p><div>&amp; &quot;tail&quot; &lt;eof&gt;</div></body></html>'
+
+
+def _wrapped_html():
+    return F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit('</h1><p class="c">'),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" <b>the</b> ")),
+        F.lit(_HTML_TAIL),
+    )
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import strip_markup, tag_count
+
+    docs = _docs(spark, sf_dir)
+    wrapped = _wrapped_html()
+    return docs.select(
+        "doc_id",
+        tag_count(wrapped).cast("bigint").alias("n_tags"),
+        strip_markup(wrapped).alias("clean_text"),
+    ).withColumn("clean_len", F.length("clean_text").cast("bigint"))
+
+
+SQL_HTML_STRIP = """
+WITH w AS (
+  SELECT doc_id,
+    '<html><body><h1>' || source || '</h1><p class="c">' ||
+    replace(text, ' the ', ' <b>the</b> ') ||
+    '</p><div>&amp; &quot;tail&quot; &lt;eof&gt;</div></body></html>' AS wt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(wt, '<[^>]*>')) AS BIGINT) AS n_tags,
+    trim(regexp_replace(
+      replace(replace(replace(replace(
+        regexp_replace(wt, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS clean_text
+  FROM w
+)
+SELECT doc_id, n_tags, clean_text,
+  CAST(length(clean_text) AS BIGINT) AS clean_len
+FROM s
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "benchmark_overlap": (
+        q_benchmark_overlap,
+        SQL_BENCHMARK_OVERLAP,
+        "north-star:contamination",
+    ),
+    "dedup_incremental": (
+        q_dedup_incremental,
+        SQL_DEDUP_INCREMENTAL,
+        "north-star:dedup-incremental",
+    ),
+    "char_stats": (q_char_stats, SQL_CHAR_STATS, "north-star:text char-distribution"),
+    "html_strip": (q_html_strip, SQL_HTML_STRIP, "north-star:text markup-strip"),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS, "chunking:context-windows"),
     "token_shards": (q_token_shards, SQL_TOKEN_SHARDS, "chunking:budget-packing"),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE, "sampling:hash"),

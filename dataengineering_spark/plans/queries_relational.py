@@ -974,7 +974,89 @@ ORDER BY value DESC, l_partkey ASC
 """
 
 
+# ===========================================================================
+# Q: late_order_priority — TPC-H Q4 shape: EXISTS decorrelated to a
+# LEFT SEMI join.  The testdata lineitem has no commit/receipt dates
+# (ref: TPC-H Q4 uses l_commitdate < l_receiptdate), so the late-line
+# predicate is l_shipdate > o_orderdate — same plan shape: the semi
+# join hashes on the equi key (l_orderkey = o_orderkey) and applies
+# the inequality as a residual, so lineitem is scanned once, never
+# duplicated per matching line, and the agg sees each order at most
+# once.  At 100 TB the orders side is date-pruned before the shuffle.
+# ===========================================================================
+
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ===========================================================================
+# Q: forecast_revenue — TPC-H Q6 shape: pure scan + filter + scalar
+# agg.  The plan to check at scale: every predicate (date range,
+# discount band, quantity cap) must appear in PushedFilters on the
+# parquet scan, ReadSchema must hold only the four touched columns,
+# and the agg is a two-stage partial_sum with no shuffle beyond the
+# single-row final exchange.
+# ===========================================================================
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+SELECT {DSUM.format(e='l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "late_order_priority": (
+        q_late_order_priority,
+        SQL_LATE_ORDER_PRIORITY,
+        "TPC-H Q4 shape",
+    ),
+    "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE, "TPC-H Q6 shape"),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN, "as-of join (merge_asof/ASOF JOIN)"),
     "asof_join_nulls": (
         q_asof_join_nulls,

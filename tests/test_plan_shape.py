@@ -173,3 +173,29 @@ def test_log_index_matches_pandas_rank_semantics(spark):
     )
     theirs = dict(zip(pdf["transfer_id"], pdf["log_index"]))
     assert ours == theirs
+
+
+def test_benchmark_overlap_broadcasts_benchmark(spark):
+    """Contamination check: the benchmark n-gram set must broadcast so
+    the corpus n-gram stream is filtered map-side — the only exchange
+    feeds the per-document aggregate with matched rows."""
+    from dataengineering_spark.plans.queries_llm import q_benchmark_overlap
+
+    plan = plan_of(q_benchmark_overlap(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_lsh_broadcasts_new_batch(spark):
+    """Incremental dedup: the incoming batch's band frame broadcasts;
+    the index band stream must never sort-merge against it."""
+    from dataengineering_spark.operators.dedup import incremental_lsh_matches
+    from dataengineering_spark.plans.queries_llm import _perturbed_batch
+
+    docs = read_table(spark, "documents", SF_ORACLE)
+    cand = incremental_lsh_matches(
+        _perturbed_batch(docs), docs.select("doc_id", "text")
+    )
+    plan = plan_of(cand)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
