@@ -73,6 +73,43 @@ class IncrementalSyncRunner:
         )
         return SyncRange(last_synced=state.last_synced_block, latest=capped)
 
+    def lag_gauge(self, source: DataFrame) -> DataFrame:
+        """One-row metrics frame — the reportLatestOffset-style gauge
+        a monitoring sink scrapes: how far behind the head this stream
+        is and how many batch_size triggers the backlog represents.
+        Union rows across runners for a fleet dashboard; write with
+        any sink.  The head probe is the same bounded scalar collect
+        check_sync_status performs (min/max over the offset column —
+        parquet row-group stats, not a scan).
+
+        Columns: stream, last_synced, head, effective_head (head minus
+        the held-back streaming_lag), lag_blocks (0 when fully
+        drained), backlog_batches (ceil(lag / batch_size))."""
+        state = self.store.get(self.config.stream)
+        head_row = source.agg(
+            F.max(self.config.offset_col).alias("head")
+        ).collect()[0]
+        head = head_row.head if head_row.head is not None else -1
+        effective = head - self.config.streaming_lag
+        lag = max(0, effective - state.last_synced_block)
+        backlog = -(-lag // self.config.batch_size)
+        return self.spark.createDataFrame(
+            [
+                (
+                    self.config.stream,
+                    state.last_synced_block,
+                    head,
+                    effective,
+                    lag,
+                    backlog,
+                )
+            ],
+            schema=(
+                "stream string, last_synced bigint, head bigint, "
+                "effective_head bigint, lag_blocks bigint, backlog_batches bigint"
+            ),
+        )
+
     # -- T5/T6: one micro-batch -----------------------------------------
 
     def select_range(self, source: DataFrame, rng: SyncRange) -> DataFrame:

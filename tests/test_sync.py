@@ -182,3 +182,36 @@ def test_table_state_store_prefix_stream_names(spark, tmp_path):
     assert store.get("a") == s
     assert store.get("a-b").last_synced_block == 5
     assert len(store.history("a")) == 1
+
+
+def test_lag_gauge_tracks_drain(spark, tmp_path, events):
+    """The metrics gauge reports the true backlog before, during, and
+    after a drain — the reportLatestOffset-style lag surface."""
+    runner, store = make_runner(spark, tmp_path, batch_size=400)
+    _, sink, dest_max = dest_tools(spark, tmp_path)
+    small = events.filter(F.col("block") < 1000)
+
+    g0 = runner.lag_gauge(small).collect()[0]
+    assert g0.stream == "events"
+    assert g0.head == 999
+    assert g0.lag_blocks == 1000  # from the -1 sentinel to block 999
+    assert g0.backlog_batches == 3
+
+    runner.run_once(small, lambda d: d, sink, dest_max)
+    g1 = runner.lag_gauge(small).collect()[0]
+    assert g1.last_synced == 399
+    assert g1.lag_blocks == 600
+    assert g1.backlog_batches == 2
+
+    runner.run_to_head(small, lambda d: d, sink, dest_max)
+    g2 = runner.lag_gauge(small).collect()[0]
+    assert g2.lag_blocks == 0
+    assert g2.backlog_batches == 0
+
+
+def test_lag_gauge_respects_streaming_lag(spark, tmp_path, events):
+    runner, _ = make_runner(spark, tmp_path, batch_size=10**9, streaming_lag=100)
+    head = events.agg(F.max("block")).collect()[0][0]
+    g = runner.lag_gauge(events).collect()[0]
+    assert g.effective_head == head - 100
+    assert g.lag_blocks == (head - 100) - (-1)
