@@ -38,8 +38,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """Two-stage top-k over (query_id, neighbor_id, cos_sim).
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "cos_sim",
+    descending: bool = True,
+) -> DataFrame:
+    """Two-stage top-k over (query_id, neighbor_id, score_col) —
+    descending for similarities, ascending for distances.
 
     A single ``Window.partitionBy(query_id)`` shuffles every scored row
     into |queries| partitions — with a handful of queries each becomes
@@ -51,7 +57,8 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     identical: the global top-k is a subset of the union of
     per-partition top-ks, and ties break on neighbor_id both times.
     """
-    order = [F.col("cos_sim").desc(), F.col("neighbor_id").asc()]
+    score = F.col(score_col).desc() if descending else F.col(score_col).asc()
+    order = [score, F.col("neighbor_id").asc()]
     w_local = Window.partitionBy("pid", "query_id").orderBy(*order)
     pruned = (
         scored.withColumn("pid", F.spark_partition_id())
@@ -63,7 +70,7 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return (
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .select("query_id", "neighbor_id", "rank", score_col)
     )
 
 
@@ -338,3 +345,239 @@ def lsh_cosine_topk(
         )
     )
     return topk_per_query(scored, k)
+
+
+# --- Product quantization (IVF-PQ's compression half) ----------------------
+#
+# PQ splits each D-dim vector into M contiguous d_sub-dim subvectors
+# and learns an independent K-centroid codebook per subspace (same
+# deterministic Lloyd recipe as the IVF coarse quantizer: md5-ranked
+# seeds, fixed iteration count, 1e-6 fixed-point centroid sums — so
+# the whole training run replays as a DuckDB CTE chain bit-for-bit).
+# A vector is then stored as M small codes: at 64-dim double vectors
+# and M=4/K=8 that is 512 bytes -> 4 bytes per vector, and scoring
+# against a query touches only the codes plus a per-query M x K
+# lookup table (ADC — asymmetric distance computation).
+#
+# Scale shape (100 TB corpus): training shuffles only M x K x d_sub
+# fixed-point partial sums per partition; ENCODING is a pure narrow
+# map (codebooks inlined as literals, argmin per row — no explode, no
+# exchange); SCORING joins the code table against a BROADCAST frame of
+# per-query LUTs built in-plan, so the corpus is never shuffled and
+# per-candidate cost is M array lookups + M adds, independent of D.
+
+
+def _subvector_slices(v, m_sub: int, d_sub: int) -> list:
+    return [F.slice(v, m * d_sub + 1, d_sub) for m in range(m_sub)]
+
+
+def pq_subvectors(e: DataFrame, m_sub: int, d_sub: int) -> DataFrame:
+    """(vec_id, m, sv) — training-side exploded form (the Lloyd update
+    needs a groupBy anyway; the encode hot path never uses this)."""
+    subs = F.array(*_subvector_slices(F.col("v"), m_sub, d_sub))
+    return e.select("vec_id", F.posexplode(subs).alias("m", "sv"))
+
+
+def pq_seed_codebooks(
+    e: DataFrame, m_sub: int, d_sub: int, k_sub: int
+) -> DataFrame:
+    """(m, cid, cv) seeds: the k_sub corpus vectors ranked first by
+    md5(vec_id) (same TakeOrdered + posexplode shape as
+    ivf_seed_centroids — no partition-less Window), each contributing
+    its M subvectors."""
+    ranked = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v"
+        )
+        .orderBy("h", "vec_id")
+        .limit(k_sub)
+    )
+    packed = ranked.agg(
+        F.array_sort(F.collect_list(F.struct("h", "vec_id", "v"))).alias("seeds")
+    )
+    cents = packed.select(F.posexplode("seeds").alias("cid", "s")).select(
+        "cid", F.col("s.v").alias("v")
+    )
+    subs = F.array(*_subvector_slices(F.col("v"), m_sub, d_sub))
+    return cents.select("cid", F.posexplode(subs).alias("m", "cv"))
+
+
+def _codebook_rows(books: DataFrame) -> dict[int, list]:
+    """Collect a codebook frame into {m: [cv ordered by cid]} — an
+    M x K x d_sub scalar probe, bounded by construction."""
+    by_m: dict[int, list] = {}
+    for r in books.collect():
+        by_m.setdefault(int(r["m"]), []).append((int(r["cid"]), list(r["cv"])))
+    return {m: [cv for _, cv in sorted(rows)] for m, rows in by_m.items()}
+
+
+def _cent_struct_lit(cvs: list) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in enumerate(cvs)
+        ]
+    )
+
+
+def pq_assign(es: DataFrame, books: DataFrame) -> DataFrame:
+    """Assign each (vec_id, m, sv) row to its nearest sub-centroid —
+    SHUFFLE-FREE: the nested codebook literal is indexed by m per row
+    and the argmin is an in-row struct(d2, cid) sort (ties to the
+    lower cid, exactly ROW_NUMBER ORDER BY d2, cid)."""
+    by_m = _codebook_rows(books)
+    books_lit = F.array(
+        *[_cent_struct_lit(by_m[m]) for m in sorted(by_m)]
+    )
+    cent_list = F.element_at(books_lit, F.col("m") + 1)
+    scored = F.transform(
+        cent_list,
+        lambda c: F.struct(
+            _dist2(F.col("sv"), c["cv"]).alias("d2"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return es.withColumn("code", best["cid"])
+
+
+def pq_update_codebooks(asg: DataFrame, d_sub: int) -> DataFrame:
+    """One Lloyd update per subspace: element-wise mean per (m, code)
+    on the 1e-6 fixed-point grid (engine-exact). Shuffle volume is
+    M x K x d_sub partials per partition, corpus-size-independent."""
+    comps = (
+        asg.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * QUANT_SCALE).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "m",
+            F.col("code").alias("cid"),
+            "pos",
+            (F.col("s").cast("double") / (F.lit(QUANT_SCALE) * F.col("n"))).alias(
+                "comp"
+            ),
+        )
+    )
+    return comps.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ).alias("cv")
+    )
+
+
+def pq_codebooks(
+    e: DataFrame,
+    m_sub: int = 4,
+    k_sub: int = 8,
+    n_iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """(m, cid, cv) after n_iters deterministic Lloyd iterations.
+    ``e`` is (vec_id, v: array<double>). Returned persisted — it is
+    collected once and re-inlined by encode and LUT construction."""
+    d_sub = dim // m_sub
+    books = pq_seed_codebooks(e, m_sub, d_sub, k_sub)
+    es = pq_subvectors(e, m_sub, d_sub)
+    for _ in range(n_iters):
+        books = pq_update_codebooks(pq_assign(es, books), d_sub)
+    return books.persist()
+
+
+def pq_encode(
+    e: DataFrame, by_m: dict[int, list], m_sub: int, d_sub: int
+) -> DataFrame:
+    """(vec_id, codes: array<int>) — the corpus compression step as a
+    PURE NARROW MAP: per subspace, an in-row argmin against the inlined
+    codebook; no explode, no exchange, nothing but the scan."""
+    def code_for(m: int) -> Column:
+        # NB: a plain one-arg lambda — pyspark dispatches HOF lambdas
+        # on arity, so a captured-default second parameter would be
+        # silently fed the ARRAY INDEX instead of the closure value.
+        sv = F.slice(F.col("v"), m * d_sub + 1, d_sub)
+        scored = F.transform(
+            _cent_struct_lit(by_m[m]),
+            lambda c: F.struct(
+                _dist2(sv, c["cv"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1)["cid"]
+
+    return e.select(
+        "vec_id", F.array(*[code_for(m) for m in range(m_sub)]).alias("codes")
+    )
+
+
+def pq_query_luts(
+    q: DataFrame, by_m: dict[int, list], m_sub: int, d_sub: int
+) -> DataFrame:
+    """(query_id, lut: array<array<double>>) — ADC lookup tables built
+    IN-PLAN (lut[m][cid] = d2(query subvector m, codebook m cid)), so
+    every double comes from the same engine arithmetic the oracle
+    replays; the frame is |queries| rows and rides the broadcast."""
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _dist2(
+                        F.slice(F.col("qv"), m * d_sub + 1, d_sub),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                    )
+                    for cv in by_m[m]
+                ]
+            )
+            for m in range(m_sub)
+        ]
+    )
+    return q.select("query_id", lut.alias("lut"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 4,
+    k_sub: int = 8,
+    n_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ/ADC: rank candidates by the sum of
+    per-subspace distances to the query, looked up from the broadcast
+    LUT — M lookups + M adds per candidate, D never touched.  Output
+    (query_id, neighbor_id, rank, adc_d2), adc_d2 ascending."""
+    d_sub = dim // m_sub
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    books = pq_codebooks(e, m_sub, k_sub, n_iters, dim)
+    by_m = _codebook_rows(books)
+    codes = pq_encode(e, by_m, m_sub, d_sub)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    luts = pq_query_luts(q, by_m, m_sub, d_sub)
+    score = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.element_at("lut", m + 1),
+            F.element_at("codes", m + 1) + 1,
+        )
+        score = term if score is None else score + term
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("adc_d2"),
+        )
+    )
+    return topk_per_query(scored, k, score_col="adc_d2", descending=False)

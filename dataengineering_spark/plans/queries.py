@@ -795,6 +795,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental",
     "char_stats",
     "html_strip",
+    "pq_ann",
 ]
 
 

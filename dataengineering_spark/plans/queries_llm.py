@@ -659,6 +659,130 @@ SQL_IVF_ANN = _ivf_sql(IVF_C, IVF_NPROBE, IVF_ITERS, DIM, 5)
 
 
 # ===========================================================================
+# Q: pq_ann — product-quantization ANN (the compression scale path
+# next to LSH bucketing and IVF cells). Per-subspace codebooks are
+# trained with the same deterministic Lloyd recipe as IVF (md5-ranked
+# seeds, fixed iterations, 1e-6 fixed-point sums), the corpus is
+# encoded to M codes per vector in a pure narrow map, and queries
+# rank candidates by ADC lookups against a broadcast in-plan LUT —
+# so the whole pipeline, training included, replays as a DuckDB CTE
+# chain bit-for-bit.
+# ===========================================================================
+
+PQ_M, PQ_K, PQ_ITERS = 4, 8, 1
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        m_sub=PQ_M,
+        k_sub=PQ_K,
+        n_iters=PQ_ITERS,
+        dim=DIM,
+    )
+
+
+def _pq_sql(m_sub: int, k_sub: int, n_iters: int, dim: int, k: int) -> str:
+    d_sub = dim // m_sub
+
+    def dd(a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    def dist2(v: str, c: str) -> str:
+        return f"({dd(v, v)} - 2*{dd(v, c)} + {dd(c, c)})"
+
+    def sub(v: str, m: int) -> str:
+        return f"{v}[{m * d_sub + 1}:{(m + 1) * d_sub}]"
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seeds AS (
+  SELECT rn - 1 AS cid, v AS cv FROM (
+    SELECT v, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e) WHERE rn <= {k_sub}
+)""",
+    ]
+    for m in range(m_sub):
+        ctes.append(
+            f"es_{m} AS (SELECT vec_id, {sub('v', m)} AS sv FROM e)"
+        )
+        cents = f"seeds_{m}"
+        ctes.append(f"{cents} AS (SELECT cid, {sub('cv', m)} AS cv FROM seeds)")
+        for i in range(n_iters):
+            ctes.append(
+                f"""asg{i}_{m} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT s.vec_id, s.sv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {dist2('s.sv', 'c.cv')}, c.cid) AS rn
+    FROM es_{m} s CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+            )
+            cents = f"cent{i + 1}_{m}"
+            ctes.append(
+                f"""{cents} AS (
+  SELECT cid, list(comp ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(floor(sv[pos] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / (1000000.0 * COUNT(*)) AS comp
+    FROM asg{i}_{m}, range(1, {d_sub + 1}) t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid
+)"""
+            )
+        ctes.append(
+            f"""codes_{m} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT s.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {dist2('s.sv', 'c.cv')}, c.cid) AS rn
+    FROM es_{m} s CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"centarr_{m} AS (SELECT list(cv ORDER BY cid) AS cvs FROM {cents})"
+        )
+    code_joins = " ".join(
+        f"JOIN codes_{m} c{m} USING (vec_id)" for m in range(1, m_sub)
+    )
+    code_list = ", ".join(f"c{m}.code" for m in range(m_sub))
+    ctes.append(
+        f"codes AS (SELECT c0.vec_id, [{code_list}] AS codes FROM codes_0 c0 {code_joins})"
+    )
+    ctes.append("q AS (SELECT vec_id, v FROM e WHERE vec_id < 10)")
+    cent_crosses = " ".join(f"CROSS JOIN centarr_{m} a{m}" for m in range(m_sub))
+    terms = " + ".join(
+        dist2(sub("q.v", m), f"a{m}.cvs[c.codes[{m + 1}] + 1]")
+        for m in range(m_sub)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {terms} AS adc_d2
+  FROM codes c CROSS JOIN q {cent_crosses}
+  WHERE c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, adc_d2 FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_PQ_ANN = _pq_sql(PQ_M, PQ_K, PQ_ITERS, DIM, 5)
+
+
+# ===========================================================================
 # Q: embedding_neardup — embedding-cosine near-duplicate pairs, LSH-
 # prefiltered: candidates share a hyperplane bucket (the 100 TB scale
 # path — the bucket column doubles as the corpus partition key), then
@@ -1668,6 +1792,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN, "north-star:similarity"),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN, "north-star:similarity"),
+    "pq_ann": (q_pq_ann, SQL_PQ_ANN, "north-star:similarity PQ/ADC"),
     "embedding_neardup": (
         q_embedding_neardup,
         SQL_EMBEDDING_NEARDUP,

@@ -62,14 +62,17 @@ def test_no_cartesian_products_anywhere(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in (
             "cosine_topk",
             "ivf_ann",
+            "pq_ann",
             "dormant_customers",
             "important_parts",
         ):
             # cosine_topk's query-broadcast crossJoin, ivf_ann's
-            # centroid-assignment crossJoin, and dormant_customers' /
-            # important_parts' 1-row scalar-subquery attaches are the
-            # deliberate nested-loops: the broadcast side (|queries|,
-            # C centroids, one scalar row) is tiny by contract.
+            # centroid-assignment crossJoin, pq_ann's broadcast-LUT
+            # crossJoin, and dormant_customers' / important_parts'
+            # 1-row scalar-subquery attaches are the deliberate
+            # nested-loops: the broadcast side (|queries|, C
+            # centroids, one LUT row per query, one scalar row) is
+            # tiny by contract.
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
 
@@ -199,3 +202,24 @@ def test_incremental_lsh_broadcasts_new_batch(spark):
     plan = plan_of(cand)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_encode_is_narrow_map(spark):
+    """PQ corpus encoding must be a pure narrow map: codebooks inlined
+    as literals, per-subspace argmin in-row — no Exchange, Join, or
+    Window between the corpus scan and the code column."""
+    from dataengineering_spark.operators.similarity import (
+        _codebook_rows,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = read_table(spark, "embeddings", SF_ORACLE)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    by_m = _codebook_rows(pq_codebooks(e, 4, 8, 1, 64))
+    plan = plan_of(pq_encode(e, by_m, 4, 16))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
