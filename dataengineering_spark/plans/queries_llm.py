@@ -1186,8 +1186,11 @@ FROM s
 # Spark rounds the float's shortest decimal representation while
 # DuckDB rounds the exact binary value, and they disagree on
 # halfway-looking floats; floor(x*1e6 + 0.5) is the same double
-# arithmetic in both engines.) Re-assembled into an ordered array
-# engine-side.
+# arithmetic in both engines.) Emitted EXPLODED as one scalar row per
+# (label, dim) — never as an array column: the external driver's
+# pandas canonicalizer sorts cell values and list cells are
+# unhashable, so array/map/struct outputs can never earn a green
+# correctness row (CI-guarded in tests/test_registry_scalar.py).
 # ===========================================================================
 
 
@@ -1205,14 +1208,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(1000000.0))
         ).alias("avg_val")
     )
-    cent = per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "avg_val"))),
-            lambda s: s["avg_val"],
-        ).alias("centroid")
-    )
     nv = emb.groupBy("label").agg(F.countDistinct("vec_id").alias("n_vectors"))
-    return cent.join(nv, "label").select("label", "n_vectors", "centroid")
+    return per_dim.join(F.broadcast(nv), "label").select(
+        "label", F.col("dim").cast("int").alias("dim"), "avg_val", "n_vectors"
+    )
 
 
 SQL_LABEL_CENTROIDS = """
@@ -1225,13 +1224,12 @@ WITH e AS (
                   AS BIGINT)) AS DOUBLE)
       / (COUNT(*) * 1000000.0) AS avg_val
   FROM e GROUP BY label, dim
-), c AS (
-  SELECT label, list(avg_val ORDER BY dim) AS centroid FROM v GROUP BY label
 ), n AS (
   SELECT label, COUNT(DISTINCT vec_id) AS n_vectors
   FROM embeddings GROUP BY label
 )
-SELECT label, n_vectors, centroid FROM c JOIN n USING (label)
+SELECT label, CAST(dim AS INTEGER) AS dim, avg_val, n_vectors
+FROM v JOIN n USING (label)
 """
 
 
