@@ -11,6 +11,7 @@ file-listing + footer-read pass) and centralizes name routing.
 
 from __future__ import annotations
 
+import functools
 import os
 from enum import Enum
 
@@ -134,20 +135,69 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # a broadcast hash join, never a shuffle.
 BROADCAST_DIMS = frozenset({"region", "nation", "customer", "supplier", "part"})
 
-# The driver's parquet stores TIMESTAMP(NANOS) which Spark's parquet
-# reader rejects outright. We read those columns as raw nanos longs
-# (legacy.parquet.nanosAsLong) and convert with *integer* division —
-# ns values (~1.7e18) exceed double's exact-integer range, so a
-# float path would drift by ±1µs vs the DuckDB oracle's truncation.
-NANO_TS_COLS: dict[str, tuple[str, ...]] = {
-    "events": ("ts",),  # orders/lineitem are TIMESTAMP(MILLIS): native
-}
+# Some corpus generations store TIMESTAMP(NANOS), which Spark's parquet
+# reader rejects outright. Rather than hardcoding which tables carry
+# nanos (a unit change on regeneration silently corrupts every
+# downstream timestamp — see round-4 postmortem), we sniff the actual
+# timeUnit from the parquet footer and apply the nanos-as-long path
+# only when the file really declares nanoseconds. The conversion uses
+# *integer* division — ns values (~1.7e18) exceed double's
+# exact-integer range, so a float path would drift by ±1µs vs the
+# DuckDB oracle's truncation.
 
 
 def _nanos_to_ntz(col: str):
     from pyspark.sql import functions as F
 
     return F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
+
+
+def _first_parquet_file(path: str) -> str | None:
+    """Resolve a parquet path (file or directory) to one footer to sniff."""
+    if os.path.isfile(path):
+        return path
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                return os.path.join(path, entry)
+    return None
+
+
+def _sniff_nano_cols(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:
+    """Return the subset of ``ts_cols`` stored as TIMESTAMP(NANOS) in ``path``.
+
+    Footer-only read (no data pages); cached per (path, cols) since the
+    corpus files are immutable within a run. Non-local / unreadable
+    paths fall back to () — i.e. trust the pinned schema — which is
+    correct for every unit except nanos, where Spark fails loudly
+    rather than reading garbage.
+    """
+    return _sniff_nano_cols_cached(path, ts_cols)
+
+
+@functools.lru_cache(maxsize=256)
+def _sniff_nano_cols_cached(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:
+    if not ts_cols:
+        return ()
+    target = _first_parquet_file(path)
+    if target is None:
+        return ()
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(target)
+    except Exception:
+        return ()
+    out = []
+    for c in ts_cols:
+        idx = arrow_schema.get_field_index(c)
+        if idx < 0:
+            continue
+        typ = arrow_schema.field(idx).type
+        if pa.types.is_timestamp(typ) and typ.unit == "ns":
+            out.append(c)
+    return tuple(out)
 
 
 # Fact-scan parallelism floor. The driver's single-file parquet tables
@@ -186,11 +236,16 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     Timestamp columns land as TimestampNTZType (the files are
     isAdjustedToUTC=false), truncated ns→µs exactly like DuckDB.
     """
-    from pyspark.sql import functions as F
     from pyspark.sql import types as Ty
 
-    nano_cols = NANO_TS_COLS.get(name, ())
     schema = SCHEMAS.get(name)
+    path = f"{sf_dir}/{name}.parquet"
+    ts_cols = tuple(
+        f.name
+        for f in (schema.fields if schema is not None else ())
+        if isinstance(f.dataType, (Ty.TimestampNTZType, Ty.TimestampType))
+    )
+    nano_cols = _sniff_nano_cols(path, ts_cols)
     reader = spark.read
     if schema is not None:
         if nano_cols:
@@ -203,7 +258,6 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if nano_cols:
         # settable at runtime so this works under the driver's own session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/{name}.parquet"
     df = _spread_if_narrow(spark, reader.parquet(path), path)
     for c in nano_cols:
         df = df.withColumn(c, _nanos_to_ntz(c))

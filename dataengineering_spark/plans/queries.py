@@ -749,53 +749,62 @@ _register_extra_queries()
 # driver row get checked before long-stable ones rotate back in.  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
 _DRIVER_PRIORITY: list[str] = [
-    # failed hash in r1; fix is pytest-green but never driver-confirmed
-    "priority_line_counts",
-    # never driver-checked in any round
-    "active_customers",
-    "kmv_distinct",
-    "log_index_desc",
-    "user_type_universe",
-    # green in r1 only, displaced from the r02 50-slot run
-    "dormant_customers",
-    "promo_revenue",
-    "returns_rollup",
+    # --- r4-red (timestamp-unit bug, fixed r5): re-confirm first ---
     "session_window",
     "sliding_window",
-    "topk_per_group",
-    "user_event_pivot",
-    "value_percentiles",
-    # new in round 3
-    "kmv_merge",
-    "market_share",
-    "waiting_suppliers",
-    "asof_join_nulls",
-    "jpeg_meta",
-    "frame_sample",
-    "bin_packing",
-    "hll_merge",
-    "product_profit",
-    "returned_revenue",
-    "important_parts",
-    "top_supplier",
-    "large_volume_customers",
-    "disjunctive_revenue",
-    "doc_rarity",
-    "table_profile",
-    "histogram_merge",
-    "label_centroids",
-    "repetition_metrics",
-    "dedup_survivors",
-    "redact_pii",
     "gapfill_hourly",
     "rolling_24h",
-    "late_order_priority",
-    "forecast_revenue",
-    "benchmark_overlap",
-    "dedup_incremental",
-    "char_stats",
-    "html_strip",
-    "pq_ann",
+    "transactions_agg",
+    "chain_state_pivot",
+    "enrichment_pipeline",
+    # --- new in round 5: never driver-checked ---
+    "ivfpq_ann",
+    "bin_packing_merged",
+    # --- driver-stale: last green row is r1/r2; rotate back into the
+    #     50-slot window (events-table ones first — same bug family) ---
+    "tumbling_window",
+    "interval_join",
+    "filtered_events",
+    "grouped_counts",
+    "constant_key_join",
+    "top1_by_order",
+    "distinct_universe",
+    "union_all",
+    "missing_keys",
+    "dedup_exact",
+    "scale_and_reset",
+    "full_outer_join",
+    "hedera_extract",
+    "sync_next_range",
+    "media_durations",
+    "token_count",
+    "doc_fingerprint",
+    "quality_score",
+    "lang_id",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "simhash_fingerprint",
+    "simhash_neardup",
+    "cosine_topk",
+    "lsh_ann",
+    "ivf_ann",
+    "embedding_neardup",
+    "multimodal_metadata",
+    "order_count_distribution",
+    "supplier_part_counts",
+    "min_cost_supplier",
+    "shipping_priority",
+    "local_supplier_volume",
+    "doc_chunks",
+    "token_shards",
+    "hash_sample",
+    "stratified_sample",
+    "image_decode",
+    "asof_join",
+    "nation_trade_volume",
+    "small_quantity_revenue",
+    "prominent_suppliers",
 ]
 
 

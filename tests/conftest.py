@@ -19,8 +19,26 @@ SF_ORACLE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("dataengineering-spark-tests", shuffle_partitions=8)
+    _assert_ts_sanity(s)
     yield s
     s.stop()
+
+
+def _assert_ts_sanity(spark):
+    """Canary: events.ts must decode to plausible wall-clock values.
+
+    A parquet timeUnit regeneration read with the wrong unit lands every
+    event near the 1970 epoch and surfaces as dozens of mysterious hash
+    mismatches downstream — fail loudly here instead (round-4 postmortem).
+    """
+    import datetime
+
+    from dataengineering_spark.catalog import read_table
+
+    lo = read_table(spark, "events", SF_ORACLE).agg({"ts": "min"}).collect()[0][0]
+    assert lo is not None and lo > datetime.datetime(
+        2000, 1, 1
+    ), f"events.ts decodes to {lo}: parquet timestamp unit mis-read"
 
 
 @pytest.fixture(scope="session")
