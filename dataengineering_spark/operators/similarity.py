@@ -408,7 +408,14 @@ def _codebook_rows(books: DataFrame) -> dict[int, list]:
     by_m: dict[int, list] = {}
     for r in books.collect():
         by_m.setdefault(int(r["m"]), []).append((int(r["cid"]), list(r["cv"])))
-    return {m: [cv for _, cv in sorted(rows)] for m, rows in by_m.items()}
+    out = {m: [cv for _, cv in sorted(rows)] for m, rows in by_m.items()}
+    for m, rows in by_m.items():
+        cids = sorted(cid for cid, _ in rows)
+        # Positional indexing downstream (encode argmin, ADC LUT) is
+        # only valid on a dense 0..K-1 cid space; pq_codebooks'
+        # carry-forward guarantees it, so a gap here is a logic bug.
+        assert cids == list(range(len(cids))), f"sparse PQ cids in subspace {m}: {cids}"
+    return out
 
 
 def _cent_struct_lit(cvs: list) -> Column:
@@ -484,7 +491,22 @@ def pq_codebooks(
     books = pq_seed_codebooks(e, m_sub, d_sub, k_sub)
     es = pq_subvectors(e, m_sub, d_sub)
     for _ in range(n_iters):
-        books = pq_update_codebooks(pq_assign(es, books), d_sub)
+        upd = pq_update_codebooks(pq_assign(es, books), d_sub)
+        # Empty-cluster guard: a code with zero assignments this round
+        # keeps its previous centroid instead of vanishing. Without
+        # this the cid space goes sparse and the positional codebook
+        # arrays (encode argmin, ADC LUT index) silently desynchronize
+        # from any engine that kept original cids — a divergence that
+        # only shows up when the data happens to produce an empty code.
+        books = (
+            books.alias("prev")
+            .join(upd.alias("upd"), on=["m", "cid"], how="left")
+            .select(
+                "m",
+                "cid",
+                F.coalesce(F.col("upd.cv"), F.col("prev.cv")).alias("cv"),
+            )
+        )
     return books.persist()
 
 

@@ -724,9 +724,10 @@ def _pq_sql(m_sub: int, k_sub: int, n_iters: int, dim: int, k: int) -> str:
     FROM es_{m} s CROSS JOIN {cents} c) WHERE rn = 1
 )"""
             )
+            prev = cents
             cents = f"cent{i + 1}_{m}"
             ctes.append(
-                f"""{cents} AS (
+                f"""upd{i + 1}_{m} AS (
   SELECT cid, list(comp ORDER BY pos) AS cv FROM (
     SELECT cid, pos,
       CAST(SUM(CAST(floor(sv[pos] * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -734,6 +735,15 @@ def _pq_sql(m_sub: int, k_sub: int, n_iters: int, dim: int, k: int) -> str:
     FROM asg{i}_{m}, range(1, {d_sub + 1}) t(pos)
     GROUP BY cid, pos)
   GROUP BY cid
+)"""
+            )
+            # empty-cluster carry-forward: a code with zero assignments
+            # keeps the previous centroid (mirrors pq_codebooks), so
+            # the cid space stays dense 0..K-1 on both engines.
+            ctes.append(
+                f"""{cents} AS (
+  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN upd{i + 1}_{m} u USING (cid)
 )"""
             )
         ctes.append(
