@@ -33,6 +33,7 @@ from dataengineering_spark.operators.similarity import (
     cosine_topk,
     ivf_centroids,
     ivf_topk,
+    ivfpq_topk,
     lsh_cosine_topk,
 )
 from dataengineering_spark.operators.skew import (
@@ -72,6 +73,7 @@ __all__ = [
     "cosine_topk",
     "ivf_centroids",
     "ivf_topk",
+    "ivfpq_topk",
     "lsh_cosine_topk",
     "simhash_neardup_pairs",
     "salted_join",

@@ -193,28 +193,40 @@ def ivf_seed_centroids(e: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-def ivf_assign(e: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
+def _centroid_rows(cents: DataFrame) -> list[tuple[int, list]]:
+    """Collect a (cid, cv) centroid frame into sorted driver rows —
+    a bounded C × dim scalar probe. Collecting ONCE per training step
+    and re-inlining as literals keeps every downstream assign a narrow
+    map and means nothing needs to stay persisted across steps."""
+    return sorted((int(r["cid"]), list(r["cv"])) for r in cents.collect())
+
+
+def ivf_assign(
+    e: DataFrame, cents: DataFrame | list, n: int = 1
+) -> DataFrame:
     """Assign each vector to its n nearest centroids (n=1: cell
     assignment; n=nprobe: query probe list) — SHUFFLE-FREE.
 
     The C centroids (a bounded C × dim scalar probe, C ≤ dozens by
-    construction) are collected and inlined as an array-of-structs
-    literal; each row then sorts ``struct(d2, cid)`` in-place and keeps
-    the first n — a narrow map, no Exchange anywhere between the
-    corpus scan and its cell id. The earlier crossJoin + Window shape
-    shuffled corpus × C scored rows per Lloyd iteration; at 100 TB
-    that is a C× shuffle amplification of the whole corpus, repeated
-    n_iters+1 times. ``array_sort`` on structs orders by (d2, cid) —
-    the exact tie-break the Window used, so results are bit-identical.
+    construction; pass pre-collected ``_centroid_rows`` output to reuse
+    one collect across several assigns) are inlined as an
+    array-of-structs literal; each row then sorts ``struct(d2, cid)``
+    in-place and keeps the first n — a narrow map, no Exchange anywhere
+    between the corpus scan and its cell id. The earlier crossJoin +
+    Window shape shuffled corpus × C scored rows per Lloyd iteration;
+    at 100 TB that is a C× shuffle amplification of the whole corpus,
+    repeated n_iters+1 times. ``array_sort`` on structs orders by
+    (d2, cid) — the exact tie-break the Window used, so results are
+    bit-identical.
     """
-    rows = sorted(cents.collect(), key=lambda r: r["cid"])  # C rows, bounded
+    rows = cents if isinstance(cents, list) else _centroid_rows(cents)
     cent_lit = F.array(
         *[
             F.struct(
-                F.lit(int(r["cid"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
             )
-            for r in rows
+            for cid, cv in rows
         ]
     )
     scored = F.transform(
@@ -256,6 +268,19 @@ def ivf_update_centroids(asg: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def ivf_train_rows(
+    e: DataFrame, n_centroids: int = 8, n_iters: int = 2, dim: int = 64
+) -> list[tuple[int, list]]:
+    """Driver-side Lloyd loop: each iteration assigns against inlined
+    literals (narrow map) and collects only the C × dim centroid
+    update. Nothing is persisted and lineage never grows — iteration i
+    depends only on the literals of iteration i-1, not its plan."""
+    rows = _centroid_rows(ivf_seed_centroids(e, n_centroids))
+    for _ in range(n_iters):
+        rows = _centroid_rows(ivf_update_centroids(ivf_assign(e, rows), dim))
+    return rows
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -265,14 +290,15 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(cid, cv) after n_iters Lloyd iterations from deterministic
-    seeds. Returned persisted — it is re-read by assignment and probe."""
+    seeds — frame view of :func:`ivf_train_rows` for callers that want
+    to inspect or join the codebook."""
     e = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = ivf_seed_centroids(e, n_centroids)
-    for _ in range(n_iters):
-        cents = ivf_update_centroids(ivf_assign(e, cents), dim)
-    return cents.persist()
+    rows = ivf_train_rows(e, n_centroids, n_iters, dim)
+    return corpus.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in rows], "cid INT, cv ARRAY<DOUBLE>"
+    )
 
 
 def ivf_topk(
@@ -291,14 +317,14 @@ def ivf_topk(
     e = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = ivf_centroids(corpus, n_centroids, n_iters, dim, id_col, vec_col)
-    cells = ivf_assign(e, cents).select(
+    cent_rows = ivf_train_rows(e, n_centroids, n_iters, dim)
+    cells = ivf_assign(e, cent_rows).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
     )
     q = queries.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    probes = ivf_assign(q, cents, n=nprobe).select(
+    probes = ivf_assign(q, cent_rows, n=nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
     scored = (
@@ -430,12 +456,11 @@ def _cent_struct_lit(cvs: list) -> Column:
     )
 
 
-def pq_assign(es: DataFrame, books: DataFrame) -> DataFrame:
+def pq_assign(es: DataFrame, by_m: dict[int, list]) -> DataFrame:
     """Assign each (vec_id, m, sv) row to its nearest sub-centroid —
     SHUFFLE-FREE: the nested codebook literal is indexed by m per row
     and the argmin is an in-row struct(d2, cid) sort (ties to the
     lower cid, exactly ROW_NUMBER ORDER BY d2, cid)."""
-    by_m = _codebook_rows(books)
     books_lit = F.array(
         *[_cent_struct_lit(by_m[m]) for m in sorted(by_m)]
     )
@@ -477,6 +502,42 @@ def pq_update_codebooks(asg: DataFrame, d_sub: int) -> DataFrame:
     )
 
 
+def pq_train_books(
+    e: DataFrame,
+    m_sub: int = 4,
+    k_sub: int = 8,
+    n_iters: int = 1,
+    dim: int = 64,
+) -> dict[int, list]:
+    """{m: [cv ordered by cid]} after n_iters deterministic Lloyd
+    iterations. ``e`` is (vec_id, v: array<double>).
+
+    Driver-side loop like :func:`ivf_train_rows`: each iteration
+    assigns against inlined literals and collects only the
+    M × K × d_sub update — no persist, no lineage growth.
+
+    Empty-cluster guard: a code with zero assignments this round keeps
+    its previous centroid instead of vanishing. Without this the cid
+    space goes sparse and the positional codebook arrays (encode
+    argmin, ADC LUT index) silently desynchronize from any engine that
+    kept original cids — a divergence that only shows up when the data
+    happens to produce an empty code.
+    """
+    d_sub = dim // m_sub
+    by_m = _codebook_rows(pq_seed_codebooks(e, m_sub, d_sub, k_sub))
+    es = pq_subvectors(e, m_sub, d_sub)
+    for _ in range(n_iters):
+        upd = pq_update_codebooks(pq_assign(es, by_m), d_sub)
+        upd_rows = {
+            (int(r["m"]), int(r["cid"])): list(r["cv"]) for r in upd.collect()
+        }
+        by_m = {
+            m: [upd_rows.get((m, cid), cv) for cid, cv in enumerate(cvs)]
+            for m, cvs in by_m.items()
+        }
+    return by_m
+
+
 def pq_codebooks(
     e: DataFrame,
     m_sub: int = 4,
@@ -484,38 +545,25 @@ def pq_codebooks(
     n_iters: int = 1,
     dim: int = 64,
 ) -> DataFrame:
-    """(m, cid, cv) after n_iters deterministic Lloyd iterations.
-    ``e`` is (vec_id, v: array<double>). Returned persisted — it is
-    collected once and re-inlined by encode and LUT construction."""
-    d_sub = dim // m_sub
-    books = pq_seed_codebooks(e, m_sub, d_sub, k_sub)
-    es = pq_subvectors(e, m_sub, d_sub)
-    for _ in range(n_iters):
-        upd = pq_update_codebooks(pq_assign(es, books), d_sub)
-        # Empty-cluster guard: a code with zero assignments this round
-        # keeps its previous centroid instead of vanishing. Without
-        # this the cid space goes sparse and the positional codebook
-        # arrays (encode argmin, ADC LUT index) silently desynchronize
-        # from any engine that kept original cids — a divergence that
-        # only shows up when the data happens to produce an empty code.
-        books = (
-            books.alias("prev")
-            .join(upd.alias("upd"), on=["m", "cid"], how="left")
-            .select(
-                "m",
-                "cid",
-                F.coalesce(F.col("upd.cv"), F.col("prev.cv")).alias("cv"),
-            )
-        )
-    return books.persist()
+    """(m, cid, cv) frame view of :func:`pq_train_books`."""
+    by_m = pq_train_books(e, m_sub, k_sub, n_iters, dim)
+    return e.sparkSession.createDataFrame(
+        [(m, cid, cv) for m, cvs in by_m.items() for cid, cv in enumerate(cvs)],
+        "m INT, cid INT, cv ARRAY<DOUBLE>",
+    )
 
 
 def pq_encode(
-    e: DataFrame, by_m: dict[int, list], m_sub: int, d_sub: int
+    e: DataFrame,
+    by_m: dict[int, list],
+    m_sub: int,
+    d_sub: int,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, codes: array<int>) — the corpus compression step as a
-    PURE NARROW MAP: per subspace, an in-row argmin against the inlined
-    codebook; no explode, no exchange, nothing but the scan."""
+    """(vec_id, codes: array<int>, *keep) — the corpus compression step
+    as a PURE NARROW MAP: per subspace, an in-row argmin against the
+    inlined codebook; no explode, no exchange, nothing but the scan.
+    ``keep`` passes extra columns through (e.g. the IVF cell id)."""
     def code_for(m: int) -> Column:
         # NB: a plain one-arg lambda — pyspark dispatches HOF lambdas
         # on arity, so a captured-default second parameter would be
@@ -530,7 +578,9 @@ def pq_encode(
         return F.element_at(F.array_sort(scored), 1)["cid"]
 
     return e.select(
-        "vec_id", F.array(*[code_for(m) for m in range(m_sub)]).alias("codes")
+        "vec_id",
+        F.array(*[code_for(m) for m in range(m_sub)]).alias("codes"),
+        *keep,
     )
 
 
@@ -578,8 +628,7 @@ def pq_adc_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    books = pq_codebooks(e, m_sub, k_sub, n_iters, dim)
-    by_m = _codebook_rows(books)
+    by_m = pq_train_books(e, m_sub, k_sub, n_iters, dim)
     codes = pq_encode(e, by_m, m_sub, d_sub)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -595,6 +644,77 @@ def pq_adc_topk(
         score = term if score is None else score + term
     scored = (
         codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("adc_d2"),
+        )
+    )
+    return topk_per_query(scored, k, score_col="adc_d2", descending=False)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+    m_sub: int = 4,
+    k_sub: int = 8,
+    pq_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN path. The coarse quantizer
+    prunes the candidate set to the query's nprobe cells; PQ codes +
+    an ADC lookup keep the per-candidate cost at M array reads.
+
+    Plan shape: ONE pass over the corpus computes both the cell id and
+    the M codes (a single narrow map — ``pq_encode`` over the
+    ``ivf_assign`` output, no join between them), then an equi-join on
+    cid against the BROADCAST probe×LUT frame scores only candidates
+    in probed cells. The corpus is never shuffled; at scale the cid
+    doubles as the storage partition key, so probing n cells is a
+    partition-pruned scan of the code table (4-byte codes, not D
+    doubles). Output (query_id, neighbor_id, rank, adc_d2) ascending.
+    """
+    d_sub = dim // m_sub
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent_rows = ivf_train_rows(e, n_centroids, coarse_iters, dim)
+    by_m = pq_train_books(e, m_sub, k_sub, pq_iters, dim)
+    enc = pq_encode(ivf_assign(e, cent_rows), by_m, m_sub, d_sub, keep=("cid",))
+
+    q = queries.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    probes = ivf_assign(q, cent_rows, n=nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    luts = pq_query_luts(
+        q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+        by_m,
+        m_sub,
+        d_sub,
+    )
+    probe_luts = probes.join(F.broadcast(luts), on="query_id").select(
+        "query_id", "cid", "lut"
+    )
+    score = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.element_at("lut", m + 1),
+            F.element_at("codes", m + 1) + 1,
+        )
+        score = term if score is None else score + term
+    scored = (
+        enc.join(F.broadcast(probe_luts), on="cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -687,20 +687,29 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql(m_sub: int, k_sub: int, n_iters: int, dim: int, k: int) -> str:
-    d_sub = dim // m_sub
+def _dd(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
 
-    def dd(a: str, b: str) -> str:
-        return f"list_dot_product({a}, {b})"
+
+def _d2(v: str, c: str) -> str:
+    return f"({_dd(v, v)} - 2*{_dd(v, c)} + {_dd(c, c)})"
+
+
+def _pq_codebook_ctes(
+    m_sub: int, k_sub: int, n_iters: int, d_sub: int
+) -> tuple[list, str, "callable"]:
+    """Shared PQ training/encoding CTE chain over an existing ``e``
+    (vec_id, v) CTE. Returns (ctes, cent_crosses, adc_terms(qexpr)) —
+    reused verbatim by the standalone PQ oracle and the IVF-PQ one so
+    the two can never drift."""
 
     def dist2(v: str, c: str) -> str:
-        return f"({dd(v, v)} - 2*{dd(v, c)} + {dd(c, c)})"
+        return _d2(v, c)
 
     def sub(v: str, m: int) -> str:
         return f"{v}[{m * d_sub + 1}:{(m + 1) * d_sub}]"
 
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""seeds AS (
   SELECT rn - 1 AS cid, v AS cv FROM (
     SELECT v, ROW_NUMBER() OVER (
@@ -765,18 +774,31 @@ def _pq_sql(m_sub: int, k_sub: int, n_iters: int, dim: int, k: int) -> str:
     ctes.append(
         f"codes AS (SELECT c0.vec_id, [{code_list}] AS codes FROM codes_0 c0 {code_joins})"
     )
-    ctes.append("q AS (SELECT vec_id, v FROM e WHERE vec_id < 10)")
     cent_crosses = " ".join(f"CROSS JOIN centarr_{m} a{m}" for m in range(m_sub))
-    terms = " + ".join(
-        dist2(sub("q.v", m), f"a{m}.cvs[c.codes[{m + 1}] + 1]")
-        for m in range(m_sub)
-    )
+
+    def adc_terms(qexpr: str) -> str:
+        return " + ".join(
+            dist2(sub(qexpr, m), f"a{m}.cvs[c.codes[{m + 1}] + 1]")
+            for m in range(m_sub)
+        )
+
+    return ctes, cent_crosses, adc_terms
+
+
+def _pq_sql(m_sub: int, k_sub: int, n_iters: int, dim: int, k: int) -> str:
+    d_sub = dim // m_sub
+    ctes, cent_crosses, adc_terms = _pq_codebook_ctes(m_sub, k_sub, n_iters, d_sub)
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        *ctes,
+        "q AS (SELECT vec_id, v FROM e WHERE vec_id < 10)",
+    ]
     joined = ",\n".join(ctes)
     return f"""
 WITH {joined},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    {terms} AS adc_d2
+    {adc_terms('q.v')} AS adc_d2
   FROM codes c CROSS JOIN q {cent_crosses}
   WHERE c.vec_id != q.vec_id
 ),
@@ -790,6 +812,116 @@ SELECT query_id, neighbor_id, rank, adc_d2 FROM ranked WHERE rank <= {k}
 
 
 SQL_PQ_ANN = _pq_sql(PQ_M, PQ_K, PQ_ITERS, DIM, 5)
+
+
+# ===========================================================================
+# Q: ivfpq_ann — the COMPOSED scale path: IVF coarse cells prune the
+# candidate set to the query's nprobe cells, PQ codes + ADC keep the
+# per-candidate cost at M lookups. One corpus pass computes cell id
+# and codes together (narrow map); scoring is an equi-join on cid
+# against the broadcast probe×LUT frame — at 100 TB the cid is the
+# storage partition key, so a query reads nprobe partitions of 4-byte
+# codes instead of the corpus.
+# ===========================================================================
+
+IVFPQ_C, IVFPQ_NPROBE, IVFPQ_COARSE_ITERS = 8, 2, 2
+
+
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=IVFPQ_C,
+        nprobe=IVFPQ_NPROBE,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m_sub=PQ_M,
+        k_sub=PQ_K,
+        pq_iters=PQ_ITERS,
+        dim=DIM,
+    )
+
+
+def _ivfpq_sql(
+    n_centroids: int,
+    nprobe: int,
+    coarse_iters: int,
+    m_sub: int,
+    k_sub: int,
+    pq_iters: int,
+    dim: int,
+    k: int,
+) -> str:
+    d_sub = dim // m_sub
+
+    def cassign(name: str, src: str, cents: str, n: int) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {_d2('s.v', 'c.cv')}, c.cid) AS rn
+    FROM {src} s CROSS JOIN {cents} c) WHERE rn <= {n}
+)"""
+
+    coarse = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""cseeds AS (
+  SELECT rn - 1 AS cid, v AS cv FROM (
+    SELECT v, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e) WHERE rn <= {n_centroids}
+)""",
+    ]
+    cents = "cseeds"
+    for i in range(coarse_iters):
+        coarse.append(cassign(f"casg{i}", "e", cents, 1))
+        cents = f"ccent{i + 1}"
+        coarse.append(
+            f"""{cents} AS (
+  SELECT cid, list(comp ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(floor(v[pos] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / (1000000.0 * COUNT(*)) AS comp
+    FROM casg{i}, range(1, {dim + 1}) t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid
+)"""
+        )
+    coarse.append(cassign("cells", "e", cents, 1))
+    coarse.append(
+        cassign("probes", "(SELECT * FROM e WHERE vec_id < 10)", cents, nprobe)
+    )
+
+    pq_ctes, cent_crosses, adc_terms = _pq_codebook_ctes(
+        m_sub, k_sub, pq_iters, d_sub
+    )
+    joined = ",\n".join(coarse + pq_ctes)
+    return f"""
+WITH {joined},
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {adc_terms('p.v')} AS adc_d2
+  FROM codes c
+  JOIN cells l ON c.vec_id = l.vec_id
+  JOIN probes p ON l.cid = p.cid
+  {cent_crosses}
+  WHERE c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, adc_d2 FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_IVFPQ_ANN = _ivfpq_sql(
+    IVFPQ_C, IVFPQ_NPROBE, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS, DIM, 5
+)
 
 
 # ===========================================================================
@@ -1801,6 +1933,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN, "north-star:similarity"),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN, "north-star:similarity"),
     "pq_ann": (q_pq_ann, SQL_PQ_ANN, "north-star:similarity PQ/ADC"),
+    "ivfpq_ann": (q_ivfpq_ann, SQL_IVFPQ_ANN, "north-star:similarity IVF-PQ"),
     "embedding_neardup": (
         q_embedding_neardup,
         SQL_EMBEDDING_NEARDUP,

@@ -223,3 +223,20 @@ def test_pq_encode_is_narrow_map(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ivfpq_scores_only_probed_cells(spark):
+    """IVF-PQ composition: the ADC scoring join must be an equi-join on
+    the cell id against a broadcast probe frame — never a cartesian
+    against the full code table — so only candidates in probed cells
+    are ever scored. The corpus side stays shuffle-free: cell assign +
+    PQ encode fuse into the scan stage, so the only exchanges in the
+    whole plan belong to the final bounded top-k windows."""
+    from dataengineering_spark.plans.queries_llm import q_ivfpq_ann
+
+    df = q_ivfpq_ann(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin [cid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
