@@ -198,7 +198,9 @@ def mean_word_length(words: Column) -> Column:
 # RE2 (DuckDB) implement identically — character classes and bounded
 # quantifiers, no backreferences, no lookaround, no \b.
 
-EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# (?i) — inline case-insensitivity is in the Java/RE2 common subset;
+# without it 'John.Doe@Gmail.com' sails through redaction unharmed.
+EMAIL_PATTERN = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_PATTERN = r"555-[0-9]{4}"
 
 

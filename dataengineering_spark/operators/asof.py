@@ -54,6 +54,21 @@ def asof_join(
     value_cols = list(value_cols)
     left_cols = left.columns
 
+    # The tagged-stream composition owns a small internal namespace;
+    # a key or value column with one of these names would silently
+    # collide (e.g. a value column literally named '_mts' would give
+    # the match struct two '_mts' fields and tolerance would read the
+    # wrong one). Fail loudly instead.
+    reserved = {"_ts", "_side", "_row", "_m", "_mts"} | {
+        f"_v_{v}" for v in value_cols
+    }
+    clash = (set(on) | set(value_cols) | {left_ts, right_ts}) & reserved
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} before joining"
+        )
+
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("_ts"),

@@ -76,13 +76,15 @@ def token_budget_shards(
     # misalign with job 2's partitioning (wrong cum_before, and the
     # `_pid` join silently drops rows). The totals job below touches
     # every partition, so the cache is fully built before the offsets
-    # are read. The frame stays cached for the caller's action; callers
-    # running inside a long pipeline should unpersist via
-    # ``df.sparkSession.catalog.clearCache()`` or track the handle.
-    data = (
-        df.repartitionByRange(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    # are read. The frame stays cached for the caller's action and is
+    # registered with ``dataengineering_spark.caching`` — pipelines
+    # call ``release_tracked()`` after their consuming action.
+    from dataengineering_spark.caching import persist_tracked
+
+    data = persist_tracked(
+        df.repartitionByRange(order_col).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     # Per-partition totals prefix-summed ON THE DRIVER: the relation is
     # one row per range partition — bounded metadata of the same class

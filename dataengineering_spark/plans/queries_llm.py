@@ -1191,39 +1191,58 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     w = word_array("text")
-    base = docs.select(
+    n_ng = F.greatest(F.size(w) - 2, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(w, 1, n_ng).alias("w1"),
+        F.slice(w, 2, n_ng).alias("w2"),
+        F.slice(w, 3, n_ng).alias("w3"),
+    )
+    # ONE pass: tokenize once, compute the word-level stats in the same
+    # projection, and carry them through the n-gram aggregation instead
+    # of joining a second scan back on doc_id (the pre-r5 shape scanned
+    # and re-tokenized documents twice and paid a doc_id join exchange).
+    # explode_outer keeps <3-word docs alive as a null-ngram row, which
+    # the filtered aggregates below turn into the same NULL ratios the
+    # left join used to produce.
+    exploded = docs.select(
         "doc_id",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("_nd_words"),
         F.length(normalize_text(F.col("text"))).alias("_norm_len"),
-        F.col("text"),
+        F.explode_outer(zipped).alias("_z"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "_nd_words",
+        "_norm_len",
+        # concat_ws skips NULL args, so the empty-array null row would
+        # become ngram='' (a countable value) without this guard.
+        F.when(
+            F.col("_z").isNotNull(),
+            F.concat_ws(" ", F.col("_z.w1"), F.col("_z.w2"), F.col("_z.w3")),
+        ).alias("ngram"),
     )
-    w2 = word_array("text")
-    n_ng = F.greatest(F.size(w2) - 2, F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice(w2, 1, n_ng).alias("w1"),
-        F.slice(w2, 2, n_ng).alias("w2"),
-        F.slice(w2, 3, n_ng).alias("w3"),
-    )
-    ngram_stats = (
-        base.select("doc_id", F.explode(zipped).alias("_z"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.col("_z.w1"), F.col("_z.w2"), F.col("_z.w3")
-            ).alias("ngram"),
+    real = F.col("ngram").isNotNull()
+    stats = (
+        exploded.groupBy("doc_id", "ngram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_words").alias("n_words"),
+            F.first("_nd_words").alias("_nd_words"),
+            F.first("_norm_len").alias("_norm_len"),
         )
-        .groupBy("doc_id", "ngram")
-        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("_g_total"),
-            F.count(F.lit(1)).alias("_g_distinct"),
-            F.max("c").alias("_g_max"),
+            F.first("n_words").alias("n_words"),
+            F.first("_nd_words").alias("_nd_words"),
+            F.first("_norm_len").alias("_norm_len"),
+            F.sum(F.when(real, F.col("c"))).alias("_g_total"),
+            F.count(F.when(real, F.lit(1))).alias("_g_distinct"),
+            F.max(F.when(real, F.col("c"))).alias("_g_max"),
         )
     )
     n = F.col("n_words")
-    return base.drop("text").join(ngram_stats, "doc_id", "left").select(
+    return stats.select(
         "doc_id",
         "n_words",
         F.when(n > 0, (n - F.col("_nd_words")) / n).alias("dup_word_ratio"),
@@ -1283,11 +1302,13 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    # Mixed-case address on purpose: the driver row then fails loudly
+    # if either engine's email pattern loses case-insensitivity.
     synth = F.concat(
         F.col("text"),
-        F.lit(" contact user"),
+        F.lit(" contact User"),
         F.col("doc_id").cast("string"),
-        F.lit("@mail.example.com now or call 555-"),
+        F.lit("@Mail.example.COM now or call 555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     d = docs.select("doc_id", synth.alias("_t"))
@@ -1300,23 +1321,33 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_REDACT_PII = """
+def _redact_pii_sql() -> str:
+    from dataengineering_spark.functions.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    # Both engines run the SAME pattern constants; the SQL is built
+    # from them so the two can never drift.
+    return f"""
 WITH s AS (
   SELECT doc_id,
-    text || ' contact user' || CAST(doc_id AS VARCHAR)
-         || '@mail.example.com now or call 555-'
+    text || ' contact User' || CAST(doc_id AS VARCHAR)
+         || '@Mail.example.COM now or call 555-'
          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
   FROM documents
 )
 SELECT doc_id,
-  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
-       AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
   regexp_replace(
-    regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+    '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
 FROM s
 """
+
+
+SQL_REDACT_PII = _redact_pii_sql()
 
 
 # ===========================================================================
