@@ -31,7 +31,8 @@ singleton bins naturally.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def pack_bins_ffd(
@@ -77,4 +78,81 @@ def pack_bins_ffd(
         df.select(window_col, id_col, size_col)
         .groupBy(window_col)
         .applyInPandas(_pack, schema=schema)
+    )
+
+
+def merge_underfilled_bins(
+    packed: DataFrame,
+    window_col: str,
+    size_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Second pass over :func:`pack_bins_ffd` output: fold under-filled
+    bins ACROSS window boundaries (windowed FFD's known waste is up to
+    one under-filled bin per window).
+
+    Capacity-safe by construction, no sequential scan: only bins with
+    load ≤ budget/2 merge, and they merge in PAIRS — two half-or-less
+    bins always fit one budget. Pairing is deterministic and parallel:
+    each candidate bin hashes (md5 of its identity) into one of 16
+    buckets, and within a bucket bins ranked by (load DESC, window,
+    bin) pair up consecutively — the rank window is PARTITIONED by
+    bucket, so no single-partition exchange ever appears; the residual
+    waste is at most one odd unpaired bin per bucket. All of this runs
+    on the BIN-LEVEL frame (|corpus| / avg-docs-per-bin rows), and the
+    (window, bin) → merged_id mapping broadcast-joins back to the doc
+    rows, so the document stream is never shuffled again.
+
+    Output: input columns plus ``merged_id`` (string; global bin
+    identity after merging) and ``merged_load`` (token total of the
+    merged bin — always ≤ budget for merged pairs).
+    """
+    half = budget // 2
+    loads = packed.groupBy(window_col, "bin_idx").agg(
+        F.sum(size_col).alias("_load")
+    )
+    key = F.concat_ws(
+        ":", F.col(window_col).cast("string"), F.col("bin_idx").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int")
+    under = loads.filter(F.col("_load") <= half).withColumn("_bkt", bucket)
+    w = Window.partitionBy("_bkt").orderBy(
+        F.col("_load").desc(), F.col(window_col), F.col("bin_idx")
+    )
+    paired = under.withColumn(
+        "_pair",
+        F.floor((F.row_number().over(w) - F.lit(1)) / 2).cast("long"),
+    )
+    merged_under = paired.select(
+        window_col,
+        "bin_idx",
+        "_load",
+        F.concat_ws(
+            ":",
+            F.lit("m"),
+            F.col("_bkt").cast("string"),
+            F.col("_pair").cast("string"),
+        ).alias("merged_id"),
+    )
+    solo = loads.filter(F.col("_load") > half).select(
+        window_col,
+        "bin_idx",
+        "_load",
+        F.concat_ws(
+            ":",
+            F.lit("s"),
+            F.col(window_col).cast("string"),
+            F.col("bin_idx").cast("string"),
+        ).alias("merged_id"),
+    )
+    mapping = merged_under.unionByName(solo)
+    mloads = mapping.groupBy("merged_id").agg(
+        F.sum("_load").alias("merged_load")
+    )
+    mapping = mapping.join(F.broadcast(mloads), "merged_id").select(
+        window_col, "bin_idx", "merged_id", "merged_load"
+    )
+    return packed.join(F.broadcast(mapping), [window_col, "bin_idx"]).select(
+        window_col, id_col, size_col, "bin_idx", "merged_id", "merged_load"
     )

@@ -1565,6 +1565,81 @@ SELECT window_id, doc_id, n_chars, bin_idx FROM r
 
 
 # ===========================================================================
+# Q: bin_packing_merged — the cross-window second pass: windowed FFD
+# wastes up to one under-filled bin per window; bins at ≤ half budget
+# fold into capacity-safe PAIRS within md5 hash buckets (two half-or-
+# less bins always fit one budget, and the pairing rank is partitioned
+# by bucket — parallel, no global sort). The oracle replays FFD via
+# the recursive CTE above, then the same bucket/rank/pair chain.
+# ===========================================================================
+
+
+def q_bin_packing_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.packing import (
+        merge_underfilled_bins,
+    )
+
+    return merge_underfilled_bins(
+        q_bin_packing(spark, sf_dir),
+        window_col="window_id",
+        size_col="n_chars",
+        id_col="doc_id",
+        budget=PACK_BUDGET,
+    )
+
+
+def _merged_sql() -> str:
+    half = PACK_BUDGET // 2
+    hexpos = (
+        "(position(substr(md5(CAST(window_id AS VARCHAR) || ':' || "
+        "CAST(bin_idx AS VARCHAR)), 1, 1) in '0123456789abcdef') - 1)"
+    )
+    ffd_body = SQL_BIN_PACKING.strip().removeprefix("WITH RECURSIVE ")
+    # reuse the FFD recursive chain verbatim; its final SELECT becomes
+    # the `packed` CTE
+    ffd_ctes = ffd_body[: ffd_body.rindex(")") + 1]
+    return f"""
+WITH RECURSIVE {ffd_ctes},
+packed AS (SELECT window_id, doc_id, n_chars, bin_idx FROM r),
+loads AS (
+  SELECT window_id, bin_idx, SUM(n_chars) AS load
+  FROM packed GROUP BY window_id, bin_idx
+),
+under AS (
+  SELECT window_id, bin_idx, load, CAST({hexpos} AS INT) AS bkt
+  FROM loads WHERE load <= {half}
+),
+pairs AS (
+  SELECT window_id, bin_idx, load,
+    CAST(floor((ROW_NUMBER() OVER (
+      PARTITION BY bkt ORDER BY load DESC, window_id, bin_idx
+    ) - 1) / 2) AS BIGINT) AS pair, bkt
+  FROM under
+),
+mapping AS (
+  SELECT window_id, bin_idx, load,
+    'm:' || CAST(bkt AS VARCHAR) || ':' || CAST(pair AS VARCHAR) AS merged_id
+  FROM pairs
+  UNION ALL
+  SELECT window_id, bin_idx, load,
+    's:' || CAST(window_id AS VARCHAR) || ':' || CAST(bin_idx AS VARCHAR)
+  FROM loads WHERE load > {half}
+),
+mloads AS (
+  SELECT merged_id, SUM(load) AS merged_load FROM mapping GROUP BY merged_id
+)
+SELECT p.window_id, p.doc_id, p.n_chars, p.bin_idx,
+       mp.merged_id, ml.merged_load
+FROM packed p
+JOIN mapping mp ON p.window_id = mp.window_id AND p.bin_idx = mp.bin_idx
+JOIN mloads ml ON mp.merged_id = ml.merged_id
+"""
+
+
+SQL_BIN_PACKING_MERGED = _merged_sql()
+
+
+# ===========================================================================
 # Q: hash_sample / stratified_sample — deterministic corpus subsetting.
 # Sample membership is a pure function of the row key (md5), so the
 # oracle reproduces the exact member set — the property seeded-RNG
@@ -1951,6 +2026,11 @@ LLM_QUERIES: dict[str, tuple] = {
     ),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII, "north-star:PII scrubbing"),
     "bin_packing": (q_bin_packing, SQL_BIN_PACKING, "chunking:FFD-exact-packing"),
+    "bin_packing_merged": (
+        q_bin_packing_merged,
+        SQL_BIN_PACKING_MERGED,
+        "chunking:cross-window-merge",
+    ),
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),

@@ -132,3 +132,40 @@ def test_sample_frames_rows_and_bounds(spark):
     # midpoint rule: frame k of doc 1 at (2k+1)*10000//10
     one = out[out.doc_id == 1].sort_values("frame_idx")
     assert list(one.frame_ts_ms) == [1000, 3000, 5000, 7000, 9000]
+
+
+def test_merge_underfilled_bins_capacity_and_utilization(spark):
+    """Cross-window merge: merged pairs stay within budget, at most two
+    source bins per merged id, and the merge strictly reduces the bin
+    count whenever ≥2 under-filled bins share a hash bucket."""
+    from dataengineering_spark.operators.packing import (
+        merge_underfilled_bins,
+        pack_bins_ffd,
+    )
+
+    budget = 2000
+    # sized so each window fills ~1.3 bins: the remainder bin lands
+    # well under budget/2 and is a merge candidate
+    rows = [(i, i % 8, 60 + (i * 13) % 140) for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, window_id long, n_chars long")
+    packed = pack_bins_ffd(df, "window_id", "n_chars", "doc_id", budget)
+    merged = merge_underfilled_bins(
+        packed, "window_id", "n_chars", "doc_id", budget
+    )
+    pdf = merged.toPandas()
+
+    assert len(pdf) == 160
+    per_merged = pdf.groupby("merged_id").agg(
+        load=("n_chars", "sum"),
+        src_bins=("bin_idx", lambda s: len({*zip(pdf.loc[s.index, "window_id"], s)})),
+    )
+    # merged_load column agrees with the actual sum, and pairs fit
+    for mid, grp in pdf.groupby("merged_id"):
+        assert grp["merged_load"].nunique() == 1
+        assert grp["merged_load"].iloc[0] == grp["n_chars"].sum()
+        if mid.startswith("m:"):
+            assert grp["n_chars"].sum() <= budget, mid
+    assert (per_merged["src_bins"] <= 2).all()
+    n_orig = pdf.groupby(["window_id", "bin_idx"]).ngroups
+    n_merged = pdf["merged_id"].nunique()
+    assert n_merged < n_orig, (n_merged, n_orig)
