@@ -200,15 +200,33 @@ def _sniff_nano_cols_cached(path: str, ts_cols: tuple[str, ...]) -> tuple[str, .
     return tuple(out)
 
 
-# Fact-scan parallelism floor. The driver's single-file parquet tables
-# hold ONE row group, so the scan is a single task no matter how small
-# maxPartitionBytes is — and every downstream stage of a scan-dominated
-# query serializes on one core. When the file's split-count estimate is
-# below the cluster's parallelism AND the file is big enough that the
-# round-robin shuffle pays for itself, spread the scan. At production
-# scale (splits >> cores) the gate never fires, so the plan keeps the
+# Fact-scan parallelism floor. Small-file parquet tables split into
+# few byte ranges, so the scan runs on a handful of tasks no matter
+# how small maxPartitionBytes is — and every downstream stage of a
+# scan-dominated query serializes on those cores. When the file's
+# split-count estimate is below the cluster's parallelism AND the
+# table carries enough ROWS that the round-robin shuffle pays for
+# itself, spread the scan. The gate is row-based, not byte-based:
+# zstd-compressed text can pack 50k exploding documents into under
+# 6 MB, so a byte floor silently strands explode-heavy queries on two
+# cores (the round-5 sf1 headroom run caught repetition_metrics at
+# 133× for 10× data exactly this way). At production scale
+# (splits >> cores) the gate never fires, so the plan keeps the
 # shuffle-free scan→partial-agg shape.
-SPREAD_MIN_BYTES = 8 * 1024 * 1024
+SPREAD_MIN_ROWS_PER_TASK = 1000
+
+
+@functools.lru_cache(maxsize=256)
+def _parquet_num_rows(path: str) -> int | None:
+    target = _first_parquet_file(path)
+    if target is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(target).metadata.num_rows
+    except Exception:
+        return None
 
 
 def _spread_if_narrow(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -216,15 +234,16 @@ def _spread_if_narrow(spark: SparkSession, df: DataFrame, path: str) -> DataFram
         size = os.path.getsize(path)  # local paths only; object stores skip
     except OSError:
         return df
-    if size < SPREAD_MIN_BYTES:
-        return df
+    target = spark.sparkContext.defaultParallelism
+    rows = _parquet_num_rows(path)
+    if rows is None or rows < target * SPREAD_MIN_ROWS_PER_TASK:
+        return df  # too little work for the shuffle to pay for itself
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
     raw = raw.removesuffix("b")
     mult = units.get(raw[-1:], 1)
     max_split = int(raw.rstrip("kmg") or "134217728") * mult
     est_splits = -(-size // max_split)
-    target = spark.sparkContext.defaultParallelism
     if est_splits >= target:
         return df
     return df.repartition(target)

@@ -1204,12 +1204,26 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode_outer keeps <3-word docs alive as a null-ngram row, which
     # the filtered aggregates below turn into the same NULL ratios the
     # left join used to produce.
-    exploded = docs.select(
+    #
+    # STAGING MATTERS: a select that mixes a generator with scalar
+    # expressions compiles to Project-ABOVE-Generate, i.e. the scalars
+    # re-evaluate once per EXPLODED row — the regex tokenize and
+    # array_distinct ran ~50× per doc and made the noop-write path 7×
+    # slower than the join it replaced. Computing them in their own
+    # projection puts them BELOW the Generate: once per document.
+    staged = docs.select(
         "doc_id",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("_nd_words"),
         F.length(normalize_text(F.col("text"))).alias("_norm_len"),
-        F.explode_outer(zipped).alias("_z"),
+        zipped.alias("_zipped"),
+    )
+    exploded = staged.select(
+        "doc_id",
+        "n_words",
+        "_nd_words",
+        "_norm_len",
+        F.explode_outer("_zipped").alias("_z"),
     ).select(
         "doc_id",
         "n_words",
