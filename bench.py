@@ -45,6 +45,9 @@ HEADLINE = (
     "repetition_metrics",
     "bin_packing",
     "histogram_merge",
+    # round-5 additions
+    "ivfpq_ann",
+    "bin_packing_merged",
 )
 
 

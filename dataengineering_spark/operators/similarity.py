@@ -168,6 +168,50 @@ def _dist2(v: Column, c: Column) -> Column:
     return dot(v, v) - 2 * dot(v, c) + dot(c, c)
 
 
+def _self_dot(xs: list) -> float:
+    """dot(x, x) with the engine's left-to-right fold — the SAME IEEE
+    operation sequence aggregate(zip_with(...)) performs, so inlining
+    the result as a literal is bit-identical to computing it in-plan.
+    (HOF lambdas are interpreted per row; a K-centroid argmin used to
+    re-run dot(c,c) — a pure constant — K times per corpus row.)"""
+    acc = 0.0
+    for x in xs:
+        acc = acc + x * x
+    return acc
+
+
+def _d(x: float) -> str:
+    """Shortest round-trip double literal for SQL text — parses back to
+    the identical IEEE value."""
+    return f"{float(x)!r}D"
+
+
+def _arr_expr(cv: list) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+    Column-API construction (F.lit per element / per list) costs a py4j
+    round-trip per call — ~0.4 s per 8×64 codebook, paid again on every
+    assign/encode/LUT build; one parse is ~2 ms."""
+    return F.expr("array(" + ", ".join(_d(x) for x in cv) + ")")
+
+
+def _dist2_lit(vv: Column, v: Column, cv: list) -> Column:
+    """d² against a driver-known centroid: per-row ``vv`` (computed
+    once per row, not once per centroid) − 2·<v,c> + literal <c,c>."""
+    return vv - 2 * dot(v, _arr_expr(cv)) + F.lit(_self_dot(cv))
+
+
+def _spread_for_training(e: DataFrame) -> DataFrame:
+    """Multi-pass training reads the corpus n_iters+1 times with
+    interpreted per-row math; when the scan has fewer partitions than
+    cores (tiny compressed files — same failure mode as
+    catalog._spread_if_narrow), one up-front round-robin pays for
+    itself immediately. At production split counts this is a no-op."""
+    target = e.sparkSession.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < target:
+        return e.repartition(target)
+    return e
+
+
 def ivf_seed_centroids(e: DataFrame, n_centroids: int) -> DataFrame:
     """(cid, cv): deterministic seeds — the n vectors ranked first by
     md5 of their id (engine-reproducible pseudo-random spread).
@@ -201,6 +245,24 @@ def _centroid_rows(cents: DataFrame) -> list[tuple[int, list]]:
     return sorted((int(r["cid"]), list(r["cv"])) for r in cents.collect())
 
 
+def _ranked_seed_rows(e: DataFrame, n: int) -> list[tuple[int, list]]:
+    """Top-n md5-ranked corpus vectors as driver rows (cid, v) — the
+    shared seed set for the coarse quantizer AND the PQ codebooks
+    (prefix-closed: top-k is a prefix of top-n for k ≤ n, so one
+    collect serves both). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-n, driver merge — never
+    a partition-less Window."""
+    ranked = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v"
+        )
+        .orderBy("h", "vec_id")
+        .limit(n)
+    )
+    rows = sorted(ranked.collect(), key=lambda r: (r["h"], r["vec_id"]))
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
 def ivf_assign(
     e: DataFrame, cents: DataFrame | list, n: int = 1
 ) -> DataFrame:
@@ -220,23 +282,18 @@ def ivf_assign(
     bit-identical.
     """
     rows = cents if isinstance(cents, list) else _centroid_rows(cents)
-    cent_lit = F.array(
+    scored = F.array(
         *[
             F.struct(
+                _dist2_lit(F.col("_vv"), F.col("v"), cv).alias("d2"),
                 F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
             )
             for cid, cv in rows
         ]
     )
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            _dist2(F.col("v"), c["cv"]).alias("d2"), c["cid"].alias("cid")
-        ),
-    )
     picked = F.slice(F.array_sort(scored), 1, min(n, len(rows)))
-    return e.select(
+    staged = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("_vv"))
+    return staged.select(
         "vec_id", "v", F.explode(picked).alias("_p")
     ).select("vec_id", "v", F.col("_p.cid").alias("cid"))
 
@@ -269,13 +326,23 @@ def ivf_update_centroids(asg: DataFrame, dim: int) -> DataFrame:
 
 
 def ivf_train_rows(
-    e: DataFrame, n_centroids: int = 8, n_iters: int = 2, dim: int = 64
+    e: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    seed_rows: list | None = None,
 ) -> list[tuple[int, list]]:
     """Driver-side Lloyd loop: each iteration assigns against inlined
     literals (narrow map) and collects only the C × dim centroid
     update. Nothing is persisted and lineage never grows — iteration i
-    depends only on the literals of iteration i-1, not its plan."""
-    rows = _centroid_rows(ivf_seed_centroids(e, n_centroids))
+    depends only on the literals of iteration i-1, not its plan.
+    ``seed_rows``: pre-collected :func:`_ranked_seed_rows` output to
+    share one seed collect across quantizers (prefix is taken)."""
+    e = _spread_for_training(e)
+    if seed_rows is not None:
+        rows = [(cid, v) for cid, v in seed_rows[:n_centroids]]
+    else:
+        rows = _ranked_seed_rows(e, n_centroids)
     for _ in range(n_iters):
         rows = _centroid_rows(ivf_update_centroids(ivf_assign(e, rows), dim))
     return rows
@@ -314,8 +381,11 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via IVF: brute-force cosine only within the
     query's nprobe nearest cells. Same output shape as cosine_topk."""
-    e = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    e = _spread_for_training(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     cent_rows = ivf_train_rows(e, n_centroids, n_iters, dim)
     cells = ivf_assign(e, cent_rows).select(
@@ -404,30 +474,6 @@ def pq_subvectors(e: DataFrame, m_sub: int, d_sub: int) -> DataFrame:
     return e.select("vec_id", F.posexplode(subs).alias("m", "sv"))
 
 
-def pq_seed_codebooks(
-    e: DataFrame, m_sub: int, d_sub: int, k_sub: int
-) -> DataFrame:
-    """(m, cid, cv) seeds: the k_sub corpus vectors ranked first by
-    md5(vec_id) (same TakeOrdered + posexplode shape as
-    ivf_seed_centroids — no partition-less Window), each contributing
-    its M subvectors."""
-    ranked = (
-        e.select(
-            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v"
-        )
-        .orderBy("h", "vec_id")
-        .limit(k_sub)
-    )
-    packed = ranked.agg(
-        F.array_sort(F.collect_list(F.struct("h", "vec_id", "v"))).alias("seeds")
-    )
-    cents = packed.select(F.posexplode("seeds").alias("cid", "s")).select(
-        "cid", F.col("s.v").alias("v")
-    )
-    subs = F.array(*_subvector_slices(F.col("v"), m_sub, d_sub))
-    return cents.select("cid", F.posexplode(subs).alias("m", "cv"))
-
-
 def _codebook_rows(books: DataFrame) -> dict[int, list]:
     """Collect a codebook frame into {m: [cv ordered by cid]} — an
     M x K x d_sub scalar probe, bounded by construction."""
@@ -445,15 +491,13 @@ def _codebook_rows(books: DataFrame) -> dict[int, list]:
 
 
 def _cent_struct_lit(cvs: list) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
-            for cid, cv in enumerate(cvs)
-        ]
+    parts = ", ".join(
+        f"named_struct('cid', {cid}, "
+        f"'cv', array({', '.join(_d(x) for x in cv)}), "
+        f"'cc', {_d(_self_dot(cv))})"
+        for cid, cv in enumerate(cvs)
     )
+    return F.expr(f"array({parts})")
 
 
 def pq_assign(es: DataFrame, by_m: dict[int, list]) -> DataFrame:
@@ -468,11 +512,15 @@ def pq_assign(es: DataFrame, by_m: dict[int, list]) -> DataFrame:
     scored = F.transform(
         cent_list,
         lambda c: F.struct(
-            _dist2(F.col("sv"), c["cv"]).alias("d2"), c["cid"].alias("cid")
+            (F.col("_svv") - 2 * dot(F.col("sv"), c["cv"]) + c["cc"]).alias(
+                "d2"
+            ),
+            c["cid"].alias("cid"),
         ),
     )
     best = F.element_at(F.array_sort(scored), 1)
-    return es.withColumn("code", best["cid"])
+    staged = es.withColumn("_svv", dot(F.col("sv"), F.col("sv")))
+    return staged.withColumn("code", best["cid"]).drop("_svv")
 
 
 def pq_update_codebooks(asg: DataFrame, d_sub: int) -> DataFrame:
@@ -508,9 +556,12 @@ def pq_train_books(
     k_sub: int = 8,
     n_iters: int = 1,
     dim: int = 64,
+    seed_rows: list | None = None,
 ) -> dict[int, list]:
     """{m: [cv ordered by cid]} after n_iters deterministic Lloyd
-    iterations. ``e`` is (vec_id, v: array<double>).
+    iterations. ``e`` is (vec_id, v: array<double>). ``seed_rows``:
+    pre-collected :func:`_ranked_seed_rows` output to share one seed
+    collect with the coarse quantizer.
 
     Driver-side loop like :func:`ivf_train_rows`: each iteration
     assigns against inlined literals and collects only the
@@ -524,7 +575,15 @@ def pq_train_books(
     happens to produce an empty code.
     """
     d_sub = dim // m_sub
-    by_m = _codebook_rows(pq_seed_codebooks(e, m_sub, d_sub, k_sub))
+    e = _spread_for_training(e)
+    if seed_rows is None:
+        seed_rows = _ranked_seed_rows(e, k_sub)
+    # per-subspace seeds = subvector slices of the shared seed vectors
+    # (pure row selection, no arithmetic — engine parity preserved)
+    by_m = {
+        m: [list(v[m * d_sub : (m + 1) * d_sub]) for _, v in seed_rows[:k_sub]]
+        for m in range(m_sub)
+    }
     es = pq_subvectors(e, m_sub, d_sub)
     for _ in range(n_iters):
         upd = pq_update_codebooks(pq_assign(es, by_m), d_sub)
@@ -564,20 +623,41 @@ def pq_encode(
     as a PURE NARROW MAP: per subspace, an in-row argmin against the
     inlined codebook; no explode, no exchange, nothing but the scan.
     ``keep`` passes extra columns through (e.g. the IVF cell id)."""
+    # Stage the subvector slices and their self-dots in their own
+    # projections so each is computed once per row; the K-way argmin
+    # then only pays K cross-dots per subspace (vs 3K dots when every
+    # centroid's d² recomputed <sv,sv> and the constant <c,c>).
+    staged = e.select(
+        "vec_id",
+        *keep,
+        *[
+            F.slice(F.col("v"), m * d_sub + 1, d_sub).alias(f"_s{m}")
+            for m in range(m_sub)
+        ],
+    ).select(
+        "*",
+        *[
+            dot(F.col(f"_s{m}"), F.col(f"_s{m}")).alias(f"_vv{m}")
+            for m in range(m_sub)
+        ],
+    )
+
     def code_for(m: int) -> Column:
         # NB: a plain one-arg lambda — pyspark dispatches HOF lambdas
         # on arity, so a captured-default second parameter would be
         # silently fed the ARRAY INDEX instead of the closure value.
-        sv = F.slice(F.col("v"), m * d_sub + 1, d_sub)
         scored = F.transform(
             _cent_struct_lit(by_m[m]),
             lambda c: F.struct(
-                _dist2(sv, c["cv"]).alias("d2"), c["cid"].alias("cid")
+                (
+                    F.col(f"_vv{m}") - 2 * dot(F.col(f"_s{m}"), c["cv"]) + c["cc"]
+                ).alias("d2"),
+                c["cid"].alias("cid"),
             ),
         )
         return F.element_at(F.array_sort(scored), 1)["cid"]
 
-    return e.select(
+    return staged.select(
         "vec_id",
         F.array(*[code_for(m) for m in range(m_sub)]).alias("codes"),
         *keep,
@@ -591,21 +671,31 @@ def pq_query_luts(
     IN-PLAN (lut[m][cid] = d2(query subvector m, codebook m cid)), so
     every double comes from the same engine arithmetic the oracle
     replays; the frame is |queries| rows and rides the broadcast."""
+    staged = q.select(
+        "query_id",
+        *[
+            F.slice(F.col("qv"), m * d_sub + 1, d_sub).alias(f"_q{m}")
+            for m in range(m_sub)
+        ],
+    ).select(
+        "*",
+        *[
+            dot(F.col(f"_q{m}"), F.col(f"_q{m}")).alias(f"_qv{m}")
+            for m in range(m_sub)
+        ],
+    )
     lut = F.array(
         *[
             F.array(
                 *[
-                    _dist2(
-                        F.slice(F.col("qv"), m * d_sub + 1, d_sub),
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                    )
+                    _dist2_lit(F.col(f"_qv{m}"), F.col(f"_q{m}"), cv)
                     for cv in by_m[m]
                 ]
             )
             for m in range(m_sub)
         ]
     )
-    return q.select("query_id", lut.alias("lut"))
+    return staged.select("query_id", lut.alias("lut"))
 
 
 def pq_adc_topk(
@@ -624,9 +714,11 @@ def pq_adc_topk(
     LUT — M lookups + M adds per candidate, D never touched.  Output
     (query_id, neighbor_id, rank, adc_d2), adc_d2 ascending."""
     d_sub = dim // m_sub
-    e = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    e = _spread_for_training(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     by_m = pq_train_books(e, m_sub, k_sub, n_iters, dim)
     codes = pq_encode(e, by_m, m_sub, d_sub)
@@ -682,12 +774,27 @@ def ivfpq_topk(
     doubles). Output (query_id, neighbor_id, rank, adc_d2) ascending.
     """
     d_sub = dim // m_sub
-    e = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    e = _spread_for_training(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
-    cent_rows = ivf_train_rows(e, n_centroids, coarse_iters, dim)
-    by_m = pq_train_books(e, m_sub, k_sub, pq_iters, dim)
+    # Both quantizers seed from the same md5-ranked prefix — one
+    # collect — and their Lloyd loops are independent, so they train
+    # on concurrent Spark jobs (driver threads; results deterministic
+    # either way).
+    seed_rows = _ranked_seed_rows(e, max(n_centroids, k_sub))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            ivf_train_rows, e, n_centroids, coarse_iters, dim, seed_rows
+        )
+        f_books = pool.submit(
+            pq_train_books, e, m_sub, k_sub, pq_iters, dim, seed_rows
+        )
+        cent_rows, by_m = f_coarse.result(), f_books.result()
     enc = pq_encode(ivf_assign(e, cent_rows), by_m, m_sub, d_sub, keep=("cid",))
 
     q = queries.select(
