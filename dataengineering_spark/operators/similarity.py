@@ -116,8 +116,12 @@ def _hyperplane_component_sql(plane: int, dim: int) -> str:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     md5-derived so any engine can reproduce it. Value = hex32/2^32-0.5."""
     h = f"md5('plane|{plane}|{dim}')"
+    # BIGINT multipliers: the top nibble times 16^7 exceeds int32, and
+    # Spark 4's ANSI mode turns that overflow into a hard error at
+    # constant-folding time.
     terms = " + ".join(
-        f"(position(substr({h}, {j + 1}, 1) in '0123456789abcdef') - 1) * {16 ** (7 - j)}"
+        f"(position(substr({h}, {j + 1}, 1) in '0123456789abcdef') - 1)"
+        f" * {16 ** (7 - j)}L"
         for j in range(8)
     )
     return f"(({terms}) / 4294967296.0 - 0.5)"
