@@ -142,6 +142,86 @@ FROM f
 
 
 # ===========================================================================
+# Q: quality_filter — the composite C4/Gopher-style KEEP/DROP decision.
+# The individual metrics (length, word shape, stopword density,
+# punctuation load) exist as standalone queries; real pipelines apply
+# them as one conjunctive gate per document and keep an audit trail of
+# WHY a document was dropped. Single scan, all native expressions,
+# rational arithmetic only — the filter column is the partition-prune
+# predicate for every downstream training-data job.
+# ===========================================================================
+
+QF_MIN_WORDS = 30
+QF_ACW_LO, QF_ACW_HI = 3.0, 9.0
+QF_MIN_STOP_RATIO = 0.03
+QF_MAX_PUNCT_RATIO = 0.05
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_words = word_count("text")
+    n_chars = F.length(F.col("text"))
+    acw = n_chars.cast("double") / n_words.cast("double")
+    stop_ratio = F.when(
+        n_words > 0,
+        stopword_count("text", "en").cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        punct_count("text").cast("double") / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    g_len = n_words >= QF_MIN_WORDS
+    g_acw = (acw >= QF_ACW_LO) & (acw <= QF_ACW_HI)
+    g_stop = stop_ratio >= QF_MIN_STOP_RATIO
+    g_punct = punct_ratio <= QF_MAX_PUNCT_RATIO
+    reasons = F.concat(
+        F.when(~g_len, F.lit("short;")).otherwise(F.lit("")),
+        F.when(~g_acw, F.lit("word_len;")).otherwise(F.lit("")),
+        F.when(~g_stop, F.lit("low_stopwords;")).otherwise(F.lit("")),
+        F.when(~g_punct, F.lit("punct_heavy;")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        (g_len & g_acw & g_stop & g_punct).cast("int").alias("keep"),
+        reasons.alias("drop_reasons"),
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+    END AS n_words,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS INT) AS n_stop,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct
+  FROM documents
+), g AS (
+  SELECT doc_id, n_words,
+    n_words >= {QF_MIN_WORDS} AS g_len,
+    (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= {QF_ACW_LO}
+     AND CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= {QF_ACW_HI}) AS g_acw,
+    (CASE WHEN n_words > 0
+          THEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)
+          ELSE 0.0 END) >= {QF_MIN_STOP_RATIO} AS g_stop,
+    (CASE WHEN n_chars > 0
+          THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+          ELSE 0.0 END) <= {QF_MAX_PUNCT_RATIO} AS g_punct
+  FROM f
+)
+SELECT doc_id, n_words,
+  CAST(g_len AND g_acw AND g_stop AND g_punct AS INT) AS keep,
+  (CASE WHEN NOT g_len THEN 'short;' ELSE '' END)
+  || (CASE WHEN NOT g_acw THEN 'word_len;' ELSE '' END)
+  || (CASE WHEN NOT g_stop THEN 'low_stopwords;' ELSE '' END)
+  || (CASE WHEN NOT g_punct THEN 'punct_heavy;' ELSE '' END) AS drop_reasons
+FROM g
+"""
+
+
+# ===========================================================================
 # Q: lang_id — stopword-vote language detection
 # ===========================================================================
 
@@ -2048,6 +2128,11 @@ LLM_QUERIES: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT, "north-star:text"),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT, "north-star:text"),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE, "north-star:text"),
+    "quality_filter": (
+        q_quality_filter,
+        SQL_QUALITY_FILTER,
+        "north-star:text composite keep/drop gate",
+    ),
     "lang_id": (q_lang_id, SQL_LANG_ID, "north-star:text"),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH, "north-star:dedup"),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
