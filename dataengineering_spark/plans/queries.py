@@ -761,6 +761,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ivfpq_ann",
     "bin_packing_merged",
     "quality_filter",
+    "pretrain_pipeline",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

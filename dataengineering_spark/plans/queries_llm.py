@@ -222,6 +222,97 @@ FROM g
 
 
 # ===========================================================================
+# Q: pretrain_pipeline — the end-to-end training-data prep flow as ONE
+# DataFrame plan: quality gate → exact dedup (min doc per normalized-
+# text fingerprint) → token-budget shard assignment. This is the
+# composition a reference user actually ships; each stage is also a
+# standalone oracle-checked query (quality_filter, dedup_exact,
+# token_shards). Plan shape: one scan; the dedup window hash-shuffles
+# on the fingerprint (high-cardinality key — no skew); the shard
+# cumsum reuses the two-pass range-partition machinery.
+# ===========================================================================
+
+PIPE_BUDGET = 50_000  # chars per training shard
+
+
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dataengineering_spark.functions.text import fingerprint
+    from dataengineering_spark.operators.chunking import token_budget_shards
+
+    docs = _docs(spark, sf_dir)
+    n_words = word_count("text")
+    n_chars = F.length(F.col("text"))
+    acw = n_chars.cast("double") / n_words.cast("double")
+    stop_ratio = F.when(
+        n_words > 0,
+        stopword_count("text", "en").cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        punct_count("text").cast("double") / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    kept = docs.filter(
+        (n_words >= QF_MIN_WORDS)
+        & (acw >= QF_ACW_LO)
+        & (acw <= QF_ACW_HI)
+        & (stop_ratio >= QF_MIN_STOP_RATIO)
+        & (punct_ratio <= QF_MAX_PUNCT_RATIO)
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_fp", fingerprint("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("n_chars").alias("n_chars"))
+    )
+    return token_budget_shards(
+        deduped, "n_chars", "doc_id", PIPE_BUDGET
+    ).select("doc_id", "n_chars", "cum_before", "seq_id", "offset_in_seq")
+
+
+SQL_PRETRAIN_PIPELINE = f"""
+WITH f AS (
+  SELECT doc_id, text, n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+    END AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS INT) AS n_stop,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+    CAST(length(text) AS INT) AS len_chars
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, n_chars FROM f
+  WHERE n_words >= {QF_MIN_WORDS}
+    AND CAST(len_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= {QF_ACW_LO}
+    AND CAST(len_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= {QF_ACW_HI}
+    AND (CASE WHEN n_words > 0
+         THEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)
+         ELSE 0.0 END) >= {QF_MIN_STOP_RATIO}
+    AND (CASE WHEN len_chars > 0
+         THEN CAST(n_punct AS DOUBLE) / CAST(len_chars AS DOUBLE)
+         ELSE 0.0 END) <= {QF_MAX_PUNCT_RATIO}
+), deduped AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+      PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), c AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(COALESCE(SUM(n_chars) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS cum_before
+  FROM deduped
+)
+SELECT doc_id, n_chars, cum_before,
+  CAST(cum_before // {PIPE_BUDGET} AS BIGINT) AS seq_id,
+  CAST(cum_before % {PIPE_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+# ===========================================================================
 # Q: lang_id — stopword-vote language detection
 # ===========================================================================
 
@@ -2132,6 +2223,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_quality_filter,
         SQL_QUALITY_FILTER,
         "north-star:text composite keep/drop gate",
+    ),
+    "pretrain_pipeline": (
+        q_pretrain_pipeline,
+        SQL_PRETRAIN_PIPELINE,
+        "north-star:end-to-end filter→dedup→pack",
     ),
     "lang_id": (q_lang_id, SQL_LANG_ID, "north-star:text"),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH, "north-star:dedup"),
