@@ -26,10 +26,24 @@ from pyspark.sql import functions as F
 DECIMAL_T = "decimal(13,6)"
 
 
+def _dec_to_double(dec: Column) -> Column:
+    """DECIMAL → DOUBLE through an exact decimal STRING.
+
+    Java's BigDecimal.doubleValue() computes (double)unscaled / 10^scale
+    when the unscaled value fits a long — TWO roundings, up to 1 ulp off
+    the correctly-rounded result once |sum| * 10^scale exceeds 2^53
+    (~9e9 at scale 6). Found by the sf1 headroom parity sweep:
+    pricing_summary's sum_charge diverged from DuckDB (whose direct cast
+    is correctly rounded) only past that magnitude. Double.parseDouble
+    of the exact decimal text IS correctly rounded, so this path is
+    engine-exact at any scale."""
+    return dec.cast("string").cast("double")
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent, oracle-exact sum of a double column."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DECIMAL_T)).cast("double")
+    out = _dec_to_double(F.sum(c.cast(DECIMAL_T)))
     return out.alias(alias) if alias else out
 
 
@@ -38,7 +52,7 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     double — identical on any engine because both operands are
     deterministic."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DECIMAL_T)).cast("double") / F.count(c)
+    out = _dec_to_double(F.sum(c.cast(DECIMAL_T))) / F.count(c)
     return out.alias(alias) if alias else out
 
 
@@ -49,7 +63,9 @@ def conditional_sum(value: Column | str, cond: Column, alias: str | None = None)
     ``.sum()`` on an empty selection yields 0.0, while Spark's
     ``sum(when(...))`` yields null; ``coalesce`` reconciles them)."""
     v = F.col(value) if isinstance(value, str) else value
-    out = F.coalesce(F.sum(F.when(cond, v.cast(DECIMAL_T))).cast("double"), F.lit(0.0))
+    out = F.coalesce(
+        _dec_to_double(F.sum(F.when(cond, v.cast(DECIMAL_T)))), F.lit(0.0)
+    )
     return out.alias(alias) if alias else out
 
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataengineering_spark.functions.scalars import _dec_to_double
+
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(col_name, n_rows, n_null, n_distinct, min_val, max_val, sum_val)
@@ -36,9 +38,9 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             F.countDistinct(col).alias(f"{c}__nd"),
             F.min(col).cast("double").alias(f"{c}__mn"),
             F.max(col).cast("double").alias(f"{c}__mx"),
-            F.sum(col.cast("decimal(18,6)"))
-            .cast("double")
-            .alias(f"{c}__sm"),
+            _dec_to_double(F.sum(col.cast("decimal(18,6)"))).alias(
+                f"{c}__sm"
+            ),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(

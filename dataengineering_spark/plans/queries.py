@@ -71,22 +71,22 @@ class QuerySpec:
 
 def dsum_sql(expr: str) -> str:
     """Oracle-exact sum: see functions.scalars.dsum."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT({expr})"
 
 
 def csum_sql(expr: str, cond: str) -> str:
     """Oracle-exact conditional sum with empty-slice→0 (pandas)
     semantics: see functions.scalars.conditional_sum."""
     return (
-        "COALESCE(CAST(SUM(CASE WHEN "
+        "COALESCE(CAST(CAST(SUM(CASE WHEN "
         + cond
         + " THEN CAST("
         + expr
-        + " AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)"
+        + " AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE), 0.0)"
     )
 
 

@@ -17,11 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
-from dataengineering_spark.functions.scalars import dsum
+from dataengineering_spark.functions.scalars import _dec_to_double, dsum
 from dataengineering_spark.plans.queries import transfers_from_events, TRANSFERS_SQL
 from dataengineering_spark.operators.windows import log_index
 
-DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+DSUM = "CAST(CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -159,9 +159,9 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_USER_EVENT_PIVOT = (
     "SELECT user_id, "
     + ", ".join(
-        "COALESCE(CAST(SUM(CASE WHEN event_type = '"
+        "COALESCE(CAST(CAST(SUM(CASE WHEN event_type = '"
         + t
-        + "' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS "
+        + "' THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS "
         + t
         for t in EVENT_TYPES
     )
@@ -353,14 +353,16 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def davg_scalar(col: str) -> F.Column:
-    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count(col)
+    return _dec_to_double(
+        F.sum(F.col(col).cast("decimal(18,6)"))
+    ) / F.count(col)
 
 
 SQL_DORMANT_CUSTOMERS = f"""
 SELECT c_nationkey, COUNT(*) AS numcust, {DSUM.format(e='c_acctbal')} AS totacctbal
 FROM customer
 WHERE c_acctbal > (
-    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal)
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal)
     FROM customer WHERE c_acctbal > 0.0
   )
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -550,7 +552,7 @@ SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
   COUNT(DISTINCT {c}) AS n_distinct,
   CAST(MIN({c}) AS DOUBLE) AS min_val,
   CAST(MAX({c}) AS DOUBLE) AS max_val,
-  CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+  CAST(CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_val
 FROM lineitem"""
     for c in PROFILE_COLS
 )
@@ -675,17 +677,16 @@ def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_24h"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_value_24h"),
+        _dec_to_double(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        ).alias("sum_value_24h"),
     )
 
 
 SQL_ROLLING_24H = """
 SELECT event_id, user_id,
   COUNT(*) OVER w AS n_24h,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_24h
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_value_24h
 FROM events
 WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)

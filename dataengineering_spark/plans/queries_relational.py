@@ -17,7 +17,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, name, sf_dir)
 
 
-DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+DSUM = "CAST(CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
 
 # ===========================================================================
@@ -948,7 +948,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(dsum(revenue, "value")).persist()
     total = per_part.agg(
         F.expr(
-            "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE)"
         ).alias("_total")
     )
     return (
@@ -968,7 +968,7 @@ WITH v AS (
 SELECT l_partkey, value
 FROM v
 WHERE value > {IMP_FRACTION} * (
-  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM v
+  SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) FROM v
 )
 ORDER BY value DESC, l_partkey ASC
 """
