@@ -762,6 +762,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bin_packing_merged",
     "quality_filter",
     "pretrain_pipeline",
+    "pagerank",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -694,7 +694,88 @@ WINDOW w AS (PARTITION BY user_id
 """
 
 
+# ===========================================================================
+# Q: pagerank — iterative graph analytics over the supplier
+# co-occurrence graph (edge weight = number of orders in which both
+# suppliers appear; degrees vary with supplier activity, so ranks
+# genuinely differentiate). Fixed 3 weighted supersteps in integer
+# micro-units — contrib = (rank * w) DIV out_weight, next = base +
+# (damping * Σcontrib) DIV 1e6 — so the run replays bit-for-bit as an
+# unrolled CTE chain in any engine (the Lloyd-trainer recipe applied
+# to Pregel-style iteration). Completes the graph story: sources/
+# graph.py loads vertices/edges out; this computes over them in-engine.
+# ===========================================================================
+
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.graph_analytics import (
+        pagerank_ranks,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    a = pairs.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = pairs.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = li.select(F.col("l_suppkey").alias("node")).distinct()
+    ranks = pagerank_ranks(edges, nodes, n_iters=PR_ITERS)
+    return ranks.select(
+        F.col("node").alias("s_suppkey"),
+        "rank_micro",
+        (F.col("rank_micro").cast("double") / F.lit(1000000.0)).alias("rank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        "pq AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)",
+        """edges AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+  FROM pq a JOIN pq b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey != b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+)""",
+        "nodes AS (SELECT DISTINCT l_suppkey AS node FROM lineitem)",
+        "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        cur = f"r{i}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT n.node,
+    CAST(150000 + (850000 * COALESCE(s.m, 0)) // 1000000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((p.r * e.w) // o.ow) AS m
+    FROM edges e
+    JOIN {prev} p ON e.src = p.node
+    JOIN outw o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node
+)"""
+        )
+        prev = cur
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT node AS s_suppkey, r AS rank_micro,
+       CAST(r AS DOUBLE) / 1000000.0 AS rank
+FROM {prev}
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "pagerank": (q_pagerank, SQL_PAGERANK, "graph:iterative PageRank"),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE, "sketch:DataSketches HLL merge"),
