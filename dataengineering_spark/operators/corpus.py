@@ -109,3 +109,49 @@ def doc_rarity(
             (F.col("n_distinct") / n).alias("distinct_ratio"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-``k`` salient terms per document by a rational tf-idf.
+
+    Standard tf-idf weighs a term by tf·log(N/df); the log is a libm
+    call whose ulps differ across engines, so the score here is the
+    rational member of the same family — ``tf / df`` (idf = 1/df, the
+    N factor is constant per corpus and cancels in per-doc ranking).
+    BIGINT/BIGINT double division is bit-identical everywhere, so the
+    ranking — score desc, tf desc, term asc — replays exactly.
+
+    Scale shape: tf is one map-side-combined groupBy over the exploded
+    token stream; df aggregates the (already tiny, Zipf-bounded) tf
+    frame; the score join broadcasts the vocab (``broadcast_vocab=
+    False`` falls back to a shuffle join); the final top-k windows on
+    ``id_col`` — per-document state only, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = corpus_tokens(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_vocab:
+        df_counts = F.broadcast(df_counts)
+    scored = tf.join(df_counts, "token").select(
+        id_col,
+        F.col("token").alias("term"),
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rk")
+    )

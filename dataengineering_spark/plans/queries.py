@@ -763,6 +763,11 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_filter",
     "pretrain_pipeline",
     "pagerank",
+    "funnel_steps",
+    "cohort_retention",
+    "scd2_history",
+    "snapshot_diff",
+    "tfidf_terms",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -774,7 +774,270 @@ FROM {prev}
 SQL_PAGERANK = _pagerank_sql()
 
 
+# ===========================================================================
+# Q: funnel_steps — sequential-conversion funnel (view → click →
+# purchase) per user. Each step's earliest qualifying timestamp must
+# strictly follow the previous step's. The sequential dependency is a
+# chain of min-aggregate → equi-join stages, all shuffling on the SAME
+# key (user_id), so AQE reuses one partitioning end-to-end; nothing in
+# the chain is quadratic and the per-step frames only shrink. The
+# reference's analytics tier has no funnel; this is the shape its
+# ClickHouse users would write with windowFunnel().
+# ===========================================================================
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("depth"),
+        )
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS INT) AS depth
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# ===========================================================================
+# Q: cohort_retention — weekly cohort × activity-week retention counts.
+# cohort_week = ISO week of a user's first event; one row per
+# (cohort_week, week_offset) with the distinct-user count still active
+# that week. Two aggregations over the events scan plus one join on
+# user_id; offsets are exact integer day-arithmetic (both engines
+# truncate weeks to Monday), so counts hash-match bit-for-bit.
+# ===========================================================================
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+  CAST((a.act_week - f.cohort_week) // 7 AS INT) AS week_offset,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+# ===========================================================================
+# Q: scd2_history — slowly-changing-dimension type-2 intervals built
+# from a change stream (gaps-and-islands). Per user, consecutive runs
+# of the same event_type collapse into one [valid_from, valid_to)
+# interval; the latest run is open (is_current). Classic lag→flag→
+# running-sum island id, then lead() over the interval sequence. All
+# window work partitions on user_id — per-user state, never global —
+# and ties at identical timestamps break on event_id, so the island
+# assignment replays deterministically on both engines.
+# ===========================================================================
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = islands.groupBy("user_id", "island", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    valid_to = F.lead("valid_from").over(w2)
+    return iv.select(
+        "user_id",
+        "island",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts, event_type,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), iv AS (
+  SELECT user_id, CAST(island AS BIGINT) AS island, event_type,
+    MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, island, event_type
+)
+SELECT user_id, island, event_type, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  n_events,
+  (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
+"""
+
+
+# ===========================================================================
+# Q: snapshot_diff — two-snapshot table diff (added / removed /
+# changed), the reconciliation primitive behind incremental loads and
+# CDC audits. The two snapshots are carved deterministically from
+# orders (key mod 97 missing from the old side, mod 89 missing from
+# the new, mod 53 repriced), then diffed with one full-outer join on
+# the key; unchanged rows drop out. One shuffle on the join key; at
+# scale both sides prune columns to key + compared fields.
+# ===========================================================================
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(
+                F.col("o_orderkey") % 53 == 0, F.col("o_totalprice") + 1.5
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+            F.col("o_orderstatus").alias("new_status"),
+        )
+    )
+    j = old.join(new, "key", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(
+            (F.col("old_price") != F.col("new_price"))
+            | (F.col("old_status") != F.col("new_status")),
+            "changed",
+        )
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .filter(F.col("diff_status").isNotNull())
+        .select("key", "diff_status", "old_price", "new_price")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey AS key, o_totalprice AS old_price, o_orderstatus AS old_status
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey AS key,
+    CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS new_price,
+    o_orderstatus AS new_status
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT COALESCE(old.key, new.key) AS key,
+  CASE WHEN old_price IS NULL THEN 'added'
+       WHEN new_price IS NULL THEN 'removed'
+       WHEN old_price <> new_price OR old_status <> new_status THEN 'changed'
+  END AS diff_status,
+  old_price, new_price
+FROM old FULL OUTER JOIN new ON old.key = new.key
+WHERE CASE WHEN old_price IS NULL THEN 'added'
+           WHEN new_price IS NULL THEN 'removed'
+           WHEN old_price <> new_price OR old_status <> new_status THEN 'changed'
+      END IS NOT NULL
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS, "analytics:funnel"),
+    "cohort_retention": (
+        q_cohort_retention,
+        SQL_COHORT_RETENTION,
+        "analytics:cohort retention",
+    ),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY, "analytics:SCD2 intervals"),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF, "analytics:snapshot diff"),
     "pagerank": (q_pagerank, SQL_PAGERANK, "graph:iterative PageRank"),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),

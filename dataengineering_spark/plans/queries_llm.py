@@ -2168,7 +2168,49 @@ FROM s
 """
 
 
+# ===========================================================================
+# Q: tfidf_terms — top-3 salient terms per document by rational
+# tf-idf (score = tf/df; the idf log is engine-divergent libm, the
+# rational form is bit-identical — see operators/corpus.py). The
+# keyword-extraction primitive next to doc_rarity's corpus pass.
+# ===========================================================================
+
+TFIDF_K = 3
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH t AS (
+  SELECT doc_id, UNNEST(string_split({NORM_SQL}, ' ')) AS token
+  FROM documents
+), toks AS (
+  SELECT doc_id, token FROM t WHERE length(token) > 0
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+), d AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), s AS (
+  SELECT tf.doc_id, tf.token AS term, tf.tf, d.df,
+    CAST(tf.tf AS DOUBLE) / d.df AS score
+  FROM tf JOIN d USING (token)
+)
+SELECT doc_id, term, tf, df, score, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, tf DESC, term ASC) AS INT) AS rk
+  FROM s)
+WHERE rk <= {TFIDF_K}
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS, "north-star:text tf-idf keywords"),
     "benchmark_overlap": (
         q_benchmark_overlap,
         SQL_BENCHMARK_OVERLAP,
