@@ -768,6 +768,8 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_history",
     "snapshot_diff",
     "tfidf_terms",
+    "countmin_topk",
+    "event_transitions",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -775,6 +775,134 @@ SQL_PAGERANK = _pagerank_sql()
 
 
 # ===========================================================================
+# Q: countmin_topk — Count-Min-sketch heavy hitters. The sketch is the
+# mergeable frequency summary (d=3 md5-derived hash rows × w=64
+# counters, same engine-portable hex32 arithmetic as the SimHash/
+# MinHash family); the query builds it with one map-side-combined
+# groupBy over a 3×-exploded key stream, then point-queries every
+# distinct key (min over the 3 counter cells, joined against the
+# BROADCAST 192-row sketch) and emits the top-10 estimated keys next
+# to their exact counts. ORDER BY + LIMIT, not a global window — the
+# top-k runs as TakeOrderedAndProject, no single-partition exchange.
+# At 100 TB the sketch build is the only pass that touches the fact
+# stream; its shuffle is bounded by partitions × 192 cells.
+# ===========================================================================
+
+CM_ROWS = 3
+CM_WIDTH = 64
+CM_TOPK = 10
+
+
+def _cm_bucket_sql(row_expr: str, key_expr: str, dialect: str) -> str:
+    from dataengineering_spark.operators.dedup import hex32_sql
+
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    h = (
+        f"md5(concat('cm', CAST({row_expr} AS {str_t}), ':',"
+        f" CAST({key_expr} AS {str_t})))"
+    )
+    return f"(CAST({hex32_sql(h)} AS BIGINT) % {CM_WIDTH})"
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rows = F.array(*[F.lit(i) for i in range(CM_ROWS)])
+    bucket = F.expr(_cm_bucket_sql("cm_row", "user_id", "spark"))
+    sketch = (
+        ev.select("user_id", F.explode(rows).alias("cm_row"))
+        .withColumn("bucket", bucket)
+        .groupBy("cm_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = ev.select("user_id").distinct()
+    est = (
+        keys.select("user_id", F.explode(rows).alias("cm_row"))
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(sketch), ["cm_row", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(CM_TOPK)
+        .select("user_id", "est", "exact_n", (F.col("est") - F.col("exact_n")).alias("overcount"))
+    )
+
+
+SQL_COUNTMIN_TOPK = f"""
+WITH tripled AS (
+  SELECT user_id, UNNEST([{", ".join(str(i) for i in range(CM_ROWS))}]) AS cm_row
+  FROM events
+), bucketed AS (
+  SELECT user_id, cm_row,
+    {_cm_bucket_sql("cm_row", "user_id", "duckdb")} AS bucket
+  FROM tripled
+), sketch AS (
+  SELECT cm_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY cm_row, bucket
+), est AS (
+  SELECT b.user_id, MIN(s.cnt) AS est
+  FROM (SELECT DISTINCT user_id, cm_row, bucket FROM bucketed) b
+  JOIN sketch s ON b.cm_row = s.cm_row AND b.bucket = s.bucket
+  GROUP BY b.user_id
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+)
+SELECT est.user_id, est, exact_n, est - exact_n AS overcount
+FROM est JOIN exact ON est.user_id = exact.user_id
+ORDER BY est DESC, est.user_id ASC
+LIMIT {CM_TOPK}
+"""
+
+
+# ===========================================================================
+# Q: event_transitions — first-order Markov transition matrix over
+# per-user event sequences: lag() partitioned on user_id (per-user
+# state, ties broken on event_id), one groupBy over the (prev, next)
+# pairs, and a window over the 25-row aggregate for the per-source
+# share. The share is exact-int → double division, bit-identical
+# across engines.
+# ===========================================================================
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("share"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS share
+FROM pairs
+"""
+
+
+# ===========================================================================
 # Q: funnel_steps — sequential-conversion funnel (view → click →
 # purchase) per user. Each step's earliest qualifying timestamp must
 # strictly follow the previous step's. The sequential dependency is a
@@ -1030,6 +1158,16 @@ WHERE CASE WHEN old_price IS NULL THEN 'added'
 
 
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "countmin_topk": (
+        q_countmin_topk,
+        SQL_COUNTMIN_TOPK,
+        "sketch:Count-Min heavy hitters",
+    ),
+    "event_transitions": (
+        q_event_transitions,
+        SQL_EVENT_TRANSITIONS,
+        "analytics:Markov transitions",
+    ),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS, "analytics:funnel"),
     "cohort_retention": (
         q_cohort_retention,
