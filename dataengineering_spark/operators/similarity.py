@@ -756,7 +756,7 @@ def ivfpq_topk(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
-    coarse_iters: int = 2,
+    coarse_iters: int = 1,
     m_sub: int = 4,
     k_sub: int = 8,
     pq_iters: int = 1,
@@ -787,18 +787,27 @@ def ivfpq_topk(
     # Both quantizers seed from the same md5-ranked prefix — one
     # collect — and their Lloyd loops are independent, so they train
     # on concurrent Spark jobs (driver threads; results deterministic
-    # either way).
-    seed_rows = _ranked_seed_rows(e, max(n_centroids, k_sub))
-    from concurrent.futures import ThreadPoolExecutor
+    # either way). The spread frame is persisted for the span of the
+    # training collects (each is its own job and would otherwise
+    # re-scan + re-shuffle the corpus) and released before the lazy
+    # scoring plan is built — that final job re-reads the source once,
+    # which is also the only behavior that exists at 100 TB, where the
+    # training sample is cached but the full corpus never is.
+    e.persist()
+    try:
+        seed_rows = _ranked_seed_rows(e, max(n_centroids, k_sub))
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_coarse = pool.submit(
-            ivf_train_rows, e, n_centroids, coarse_iters, dim, seed_rows
-        )
-        f_books = pool.submit(
-            pq_train_books, e, m_sub, k_sub, pq_iters, dim, seed_rows
-        )
-        cent_rows, by_m = f_coarse.result(), f_books.result()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(
+                ivf_train_rows, e, n_centroids, coarse_iters, dim, seed_rows
+            )
+            f_books = pool.submit(
+                pq_train_books, e, m_sub, k_sub, pq_iters, dim, seed_rows
+            )
+            cent_rows, by_m = f_coarse.result(), f_books.result()
+    finally:
+        e.unpersist()
     enc = pq_encode(ivf_assign(e, cent_rows), by_m, m_sub, d_sub, keep=("cid",))
 
     q = queries.select(
