@@ -48,6 +48,12 @@ HEADLINE = (
     # round-5 additions
     "ivfpq_ann",
     "bin_packing_merged",
+    # round-5 second pass
+    "funnel_steps",
+    "scd2_history",
+    "tfidf_terms",
+    "countmin_topk",
+    "zorder_key",
 )
 
 

@@ -770,6 +770,8 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_terms",
     "countmin_topk",
     "event_transitions",
+    "zorder_key",
+    "kmv_intersect",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

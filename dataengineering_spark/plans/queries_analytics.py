@@ -465,6 +465,107 @@ SQL_KMV_MERGE = _kmv_sql()  # merged estimate must equal the direct one
 
 
 # ===========================================================================
+# Q: kmv_intersect — KMV set-INTERSECTION estimate (inclusion via the
+# k-min union sketch: ρ = |union-k-mins ∩ A-sketch ∩ B-sketch| / k,
+# |A∩B| ≈ ρ · est(|A∪B|)). Extends the sketch family beyond distinct
+# counts to set overlap — the audience-overlap / join-selectivity
+# estimator. Everything after the two distinct-hash scans is k-row
+# frames (k=32): TakeOrderedAndProject k-mins, semi-join membership,
+# and three 1-row scalar attaches (deliberate tiny BNLJ, allowlisted
+# like important_parts). Estimator math replays in the oracle from the
+# same md5 unit-hash grid; the exact intersection rides along.
+# ===========================================================================
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sketches import kmv_unit_hash
+
+    ev = _t(spark, sf_dir, "events")
+    k = KMV_K
+
+    # two PARTIALLY overlapping id sets (the user sets per event_type
+    # fully coincide in this corpus — a degenerate overlap): A = view
+    # events, B = high-value events; |A∩B| ≈ |A|/2.
+    sets = {
+        "a": ev.filter(F.col("event_type") == "view"),
+        "b": ev.filter(F.col("value") >= 0.5),
+    }
+
+    def hashes(s: str) -> DataFrame:
+        return sets[s].select(kmv_unit_hash("event_id").alias("h")).distinct()
+
+    def ids(s: str) -> DataFrame:
+        return sets[s].select("event_id").distinct()
+
+    ka = hashes("a").orderBy("h").limit(k)
+    kb = hashes("b").orderBy("h").limit(k)
+    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+    stats = ku.agg(F.count(F.lit(1)).alias("nu"), F.max("h").alias("hk"))
+    rho = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    exact = (
+        ids("a")
+        .join(ids("b"), "event_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    union_est = (
+        F.when(F.col("nu") < k, F.col("nu").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("hk"))
+    )
+    return (
+        stats.crossJoin(rho)
+        .crossJoin(exact)
+        .select(
+            (F.col("rho").cast("double") / k * union_est).alias("est_intersect"),
+            "rho",
+            union_est.alias("union_est"),
+            "exact_intersect",
+        )
+    )
+
+
+def _kmv_intersect_sql() -> str:
+    from dataengineering_spark.operators.sketches import kmv_unit_hash_sql
+
+    k = KMV_K
+    h = kmv_unit_hash_sql("event_id")
+    uest = f"CASE WHEN nu < {k} THEN CAST(nu AS DOUBLE) ELSE {float(k - 1)!r} / hk END"
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE value >= 0.5
+), ka AS (
+  SELECT h FROM a ORDER BY h LIMIT {k}
+), kb AS (
+  SELECT h FROM b ORDER BY h LIMIT {k}
+), ku AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT {k}
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu, MAX(h) AS hk FROM ku
+), rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM ku
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+    SELECT DISTINCT event_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT DISTINCT event_id FROM events WHERE value >= 0.5)
+)
+SELECT CAST(rho AS DOUBLE) / {k} * ({uest}) AS est_intersect,
+  rho, {uest} AS union_est, exact_intersect
+FROM stats, rho, ex
+"""
+
+
+SQL_KMV_INTERSECT = _kmv_intersect_sql()
+
+
+# ===========================================================================
 # Q: hll_merge — Apache DataSketches HLL state (Spark's JVM-native
 # hll_sketch_agg/hll_union_agg), the binary-register counterpart of
 # kmv_merge. DuckDB cannot reproduce the DataSketches hash, so the
@@ -772,6 +873,51 @@ FROM {prev}
 
 
 SQL_PAGERANK = _pagerank_sql()
+
+
+# ===========================================================================
+# Q: zorder_key — Morton (Z-order) clustering key over two join/filter
+# dimensions of orders. The layout primitive behind multi-dimensional
+# data skipping: range-writing on this key makes parquet min/max stats
+# prune predicates on EITHER interleaved column (operators/layout.py,
+# cluster_by_morton). Pure integer floor-div/mod arithmetic — the
+# oracle replays the identical expression text.
+# ===========================================================================
+
+ZORDER_BITS = 16
+ZORDER_DIMS = ("o_custkey % 65536", "o_orderkey % 65536")
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.layout import morton_key
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        morton_key(ZORDER_DIMS, ZORDER_BITS).alias("zkey"),
+        F.expr(
+            f"CAST(floor({morton_key_sql_cached()} / {2 ** (2 * ZORDER_BITS - 8)})"
+            " AS BIGINT)"
+        ).alias("zbucket"),
+    )
+
+
+def morton_key_sql_cached() -> str:
+    from dataengineering_spark.operators.layout import morton_key_sql
+
+    return morton_key_sql(ZORDER_DIMS, ZORDER_BITS)
+
+
+def _zorder_sql() -> str:
+    zk = morton_key_sql_cached()
+    return f"""
+SELECT o_orderkey, {zk} AS zkey,
+  CAST(floor({zk} / {2 ** (2 * ZORDER_BITS - 8)}) AS BIGINT) AS zbucket
+FROM orders
+"""
+
+
+SQL_ZORDER_KEY = _zorder_sql()
 
 
 # ===========================================================================
@@ -1158,6 +1304,7 @@ WHERE CASE WHEN old_price IS NULL THEN 'added'
 
 
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY, "layout:Z-order clustering key"),
     "countmin_topk": (
         q_countmin_topk,
         SQL_COUNTMIN_TOPK,
@@ -1179,6 +1326,11 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK, "graph:iterative PageRank"),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT, "sketch:KMV distinct"),
     "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE, "sketch:KMV union-merge"),
+    "kmv_intersect": (
+        q_kmv_intersect,
+        SQL_KMV_INTERSECT,
+        "sketch:KMV intersection estimate",
+    ),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE, "sketch:DataSketches HLL merge"),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE, "profiling:one-scan stats"),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY, "timeseries:gap-fill"),

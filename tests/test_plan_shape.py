@@ -65,11 +65,12 @@ def test_no_cartesian_products_anywhere(spark):
             "pq_ann",
             "dormant_customers",
             "important_parts",
+            "kmv_intersect",
         ):
             # cosine_topk's query-broadcast crossJoin, ivf_ann's
             # centroid-assignment crossJoin, pq_ann's broadcast-LUT
-            # crossJoin, and dormant_customers' / important_parts'
-            # 1-row scalar-subquery attaches are the deliberate
+            # crossJoin, and dormant_customers' / important_parts' /
+            # kmv_intersect's 1-row scalar-subquery attaches are the deliberate
             # nested-loops: the broadcast side (|queries|, C
             # centroids, one LUT row per query, one scalar row) is
             # tiny by contract.
