@@ -134,6 +134,32 @@ def interval_join(
     return l.join(r, cond, how).drop(r[key_col])
 
 
+def deduplicated(
+    events: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once key dedup over a stream — the streaming face of
+    the A8/dedup_exact family. At-least-once sources (the reference's
+    retrying sync loop re-reads ranges on failure;
+    ``rate_limited.py`` heals its cursor the same way) emit the same
+    record in more than one micro-batch;
+    ``dropDuplicatesWithinWatermark`` keeps one row per key while the
+    watermark BOUNDS the dedup state: keys older than the horizon are
+    evicted, so state is O(keys-per-horizon), not O(stream) — the only
+    dedup contract that survives an unbounded stream. On a batch frame
+    the same call degrades to plain ``dropDuplicates`` (exact, whole
+    input), which is what the oracle replays.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_foreach_batch(
     stream: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

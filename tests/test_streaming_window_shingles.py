@@ -130,3 +130,44 @@ def test_connected_components_multihop(spark):
     )
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_streaming_dedup_exactly_once(spark, tmp_path):
+    """An at-least-once source (the same rows re-delivered in a later
+    micro-batch) must come out exactly-once through
+    deduplicated(); the result equals batch dropDuplicates."""
+    from dataengineering_spark.streaming.structured import deduplicated
+
+    ev = read_table(spark, "events", SF_SMOKE).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "dedup_in")
+    first = ev.filter("event_id < 600")
+    redelivered = ev.filter("event_id >= 400")  # 400-599 arrive TWICE
+    first.coalesce(1).write.mode("append").parquet(src)
+    redelivered.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        deduplicated(stream, keys=("event_id",), watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_expected = ev.count()  # every event_id exactly once
+    rows = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream"
+    ).collect()[0]
+    assert rows.n == n_expected, (rows.n, n_expected)
+    assert rows.d == n_expected
+    # batch path: same helper degrades to exact dropDuplicates
+    batch = deduplicated(first.union(redelivered), keys=("event_id",))
+    assert batch.count() == n_expected
