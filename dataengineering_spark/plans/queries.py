@@ -772,6 +772,13 @@ _DRIVER_PRIORITY: list[str] = [
     "event_transitions",
     "zorder_key",
     "kmv_intersect",
+    "props_json",
+    "event_unpivot",
+    "user_diversity",
+    "concurrency_peak",
+    "ewma_daily",
+    "degree_distribution",
+    "fuzzy_match",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -1303,7 +1303,340 @@ WHERE CASE WHEN old_price IS NULL THEN 'added'
 """
 
 
+# ===========================================================================
+# Q: props_json — JSON property extraction over the events payload column
+# ===========================================================================
+#
+# The reference ships payloads as opaque strings and parses them in
+# pandas after the fact (clickhouse/v1/operator.py:454 reads CSV text
+# wholesale). Spark-first: get_json_object is codegen'd JVM-side, so
+# the parse rides the scan with no Python in the loop.
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.coalesce(
+                dsum(F.when(F.col("k") < 50, F.col("value"))), F.lit(0.0)
+            ).alias("low_k_value"),
+        )
+    )
+
+
+SQL_PROPS_JSON = """
+WITH parsed AS (
+  SELECT event_type, value,
+    CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+  MIN(k) AS k_min,
+  MAX(k) AS k_max,
+  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+  COALESCE(CAST(CAST(SUM(CASE WHEN k < 50
+      THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE), 0.0)
+    AS low_k_value
+FROM parsed GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Q: event_unpivot — wide → long melt (UNPIVOT round-trip of the A4 pivot)
+# ===========================================================================
+
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot per user then UNPIVOT back to long form.
+
+    Exercises the melt operator for real: the wide frame's five typed
+    columns become (etype, total) rows, zero-filled combos included —
+    the shape a feature-store export needs.
+    """
+    wide = q_user_event_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", list(EVENT_TYPES), "etype", "total"
+    )
+
+
+SQL_EVENT_UNPIVOT = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (
+  SELECT 'click' AS etype UNION ALL SELECT 'view' UNION ALL
+  SELECT 'purchase' UNION ALL SELECT 'signup' UNION ALL SELECT 'error'
+),
+s AS (
+  SELECT user_id, event_type,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+  FROM events GROUP BY user_id, event_type
+)
+SELECT u.user_id, t.etype, COALESCE(s.total, 0.0) AS total
+FROM u CROSS JOIN t
+LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = t.etype
+"""
+
+
+# ===========================================================================
+# Q: user_diversity — Shannon entropy + Gini impurity of per-user event mix
+# ===========================================================================
+#
+# Label-diversity metrics a training-data curation pass computes per
+# source/user. Gini is emitted in exact integer ppm (pure BIGINT
+# arithmetic — engine-identical by construction); entropy in floored
+# micro-nats (ln is the one libm call; the decimal-routed inner sum
+# keeps addition order-independent so engines agree to the ulp).
+
+def q_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(
+            (F.col("c").cast("double") * F.log(F.col("c").cast("double"))).cast(
+                "decimal(28,12)"
+            )
+        ).alias("clnc"),
+    )
+    return per_user.select(
+        "user_id",
+        F.expr("(1000000 * (n * n - s2)) DIV (n * n)").alias("gini_ppm"),
+        F.floor(
+            (
+                F.log(F.col("n").cast("double"))
+                - _dec_to_double(F.col("clnc")) / F.col("n")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).alias("entropy_unats"),
+    )
+
+
+SQL_USER_DIVERSITY = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id,
+    CAST(SUM(c) AS BIGINT) AS n,
+    CAST(SUM(c * c) AS BIGINT) AS s2,
+    SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12))) AS clnc
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+  (1000000 * (n * n - s2)) // (n * n) AS gini_ppm,
+  CAST(FLOOR((ln(CAST(n AS DOUBLE))
+      - CAST(CAST(clnc AS VARCHAR) AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)
+    AS entropy_unats
+FROM p
+"""
+
+
+# ===========================================================================
+# Q: concurrency_peak — max overlapping 1-hour event intervals per user
+# ===========================================================================
+#
+# Sweep-line over interval endpoints: +1 at start, -1 at end, running
+# sum, max. Partitioned by user so the window shuffles on a high-
+# cardinality key (no global sort); ties at one instant order ends
+# before starts (half-open intervals), making the max deterministic.
+
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    starts = ev.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    return run.groupBy("user_id").agg(F.max("c").cast("long").alias("peak"))
+
+
+SQL_CONCURRENCY_PEAK = """
+WITH pts AS (
+  SELECT user_id, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id, ts + INTERVAL 1 HOUR, -1 FROM events
+),
+run AS (
+  SELECT user_id,
+    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                     ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak FROM run GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# Q: ewma_daily — exponentially weighted moving average of daily revenue
+# ===========================================================================
+#
+# alpha = 1/2 over an 8-day truncated horizon. Shuffle-shaped for
+# scale: each source day explodes into its 8 target-day contributions
+# (sequence + date_add), then one equi-join + groupBy — no range join,
+# no BroadcastNestedLoop, no global window. Exactness: everything stays
+# DECIMAL — the weight 0.5**(k+1) is a power of two (exact in double,
+# <=8 dp, so the DECIMAL(9,8) cast is lossless on both engines), and
+# DECIMAL(24,6) x DECIMAL(9,8) multiplies exactly without hitting
+# either engine's 38-digit cap.
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(24,6)")
+        .alias("rev")
+    )
+    contrib = daily.select(
+        "day",
+        "rev",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+    ).select(
+        F.date_add(F.col("day"), F.col("k")).alias("t"),
+        (F.col("rev") * F.pow(F.lit(0.5), F.col("k") + 1).cast("decimal(9,8)")).alias(
+            "w"
+        ),
+    )
+    return (
+        daily.select(F.col("day"))
+        .join(contrib, F.col("day") == F.col("t"))
+        .groupBy("day")
+        .agg(_dec_to_double(F.sum("w")).alias("ewma"))
+    )
+
+
+SQL_EWMA_DAILY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS rev
+  FROM orders GROUP BY 1
+),
+contrib AS (
+  SELECT day + CAST(k AS INTEGER) AS t,
+    rev * CAST(power(0.5, k + 1) AS DECIMAL(9,8)) AS w
+  FROM (SELECT day, rev, UNNEST(range(8)) AS k FROM daily)
+)
+SELECT d.day, CAST(CAST(SUM(c.w) AS VARCHAR) AS DOUBLE) AS ewma
+FROM daily d JOIN contrib c ON c.t = d.day
+GROUP BY d.day
+"""
+
+
+# ===========================================================================
+# Q: degree_distribution — graph degree histogram over the transfer graph
+# ===========================================================================
+#
+# The TigerGraph-side analytics the reference defers to the graph
+# engine (S18-S22); in-engine it is two hash aggregations.
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = transfers_from_events(_t(spark, sf_dir, "events"))
+    deg = tr.groupBy("sender_address").agg(
+        F.countDistinct("receiver_address").alias("out_degree")
+    )
+    return deg.groupBy("out_degree").agg(
+        F.count(F.lit(1)).alias("n_senders")
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+WITH transfers AS ({TRANSFERS_SQL}),
+deg AS (
+  SELECT sender_address,
+    CAST(COUNT(DISTINCT receiver_address) AS BIGINT) AS out_degree
+  FROM transfers GROUP BY sender_address
+)
+SELECT out_degree, CAST(COUNT(*) AS BIGINT) AS n_senders
+FROM deg GROUP BY out_degree
+"""
+
+
+# ===========================================================================
+# Q: fuzzy_match — blocked Levenshtein near-duplicate pairs over documents
+# ===========================================================================
+#
+# Record-linkage shape: block on (lang, 16-char prefix) so the
+# quadratic edit-distance only runs inside tiny equi-join buckets —
+# never all-pairs — then score a bounded 80-char prefix. Both engines
+# define levenshtein over unicode code points identically.
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 80).alias("prefix"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        "lang",
+        "blk",
+        F.col("prefix").alias("a_prefix"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("blk").alias("b_blk"),
+        F.col("prefix").alias("b_prefix"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("b_lang"))
+        & (F.col("blk") == F.col("b_blk"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.levenshtein("a_prefix", "b_prefix").alias("dist"),
+    ).filter(F.col("dist") <= 20)
+
+
+SQL_FUZZY_MATCH = """
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 16) AS blk, substr(text, 1, 80) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "event_unpivot": (q_event_unpivot, SQL_EVENT_UNPIVOT, "analytics:UNPIVOT melt"),
+    "user_diversity": (
+        q_user_diversity,
+        SQL_USER_DIVERSITY,
+        "analytics:entropy+Gini diversity",
+    ),
+    "concurrency_peak": (
+        q_concurrency_peak,
+        SQL_CONCURRENCY_PEAK,
+        "analytics:interval sweep-line",
+    ),
+    "ewma_daily": (q_ewma_daily, SQL_EWMA_DAILY, "timeseries:EWMA"),
+    "degree_distribution": (
+        q_degree_distribution,
+        SQL_DEGREE_DISTRIBUTION,
+        "graph:degree histogram",
+    ),
+    "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH, "dedup:blocked Levenshtein"),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY, "layout:Z-order clustering key"),
     "countmin_topk": (
         q_countmin_topk,
