@@ -54,6 +54,9 @@ HEADLINE = (
     "tfidf_terms",
     "countmin_topk",
     "zorder_key",
+    # round-5 third pass
+    "concurrency_peak",
+    "fuzzy_match",
 )
 
 
