@@ -779,6 +779,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ewma_daily",
     "degree_distribution",
     "fuzzy_match",
+    "bloom_prune",
+    "value_correlation",
+    "quantile_bins",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

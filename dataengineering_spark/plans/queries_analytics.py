@@ -1617,8 +1617,225 @@ WHERE levenshtein(a.prefix, b.prefix) <= 20
 """
 
 
+# ===========================================================================
+# Q: bloom_prune — Bloom-filter semi-join pruning (runtime-filter shape)
+# ===========================================================================
+#
+# The scale technique behind Spark's runtime row-group filters, built
+# explicitly so the reduction is observable and oracle-checkable: a
+# selective dim filter builds an m=4096-bit Bloom set (j=3 md5-derived
+# positions per key, same engine-portable hex32 arithmetic as the
+# sketch family); the fact side checks its 3 positions against the
+# BROADCAST ≤4096-row bit set — a bounded-size build no matter how
+# large the dim — and only bloom-passing candidates reach the exact
+# join. Emits per-status probe/pass/true/false-positive counts, so the
+# pruning ratio (and the no-false-negative invariant) is the result.
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(j_expr: str, key_expr: str, dialect: str) -> str:
+    from dataengineering_spark.operators.dedup import hex32_sql
+
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    h = (
+        f"md5(concat('bf', CAST({j_expr} AS {str_t}), ':',"
+        f" CAST({key_expr} AS {str_t})))"
+    )
+    return f"(CAST({hex32_sql(h)} AS BIGINT) % {BLOOM_M})"
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ks = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    build = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    bloom = (
+        build.select("key", F.explode(ks).alias("j"))
+        .select(F.expr(_bloom_pos_sql("j", "key", "spark")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", F.explode(ks).alias("j"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.expr(_bloom_pos_sql("j", "o_custkey", "spark")).alias("pos"),
+        )
+    )
+    cand = (
+        probe.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("o_orderkey", "o_custkey", "o_orderstatus")
+        .agg(
+            (F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1)
+            .cast("int")
+            .alias("pass_bloom")
+        )
+    )
+    members = build.select(
+        F.col("key").alias("o_custkey"), F.lit(1).alias("is_member")
+    ).distinct()
+    flagged = cand.join(F.broadcast(members), "o_custkey", "left").na.fill(
+        0, ["is_member"]
+    )
+    return (
+        flagged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum("pass_bloom").alias("n_bloom_pass"),
+            F.sum(F.col("pass_bloom") * F.col("is_member")).alias("n_true"),
+        )
+        .withColumn("n_false_pos", F.col("n_bloom_pass") - F.col("n_true"))
+    )
+
+
+def _sql_bloom_prune() -> str:
+    pos_b = _bloom_pos_sql("j", "key", "duckdb")
+    pos_p = _bloom_pos_sql("j", "o_custkey", "duckdb")
+    js = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+WITH build AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bloom AS (
+  SELECT DISTINCT {pos_b} AS pos
+  FROM (SELECT key, UNNEST([{js}]) AS j FROM build)
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, {pos_p} AS pos
+  FROM (SELECT o_orderkey, o_custkey, o_orderstatus, UNNEST([{js}]) AS j
+        FROM orders)
+),
+cand AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+         THEN 1 ELSE 0 END AS pass_bloom
+  FROM probe p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT c.*, CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM cand c LEFT JOIN (SELECT DISTINCT key FROM build) m
+    ON c.o_custkey = m.key
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_probe,
+  CAST(SUM(pass_bloom) AS BIGINT) AS n_bloom_pass,
+  CAST(SUM(pass_bloom * is_member) AS BIGINT) AS n_true,
+  CAST(SUM(pass_bloom) - SUM(pass_bloom * is_member) AS BIGINT) AS n_false_pos
+FROM flagged GROUP BY o_orderstatus
+"""
+
+
+SQL_BLOOM_PRUNE = _sql_bloom_prune()
+
+
+# ===========================================================================
+# Q: value_correlation — exact-decimal Pearson correlation per event_type
+# ===========================================================================
+#
+# The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are computed as
+# decimal-×-decimal products summed in DECIMAL — order-independent and
+# engine-identical; only the final corr arithmetic runs in double
+# (sqrt is the single libm call), emitted as floored micro-units.
+
+def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(12,2)")
+    y = F.get_json_object(F.col("props"), "$.k").cast("int").cast("decimal(12,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    dd = {c: _dec_to_double(F.col(c)) for c in ("sx", "sy", "sxy", "sx2", "sy2")}
+    num = n * dd["sxy"] - dd["sx"] * dd["sy"]
+    den = F.sqrt(
+        (n * dd["sx2"] - dd["sx"] * dd["sx"]) * (n * dd["sy2"] - dd["sy"] * dd["sy"])
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)).alias("corr_ppm"),
+    )
+
+
+SQL_VALUE_CORRELATION = """
+WITH m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+    SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM (
+    SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+      CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(12,2)) AS y
+    FROM events
+  ) GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2,
+    CAST(CAST(sy2 AS VARCHAR) AS DOUBLE) AS sy2
+  FROM m
+)
+SELECT event_type, n,
+  CAST(FLOOR((nd * sxy - sx * sy)
+      / sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy))
+      * 1000000.0 + 0.5) AS BIGINT) AS corr_ppm
+FROM d
+"""
+
+
+# ===========================================================================
+# Q: quantile_bins — NTILE quartile assignment + per-bin aggregates
+# ===========================================================================
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.withColumn("bin", F.ntile(4).over(w))
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+SQL_QUANTILE_BINS = """
+WITH b AS (
+  SELECT event_type, value,
+    CAST(NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS INT) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY event_type, bin
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE, "scale:Bloom semi-join pruning"),
+    "value_correlation": (
+        q_value_correlation,
+        SQL_VALUE_CORRELATION,
+        "analytics:exact-moment Pearson",
+    ),
+    "quantile_bins": (q_quantile_bins, SQL_QUANTILE_BINS, "analytics:NTILE binning"),
     "event_unpivot": (q_event_unpivot, SQL_EVENT_UNPIVOT, "analytics:UNPIVOT melt"),
     "user_diversity": (
         q_user_diversity,
