@@ -17,6 +17,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    action_col: str | None = "action",
+) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join (no MERGE statement
+    needed on plain parquet):
+
+    - key in both         → source row wins (WHEN MATCHED THEN UPDATE)
+    - key only in source  → source row inserted (WHEN NOT MATCHED)
+    - key only in target  → target row kept
+
+    Both frames must share the same schema. ``action_col`` (optional)
+    appends 'update' / 'insert' / 'keep' per row so the merge is
+    auditable. One shuffle on the key — the join IS the merge; at
+    scale, write the result with dynamic partition overwrite
+    (``dedup_table_partitions`` shows the scoped-rewrite pattern).
+
+    Reference analogue: the staging-flush lifecycle
+    (``clickhouse/v1/operator.py`` DELETE+reload) expressed as a
+    declarative plan instead of imperative DML.
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(target.columns)} vs {sorted(source.columns)}"
+        )
+    non_keys = [c for c in target.columns if c not in keys]
+    t = target.withColumn("_t_present", F.lit(1))
+    s = source.withColumn("_s_present", F.lit(1))
+    joined = t.alias("t").join(s.alias("s"), keys, "full_outer")
+    matched = F.col("s._s_present").isNotNull()
+    cols = [
+        *[F.col(k).alias(k) for k in keys],
+        *[
+            F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in non_keys
+        ],
+    ]
+    if action_col:
+        cols.append(
+            F.when(matched & F.col("t._t_present").isNotNull(), F.lit("update"))
+            .when(matched, F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias(action_col)
+        )
+    return joined.select(*cols)
+
+
 def dedup_table_partitions(
     spark: SparkSession,
     path: str,

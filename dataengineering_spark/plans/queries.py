@@ -782,6 +782,9 @@ _DRIVER_PRIORITY: list[str] = [
     "bloom_prune",
     "value_correlation",
     "quantile_bins",
+    "merge_upsert",
+    "table_checksum",
+    "sales_cube",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

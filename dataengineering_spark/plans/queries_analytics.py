@@ -1827,8 +1827,144 @@ FROM b GROUP BY event_type, bin
 """
 
 
+# ===========================================================================
+# Q: merge_upsert — MERGE INTO semantics over snapshot + change set
+# ===========================================================================
+#
+# The reference's staging-flush lifecycle (DELETE + reload,
+# clickhouse/v1/operator.py) as a declarative one-join merge: see
+# operators/maintenance.merge_upsert. Target = snapshot missing the
+# %97 keys; source = the %89 change set with adjusted prices, so the
+# result exercises all three branches (update / insert / keep).
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.maintenance import merge_upsert
+
+    od = _t(spark, sf_dir, "orders")
+    target = od.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = od.filter(F.col("o_orderkey") % 89 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") + F.lit(1.5)).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return merge_upsert(target, source, keys=["key"])
+
+
+SQL_MERGE_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+s AS (
+  SELECT o_orderkey AS key, o_totalprice + 1.5 AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT COALESCE(t.key, s.key) AS key,
+  CASE WHEN s.key IS NOT NULL THEN s.price ELSE t.price END AS price,
+  CASE WHEN s.key IS NOT NULL THEN s.status ELSE t.status END AS status,
+  CASE WHEN s.key IS NOT NULL AND t.key IS NOT NULL THEN 'update'
+       WHEN s.key IS NOT NULL THEN 'insert'
+       ELSE 'keep' END AS action
+FROM t FULL OUTER JOIN s ON t.key = s.key
+"""
+
+
+# ===========================================================================
+# Q: table_checksum — order-independent content fingerprint per bucket
+# ===========================================================================
+#
+# Cross-system reconciliation beyond row counts (V1 extends to
+# content): each row hashes to a 32-bit integer (md5/hex32, identical
+# on both engines over a canonical string repr — decimals fixed-point,
+# dates ISO-formatted, NO raw float-to-string anywhere), summed per
+# key bucket in DECIMAL so the total neither overflows nor depends on
+# order at any scale. Two tables agree iff all bucket rows agree;
+# a diff localizes to 1/16th of the keyspace.
+
+CHECKSUM_BUCKETS = 16
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import hex32_sql
+
+    li = _t(spark, sf_dir, "lineitem")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    h = F.expr(hex32_sql("md5(r)")).cast("decimal(20,0)")
+    return (
+        li.select((F.col("l_orderkey") % CHECKSUM_BUCKETS).alias("bucket"), row_repr.alias("r"))
+        .select("bucket", h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("string").alias("checksum"),
+        )
+    )
+
+
+def _sql_table_checksum() -> str:
+    from dataengineering_spark.operators.dedup import hex32_sql
+
+    return f"""
+WITH r AS (
+  SELECT l_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|'
+      || l_returnflag || '|' || l_linestatus || '|'
+      || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|'
+      || strftime(l_shipdate, '%Y-%m-%d') AS r
+  FROM lineitem
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST({hex32_sql("md5(r)")} AS DECIMAL(20,0))) AS VARCHAR) AS checksum
+FROM r GROUP BY bucket
+"""
+
+
+SQL_TABLE_CHECKSUM = _sql_table_checksum()
+
+
+# ===========================================================================
+# Q: sales_cube — CUBE grouping sets (all four lattice levels)
+# ===========================================================================
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice", "sum_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+SQL_SALES_CUBE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  {DSUM.format(e='l_extendedprice')} AS sum_price,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT, "maintenance:MERGE upsert"),
+    "table_checksum": (
+        q_table_checksum,
+        SQL_TABLE_CHECKSUM,
+        "reconciliation:content fingerprint",
+    ),
+    "sales_cube": (q_sales_cube, SQL_SALES_CUBE, "analytics:CUBE lattice"),
     "bloom_prune": (q_bloom_prune, SQL_BLOOM_PRUNE, "scale:Bloom semi-join pruning"),
     "value_correlation": (
         q_value_correlation,

@@ -136,3 +136,40 @@ def test_run_job_timeout():
     with pytest.raises(RuntimeError):
         run_job(cfg, slow_fail, sleep=lambda s: None, clock=clock)
     assert t["now"] <= 40.0  # bounded by timeout, not 100 retries
+
+
+def test_merge_upsert_three_branches(spark):
+    from dataengineering_spark.operators.maintenance import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B")], ["key", "price", "status"]
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, "B2"), (3, 30.0, "C")], ["key", "price", "status"]
+    )
+    out = {r.key: r for r in merge_upsert(target, source, ["key"]).collect()}
+    assert out[1].price == 10.0 and out[1].action == "keep"
+    assert out[2].price == 99.0 and out[2].status == "B2" and out[2].action == "update"
+    assert out[3].price == 30.0 and out[3].action == "insert"
+    assert len(out) == 3
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from dataengineering_spark.operators.maintenance import merge_upsert
+
+    t = spark.createDataFrame([(1, 1.0)], ["key", "a"])
+    s = spark.createDataFrame([(1, 1.0)], ["key", "b"])
+    with _pytest.raises(ValueError):
+        merge_upsert(t, s, ["key"])
+
+
+def test_merge_upsert_no_action_col(spark):
+    from dataengineering_spark.operators.maintenance import merge_upsert
+
+    t = spark.createDataFrame([(1, 1.0)], ["key", "a"])
+    s = spark.createDataFrame([(2, 2.0)], ["key", "a"])
+    merged = merge_upsert(t, s, ["key"], action_col=None)
+    assert set(merged.columns) == {"key", "a"}
+    assert merged.count() == 2
