@@ -62,3 +62,28 @@ def warn_if_expressible(op_name: str) -> None:
         "(operators.aggregates); applyInPandas is 10-100x slower at scale",
         stacklevel=3,
     )
+
+
+def register_chunk_spans_udtf(spark) -> None:
+    """Python UDTF escape hatch (table-function shape): one input row
+    → many output rows with computed columns, callable from SQL in the
+    FROM clause (``SELECT * FROM chunk_spans('...', 8)``) or laterally
+    per input row.
+
+    The shipped chunkers (operators/chunking.py) stay native
+    sequence-explode plans — this registration exists for logic that
+    genuinely needs per-row Python generation (third-party tokenizers,
+    model-driven splitting), the same policy as ``grouped_apply``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start: int, piece: string")
+    class ChunkSpans:
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            step = max(int(width), 1)
+            for start in range(0, len(text), step):
+                yield start, text[start : start + step]
+
+    spark.udtf.register("chunk_spans", ChunkSpans)

@@ -35,6 +35,7 @@ def pagerank_ranks(
     edges: DataFrame,
     nodes: DataFrame,
     n_iters: int = 3,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, rank_micro) after ``n_iters`` fixed-point supersteps of
     WEIGHTED PageRank.
@@ -44,13 +45,26 @@ def pagerank_ranks(
     ``(rank * w) DIV out_weight``. ``nodes``: (node,) — every node,
     including sinks with no in-edges (they keep the base rank) and
     dangling nodes with no out-edges (their mass is dropped).
+
+    The weighted edge frame is persisted for the loop (released by the
+    caller via ``caching.release_tracked`` after the consuming action),
+    and lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` supersteps — without it, each iteration stacks
+    two joins onto the logical plan and Catalyst re-analysis cost grows
+    superlinearly in ``n_iters`` (the known deep-iteration cliff).
+    Truncation cannot change results: every step is integer arithmetic,
+    so the run is deterministic under any partitioning or replay.
     """
+    from dataengineering_spark.caching import persist_tracked
+
     outw = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
     e2 = edges.join(outw, "src").select("src", "dst", "w", "_ow")
+    if n_iters > 1:
+        e2 = persist_tracked(e2)
     ranks = nodes.select(
         "node", F.lit(MICRO).cast("long").alias("rank_micro")
     )
-    for _ in range(n_iters):
+    for i in range(n_iters):
         contribs = (
             e2.join(ranks, e2["src"] == ranks["node"])
             .select(
@@ -75,4 +89,6 @@ def pagerank_ranks(
                 .alias("rank_micro"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -112,3 +112,23 @@ def require_nonempty(df: DataFrame, context: str = "input") -> DataFrame:
     if df.isEmpty():
         raise ValueError(f"{context}: empty input")
     return df
+
+
+def observe_metrics(df: DataFrame, name: str, metrics: dict):
+    """Attach named aggregate metrics to a plan via ``df.observe``.
+
+    The metrics are computed ON THE SAME PASS as whatever action
+    consumes the frame — the Spark-native replacement for the
+    reference's count-then-act double reads (``airflow/bitquery.py``
+    count validation issues a second query over the source). At 100 TB
+    a second validation scan is the difference between one pass and
+    two; observed metrics are accumulator-backed and free.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER the consuming action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(a) for a, c in metrics.items()])
+    return observed, obs

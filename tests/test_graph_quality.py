@@ -102,3 +102,72 @@ def test_require_nonempty(spark):
     assert require_nonempty(df) is df
     with pytest.raises(ValueError, match="empty input"):
         require_nonempty(df.filter("id < 0"), "batch")
+
+
+def test_pagerank_checkpointing_is_result_invariant(spark):
+    """Deep iteration counts truncate lineage via localCheckpoint;
+    integer-arithmetic supersteps make truncation observationally
+    invisible — ranks must match the unbroken-lineage run exactly."""
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.operators.graph_analytics import pagerank_ranks
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("a", "c", 3), ("d", "a", 1)],
+        ["src", "dst", "w"],
+    )
+    nodes = spark.createDataFrame([(n,) for n in "abcd"], ["node"])
+    plain = {
+        r.node: r.rank_micro
+        for r in pagerank_ranks(edges, nodes, n_iters=12, checkpoint_every=0).collect()
+    }
+    release_tracked()
+    chk = {
+        r.node: r.rank_micro
+        for r in pagerank_ranks(edges, nodes, n_iters=12, checkpoint_every=4).collect()
+    }
+    release_tracked()
+    assert plain == chk
+    assert all(v > 0 for v in plain.values())
+
+
+def test_observe_metrics_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from dataengineering_spark.quality.checks import observe_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], ["k", "v"]
+    )
+    observed, obs = observe_metrics(
+        df,
+        "batch_obs",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            "sum_v": F.sum("v"),
+        },
+    )
+    assert observed.filter(F.col("k") > 0).count() == 3  # consuming action
+    got = obs.get
+    assert got["n_rows"] == 3 and got["n_null_v"] == 1 and got["sum_v"] == 40.0
+
+
+def test_chunk_spans_udtf(spark):
+    from dataengineering_spark.functions.udf_registry import register_chunk_spans_udtf
+
+    register_chunk_spans_udtf(spark)
+    rows = spark.sql(
+        "SELECT * FROM chunk_spans('abcdefghij', 4) ORDER BY start"
+    ).collect()
+    assert [(r.start, r.piece) for r in rows] == [(0, "abcd"), (4, "efgh"), (8, "ij")]
+    lateral = spark.sql(
+        """
+        SELECT t.id, c.start, c.piece
+        FROM VALUES (1, 'xxxyyy'), (2, 'zz') AS t(id, txt),
+        LATERAL chunk_spans(t.txt, 3) AS c
+        ORDER BY t.id, c.start
+        """
+    ).collect()
+    assert [(r.id, r.start, r.piece) for r in lateral] == [
+        (1, 0, "xxx"), (1, 3, "yyy"), (2, 0, "zz"),
+    ]
