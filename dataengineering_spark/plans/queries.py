@@ -785,6 +785,9 @@ _DRIVER_PRIORITY: list[str] = [
     "merge_upsert",
     "table_checksum",
     "sales_cube",
+    "user_drawdown",
+    "value_cume",
+    "user_event_sequence",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -1956,8 +1956,137 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+# ===========================================================================
+# Q: user_drawdown — running-max drawdown per user (RANGE-free rolling max)
+# ===========================================================================
+#
+# Drawdown = max(running_max(value) − value) over the user's ordered
+# stream. Double subtraction of identical parquet doubles is
+# bit-deterministic on both engines; the per-user window shuffles on a
+# high-cardinality key.
+
+def q_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("run_max", F.max("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("run_max") - F.col("value")).alias("max_drawdown"),
+            F.max("run_max").alias("peak"),
+        )
+    )
+
+
+SQL_USER_DRAWDOWN = """
+WITH r AS (
+  SELECT user_id, value,
+    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_max
+  FROM events
+)
+SELECT user_id, MAX(run_max - value) AS max_drawdown, MAX(run_max) AS peak
+FROM r GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# Q: value_cume — percent_rank + cume_dist per event_type
+# ===========================================================================
+#
+# Both functions are rational in (rank, n) — integer ratios divided in
+# double, bit-identical across engines. Deterministic total order.
+
+def q_value_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).filter(F.col("event_id") % 100 == 0)
+
+
+SQL_VALUE_CUME = """
+WITH r AS (
+  SELECT event_type, event_id,
+    PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+    CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+  FROM events
+)
+SELECT event_type, event_id, pr, cd FROM r WHERE event_id % 100 = 0
+"""
+
+
+# ===========================================================================
+# Q: user_event_sequence — ordered per-user event path (training-sequence
+# building: the shape an LLM-pipeline uses to assemble session texts)
+# ===========================================================================
+
+SEQ_MAX = 10
+
+
+def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    # positional max-pivot instead of collect_list + HOF transform:
+    # stays in whole-stage codegen and never materializes per-user
+    # arrays; concat_ws skips the NULL tail on both engines.
+    slots = [
+        F.max(F.when(F.col("rn") == i, F.col("event_type"))).alias(f"_s{i}")
+        for i in range(1, SEQ_MAX + 1)
+    ]
+    return (
+        ranked.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), *slots)
+        .select(
+            "user_id",
+            "n_events",
+            F.concat_ws("->", *[f"_s{i}" for i in range(1, SEQ_MAX + 1)]).alias(
+                "path"
+            ),
+        )
+    )
+
+
+def _sql_user_event_sequence() -> str:
+    slot_exprs = ", ".join(
+        f"MAX(CASE WHEN rn = {i} THEN event_type END) AS _s{i}"
+        for i in range(1, SEQ_MAX + 1)
+    )
+    slot_names = ", ".join(f"_s{i}" for i in range(1, SEQ_MAX + 1))
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+slotted AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, {slot_exprs}
+  FROM ordered GROUP BY user_id
+)
+SELECT user_id, n_events, concat_ws('->', {slot_names}) AS path FROM slotted
+"""
+
+
+SQL_USER_EVENT_SEQUENCE = _sql_user_event_sequence()
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "user_drawdown": (q_user_drawdown, SQL_USER_DRAWDOWN, "analytics:running-max drawdown"),
+    "value_cume": (q_value_cume, SQL_VALUE_CUME, "analytics:percent_rank/cume_dist"),
+    "user_event_sequence": (
+        q_user_event_sequence,
+        SQL_USER_EVENT_SEQUENCE,
+        "analytics:ordered sequence build",
+    ),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT, "maintenance:MERGE upsert"),
     "table_checksum": (
         q_table_checksum,
