@@ -788,6 +788,9 @@ _DRIVER_PRIORITY: list[str] = [
     "user_drawdown",
     "value_cume",
     "user_event_sequence",
+    "status_priority_sets",
+    "session_bounds",
+    "incremental_agg",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

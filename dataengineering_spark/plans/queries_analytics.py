@@ -2078,8 +2078,123 @@ SELECT user_id, n_events, concat_ws('->', {slot_names}) AS path FROM slotted
 SQL_USER_EVENT_SEQUENCE = _sql_user_event_sequence()
 
 
+# ===========================================================================
+# Q: status_priority_sets — explicit GROUPING SETS (neither rollup nor cube)
+# ===========================================================================
+
+def q_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING)
+               AS DOUBLE) AS sum_price,
+          CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+SQL_STATUS_PRIORITY_SETS = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  {DSUM.format(e='o_totalprice')} AS sum_price,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+# ===========================================================================
+# Q: session_bounds — first_value / last_value / nth_value per user
+# ===========================================================================
+
+def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first_value("event_type").over(w).alias("first_type"),
+            F.last_value("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+        )
+        .distinct()
+    )
+
+
+SQL_SESSION_BOUNDS = """
+SELECT DISTINCT user_id,
+  FIRST_VALUE(event_type) OVER w AS first_type,
+  LAST_VALUE(event_type) OVER w AS last_type,
+  NTH_VALUE(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ===========================================================================
+# Q: incremental_agg — materialized-view delta maintenance (IVM algebra)
+# ===========================================================================
+#
+# The streaming-upsert story for aggregates: a base aggregate plus a
+# delta batch combine by MERGING PARTIALS (counts add, decimal sums
+# add) instead of rescanning the base — at 100 TB the recompute is the
+# difference between touching a day and touching the archive. The
+# oracle is the full-table aggregate, so the check proves the merge
+# algebra is lossless, not merely self-consistent.
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 11 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 11 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+    )
+    return merged.select(
+        "event_type", "n", _dec_to_double(F.col("sum_dec")).alias("sum_value")
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "status_priority_sets": (
+        q_status_priority_sets,
+        SQL_STATUS_PRIORITY_SETS,
+        "analytics:GROUPING SETS",
+    ),
+    "session_bounds": (
+        q_session_bounds,
+        SQL_SESSION_BOUNDS,
+        "analytics:first/last/nth_value",
+    ),
+    "incremental_agg": (
+        q_incremental_agg,
+        SQL_INCREMENTAL_AGG,
+        "ivm:partial-aggregate merge",
+    ),
     "user_drawdown": (q_user_drawdown, SQL_USER_DRAWDOWN, "analytics:running-max drawdown"),
     "value_cume": (q_value_cume, SQL_VALUE_CUME, "analytics:percent_rank/cume_dist"),
     "user_event_sequence": (
