@@ -73,3 +73,33 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn", "_h")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    rates_ppm: dict[str, int],
+    default_ppm: int = 1_000_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-source mixture weighting — the pretraining dataset-mixing
+    primitive: each source keeps a deterministic ``rate/1e6`` fraction
+    of its rows (hash-membership, so the mixture is reproducible under
+    retries, repartitioning, and incremental re-runs, and a source's
+    sample is a strict superset of any lower rate's).
+
+    Scale shape: the rates table is a broadcast dim (never a shuffle);
+    membership is one codegen'd filter on the fact stream.
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(s, int(r)) for s, r in sorted(rates_ppm.items())],
+        f"{source_col} string, _rate_ppm int",
+    )
+    keyed = df.join(F.broadcast(rates), source_col, "left").withColumn(
+        "_rate_ppm", F.coalesce(F.col("_rate_ppm"), F.lit(int(default_ppm)))
+    )
+    return keyed.filter(
+        sample_hash(key_col, salt) % 1_000_000 < F.col("_rate_ppm")
+    ).drop("_rate_ppm")

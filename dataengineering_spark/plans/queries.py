@@ -791,6 +791,7 @@ _DRIVER_PRIORITY: list[str] = [
     "status_priority_sets",
     "session_bounds",
     "incremental_agg",
+    "mixture_sample",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -2213,7 +2213,67 @@ WHERE rk <= {TFIDF_K}
 """
 
 
+# ===========================================================================
+# Q: mixture_sample — pretraining source-mixture weighting
+# ===========================================================================
+#
+# Each source keeps a per-source deterministic fraction (hash
+# membership, not RNG — reproducible under retries / repartitioning /
+# incremental re-runs). Emits per-source kept-vs-total so the realized
+# mixture is the checked result.
+
+MIX_RATES_PPM = {"src0": 1_000_000, "src1": 500_000, "src2": 250_000}
+MIX_DEFAULT_PPM = 100_000
+
+
+def q_mixture_sample(spark, sf_dir):
+    from dataengineering_spark.catalog import read_table
+    from dataengineering_spark.operators.sampling import mixture_sample
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "documents", sf_dir)
+    kept = mixture_sample(
+        docs, "doc_id", "source", MIX_RATES_PPM, MIX_DEFAULT_PPM
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_n = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_n, "source", "left")
+        .na.fill(0, ["n_kept"])
+        .select("source", "n_total", "n_kept")
+    )
+
+
+def _sql_mixture_sample() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", salt="mix")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES_PPM.items())
+    )
+    return f"""
+WITH rated AS (
+  SELECT source, doc_id,
+    CASE source {cases} ELSE {MIX_DEFAULT_PPM} END AS rate_ppm
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN {h} % 1000000 < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept
+FROM rated GROUP BY source
+"""
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "mixture_sample": (
+        q_mixture_sample,
+        SQL_MIXTURE_SAMPLE,
+        "north-star:source mixture weighting",
+    ),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS, "north-star:text tf-idf keywords"),
     "benchmark_overlap": (
         q_benchmark_overlap,

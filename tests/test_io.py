@@ -100,3 +100,48 @@ def test_max_records_per_file(spark, tmp_path):
     write_any(src, path, max_records_per_file=50)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) >= src.count() // 50
+
+
+def test_merge_schema_reads_evolved_parquet(spark, tmp_path):
+    """Schema evolution: files written before/after a column was added
+    read as one frame under mergeSchema, old rows null-filled."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.parquet(p + "/gen=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2"]).write.parquet(
+        p + "/gen=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: (r.v1, r.v2) for r in df.select("id", "v1", "v2").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_corrupt_json_records_are_quarantined(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed lines land in the corrupt-record
+    column instead of failing the batch — the dead-letter split a
+    100 TB ingest needs (one bad blob must not kill the job)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = tmp_path / "raw.json"
+    path.write_text('{"id": 1, "v": "ok"}\n{BROKEN\n{"id": 3, "v": "fine"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(path))
+        .cache()  # Spark requires materialization before corrupt-column-only predicates
+    )
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert sorted(r.id for r in good.collect()) == [1, 3]
+        assert bad.count() == 1 and "{BROKEN" in bad.collect()[0]._corrupt_record
+    finally:
+        df.unpersist()

@@ -169,3 +169,26 @@ def test_merge_underfilled_bins_capacity_and_utilization(spark):
     n_orig = pdf.groupby(["window_id", "bin_idx"]).ngroups
     n_merged = pdf["merged_id"].nunique()
     assert n_merged < n_orig, (n_merged, n_orig)
+
+
+def test_mixture_sample_is_nested_and_deterministic(spark):
+    """A lower keep-rate's sample must be a strict subset of a higher
+    rate's over the same keys (hash membership, not RNG), and a rerun
+    after repartitioning must return the identical set."""
+    from dataengineering_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(900)], ["doc_id", "source"]
+    )
+    lo = mixture_sample(df, "doc_id", "source", {}, default_ppm=200_000)
+    hi = mixture_sample(df, "doc_id", "source", {}, default_ppm=600_000)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids < hi_ids
+    again = {
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(7), "doc_id", "source", {}, default_ppm=200_000
+        ).collect()
+    }
+    assert again == lo_ids
