@@ -103,3 +103,28 @@ def mixture_sample(
     return keyed.filter(
         sample_hash(key_col, salt) % 1_000_000 < F.col("_rate_ppm")
     ).drop("_rate_ppm")
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    boundaries_pct: tuple[int, int] = (80, 90),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — no row
+    ever changes split across re-runs, engines, or incremental
+    appends (the leakage guarantee RNG-based splits cannot give).
+    ``boundaries_pct=(80, 90)`` → 80/10/10. Pure codegen projection;
+    nothing shuffles.
+    """
+    lo, hi = boundaries_pct
+    if not 0 < lo < hi <= 100:
+        raise ValueError(f"bad boundaries {boundaries_pct}")
+    h = sample_hash(key_col, salt) % 100
+    return df.withColumn(
+        split_col,
+        F.when(h < lo, F.lit("train"))
+        .when(h < hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

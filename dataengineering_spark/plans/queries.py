@@ -792,6 +792,7 @@ _DRIVER_PRIORITY: list[str] = [
     "session_bounds",
     "incremental_agg",
     "mixture_sample",
+    "dataset_split",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -2268,7 +2268,55 @@ FROM rated GROUP BY source
 SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
 
 
+# ===========================================================================
+# Q: dataset_split — deterministic train/val/test assignment (80/10/10)
+# ===========================================================================
+
+def q_dataset_split(spark, sf_dir):
+    from dataengineering_spark.catalog import read_table
+    from dataengineering_spark.operators.sampling import dataset_split
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "documents", sf_dir)
+    tagged = dataset_split(docs, "doc_id")
+    return (
+        tagged.groupBy("source")
+        .pivot("split", ["train", "val", "test"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["train", "val", "test"])
+    )
+
+
+def _sql_dataset_split() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    h = f"({sample_hash_sql('doc_id', salt='split')} % 100)"
+    return f"""
+WITH tagged AS (
+  SELECT source,
+    CASE WHEN {h} < 80 THEN 'train'
+         WHEN {h} < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source,
+  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train,
+  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS val,
+  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test
+FROM tagged GROUP BY source
+"""
+
+
+SQL_DATASET_SPLIT = _sql_dataset_split()
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "dataset_split": (
+        q_dataset_split,
+        SQL_DATASET_SPLIT,
+        "north-star:train/val/test split",
+    ),
     "mixture_sample": (
         q_mixture_sample,
         SQL_MIXTURE_SAMPLE,
