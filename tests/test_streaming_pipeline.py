@@ -193,3 +193,46 @@ def test_streaming_sync_pipeline_tick_then_restart(spark, tmp_path):
     assert store.get("transfers").last_synced_block == 2 * MAX_PER_TRIGGER - 1
     landed = spark.read.parquet(detail)
     assert landed.select("block").distinct().count() == 2 * MAX_PER_TRIGGER
+
+
+def test_sampling_operators_apply_unchanged_to_streams(spark, tmp_path):
+    """The batch sampling operators are plain projections/filters, so
+    the SAME functions must work on a streaming frame — operator reuse
+    across batch and stream is the architectural contract (one
+    codepath, two execution modes), and hash membership means the
+    streaming result equals the batch result row-for-row."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_spark.operators.sampling import dataset_split, mixture_sample
+
+    src_dir = tmp_path / "docs_src"
+    src_dir.mkdir()
+    batch = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], ["doc_id", "source"]
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+
+    def pipeline(df):
+        kept = mixture_sample(df, "doc_id", "source", {"s0": 1_000_000}, 300_000)
+        return dataset_split(kept, "doc_id")
+
+    expected = {
+        (r.doc_id, r.split)
+        for r in pipeline(spark.read.parquet(str(src_dir / "b1"))).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, source string").parquet(
+        str(src_dir / "b1")
+    )
+    out_rows = []
+    q = (
+        pipeline(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _id: out_rows.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.split) for r in out_rows}
+    assert got == expected and len(got) > 0
