@@ -62,3 +62,88 @@ def test_column_letter_bijective(i):
     for ch in s:
         back = back * 26 + (ord(ch) - ord("A") + 1)
     assert back == i
+
+
+@settings(
+    deadline=None,
+    max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(st.integers(0, 40), max_size=12),
+    st.sets(st.integers(0, 40), max_size=12),
+)
+def test_merge_upsert_algebra(spark, t_keys, s_keys):
+    """Result keyset = target ∪ source; action partition is exactly
+    (t∩s → update, s\\t → insert, t\\s → keep); source values win on
+    every matched key."""
+    from dataengineering_spark.operators.maintenance import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, f"t{k}") for k in t_keys] or [(None, None)], "key int, v string"
+    ).filter("key IS NOT NULL")
+    source = spark.createDataFrame(
+        [(k, f"s{k}") for k in s_keys] or [(None, None)], "key int, v string"
+    ).filter("key IS NOT NULL")
+    rows = {r.key: r for r in merge_upsert(target, source, ["key"]).collect()}
+    assert set(rows) == (t_keys | s_keys)
+    for k, r in rows.items():
+        if k in s_keys:
+            assert r.v == f"s{k}"
+            assert r.action == ("update" if k in t_keys else "insert")
+        else:
+            assert r.v == f"t{k}" and r.action == "keep"
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    st.integers(1, 98),
+    st.integers(99, 99),
+)
+def test_dataset_split_partitions_input(spark, keys, lo, hi_cap):
+    """Splits are disjoint and complete for any boundaries, and
+    assignment is a pure function of the key (stable under
+    repartition)."""
+    from dataengineering_spark.operators.sampling import dataset_split
+
+    hi = min(lo + 1 + (lo % 17), 99)
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = dataset_split(df, "doc_id", boundaries_pct=(lo, hi)).collect()
+    assert len(out) == len(keys)
+    assignment = {r.doc_id: r.split for r in out}
+    again = {
+        r.doc_id: r.split
+        for r in dataset_split(
+            df.repartition(5), "doc_id", boundaries_pct=(lo, hi)
+        ).collect()
+    }
+    assert assignment == again
+    assert set(assignment.values()) <= {"train", "val", "test"}
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.sets(st.integers(0, 10**4), min_size=1, max_size=30))
+def test_bloom_positions_have_no_false_negatives(spark, keys):
+    """Every build-side key's probe positions are all present in the
+    built bit set — the invariant that makes Bloom pruning safe."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_spark.plans.queries_analytics import BLOOM_K, _bloom_pos_sql
+
+    ks = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    build = spark.createDataFrame([(k,) for k in keys], "key long")
+    pos = build.select("key", F.explode(ks).alias("j")).select(
+        "key", F.expr(_bloom_pos_sql("j", "key", "spark")).alias("pos")
+    )
+    bloom = {r.pos for r in pos.select("pos").distinct().collect()}
+    probe = pos.collect()
+    assert all(r.pos in bloom for r in probe)
