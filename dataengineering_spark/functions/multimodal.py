@@ -690,3 +690,88 @@ def media_budget_partitions(df: DataFrame, bytes_col: str, target_bytes: int = 2
     total = int(stats.total or 0)
     n_parts = max(1, (total + target_bytes - 1) // target_bytes)
     return df.repartition(int(n_parts))
+
+
+# --- PCM sample decode (numpy-vectorized, no codec library) ----------------
+
+def make_test_wav(samples: "list[int]", sample_rate: int = 8000) -> bytes:
+    """Canonical mono 16-bit PCM WAV from explicit int16 samples —
+    deterministic fixture bytes (integer ramps, no trig)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_data_span(b: bytes) -> "tuple[int, int] | None":
+    """(offset, size) of the PCM 'data' chunk via the RIFF walk (same
+    traversal as parse_wav_duration; 16-bit mono assumed by caller)."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if tag == b"data":
+            return pos + 8, min(size, len(b) - pos - 8)
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def pcm_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_samples, peak_abs, zero_crossings, rms_milli) per WAV
+    payload — REAL sample decode, numpy-vectorized inside Arrow
+    batches (``mapInPandas``), no codec library.
+
+    Determinism: sums of squares accumulate in int64 (exact), and
+    IEEE-754 sqrt is correctly rounded, so ``floor(rms * 1000)`` is
+    identical on every executor/partitioning. The audio analogue of
+    the reference's pandas post-processing, executed distributed.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak_abs", T.IntegerType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("rms_milli", T.LongType()),
+        ]
+    )
+
+    def _extract(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                span = _wav_data_span(bytes(payload)) if payload is not None else None
+                if span is None:
+                    rows.append((rid, 0, 0, 0, 0))
+                    continue
+                off, size = span
+                x = np.frombuffer(
+                    payload, dtype="<i2", count=size // 2, offset=off
+                ).astype(np.int64)
+                if x.size == 0:
+                    rows.append((rid, 0, 0, 0, 0))
+                    continue
+                ss = int((x * x).sum())
+                rms = (ss / x.size) ** 0.5
+                zc = int(((x[:-1] * x[1:]) < 0).sum())
+                rows.append(
+                    (rid, int(x.size), int(np.abs(x).max()), zc, int(rms * 1000))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_extract, schema=out_schema)

@@ -793,6 +793,7 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_agg",
     "mixture_sample",
     "dataset_split",
+    "pcm_stats",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -2311,7 +2311,67 @@ FROM tagged GROUP BY source
 SQL_DATASET_SPLIT = _sql_dataset_split()
 
 
+# ===========================================================================
+# Q: pcm_stats — real PCM sample decode through the binary pipeline
+# ===========================================================================
+#
+# Same contract as media_durations: payload bytes are synthesized from
+# a doc_id-keyed integer formula, the engine runs the REAL RIFF-walk +
+# numpy int16 decode (multimodal.pcm_features), and the oracle
+# recomputes the features from the same formula via UNNEST(range(n)) —
+# so the whole decode path (chunk walk, endianness, vectorized
+# arithmetic) is what the hash check certifies.
+
+PCM_MULT = 2654435761
+PCM_MOD = 7919
+PCM_OFF = 3959
+
+
+def q_pcm_stats(spark, sf_dir):
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import make_test_wav, pcm_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 16 + (doc_id % 8)
+                samples = [((i * PCM_MULT) % PCM_MOD) - PCM_OFF for i in range(n)]
+                rows.append((doc_id, make_test_wav(samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return pcm_features(synthesized)
+
+
+SQL_PCM_STATS = f"""
+WITH idx AS (
+  SELECT doc_id, 16 + (doc_id % 8) AS n, UNNEST(range(16 + (doc_id % 8))) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, i,
+    ((i * {PCM_MULT}) % {PCM_MOD}) - {PCM_OFF} AS v,
+    (((i + 1) * {PCM_MULT}) % {PCM_MOD}) - {PCM_OFF} AS v_next
+  FROM idx
+)
+SELECT doc_id,
+  CAST(MAX(n) AS BIGINT) AS n_samples,
+  CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+  CAST(SUM(CASE WHEN i < n - 1 AND v * v_next < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings,
+  CAST(FLOOR(sqrt(SUM(v * v) * 1.0 / MAX(n)) * 1000) AS BIGINT) AS rms_milli
+FROM s GROUP BY doc_id
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
         q_dataset_split,
         SQL_DATASET_SPLIT,

@@ -600,3 +600,39 @@ def test_jpeg_dimension_parse():
 
     assert parse_png_dimensions(make_solid_png(12, 34, (0, 0, 0))) == (12, 34)
     assert parse_png_dimensions(b"\x89PNG") is None
+
+
+def test_pcm_features_decode_known_samples(spark):
+    """Real PCM decode: features computed distributed must equal the
+    pure-Python reference on known int16 samples, including a
+    non-canonical layout (LIST chunk before data) and a null payload."""
+    from dataengineering_spark.functions.multimodal import (
+        make_test_wav,
+        pcm_features,
+    )
+
+    s1 = [0, 1000, -1000, 2000, -2000, 30000]  # 4 sign changes
+    s2 = [5, 5, 5, 5]  # constant, no crossings
+    wav1 = make_test_wav(s1)
+    wav2 = make_test_wav(s2)
+    # splice a LIST chunk between fmt and data to make wav3 non-canonical
+    wav3 = wav1[:36] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + wav1[36:]
+    df = spark.createDataFrame(
+        [(1, bytearray(wav1)), (2, bytearray(wav2)), (3, bytearray(wav3)), (4, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in pcm_features(df).collect()}
+
+    def ref(samples):
+        n = len(samples)
+        ss = sum(x * x for x in samples)
+        zc = sum(1 for a, b in zip(samples, samples[1:]) if a * b < 0)
+        return n, max(abs(x) for x in samples), zc, int((ss / n) ** 0.5 * 1000)
+
+    for doc, samples in ((1, s1), (2, s2), (3, s1)):
+        n, peak, zc, rms = ref(samples)
+        r = got[doc]
+        assert (r.n_samples, r.peak_abs, r.zero_crossings, r.rms_milli) == (
+            n, peak, zc, rms,
+        ), doc
+    assert got[4].n_samples == 0 and got[4].rms_milli == 0
