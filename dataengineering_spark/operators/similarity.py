@@ -264,6 +264,10 @@ def _ranked_seed_rows(e: DataFrame, n: int) -> list[tuple[int, list]]:
         .limit(n)
     )
     rows = sorted(ranked.collect(), key=lambda r: (r["h"], r["vec_id"]))
+    if not rows:
+        # V6 empty-input guard: an empty training corpus would otherwise
+        # surface as an opaque VOID-literal AnalysisException downstream.
+        raise ValueError("ANN training requires a non-empty corpus")
     return [(i, list(r["v"])) for i, r in enumerate(rows)]
 
 
@@ -286,6 +290,8 @@ def ivf_assign(
     bit-identical.
     """
     rows = cents if isinstance(cents, list) else _centroid_rows(cents)
+    if not rows:
+        raise ValueError("ivf_assign requires at least one centroid")
     scored = F.array(
         *[
             F.struct(

@@ -1,0 +1,49 @@
+"""Empty-corpus robustness: a new chain / day / source with ZERO rows
+must not crash the engine. Every registry query either returns a
+(possibly empty) result or raises the engine's own ValueError guard —
+never an opaque AnalysisException / ANSI arithmetic error.
+
+At 100 TB empty inputs are routine (fresh partitions, filtered-out
+days, unlaunched sources); this sweep is the contract that the whole
+query surface degrades cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    """Schema-preserving empty replicas of every corpus table."""
+    d = tmp_path_factory.mktemp("sf0")
+    con = duckdb.connect()
+    src = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') WHERE 1=0)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+def test_every_query_degrades_cleanly_on_empty_corpus(spark, empty_sf):
+    from dataengineering_spark.plans.queries import QUERIES
+
+    unexpected = {}
+    for name, spec in QUERIES.items():
+        try:
+            spec.fn(spark, empty_sf).collect()
+        except ValueError:
+            pass  # the engine's own explicit empty-input guard
+        except Exception as ex:  # noqa: BLE001 — classifying failure modes
+            unexpected[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
+    assert not unexpected, unexpected
