@@ -47,3 +47,61 @@ def test_every_query_degrades_cleanly_on_empty_corpus(spark, empty_sf):
         except Exception as ex:  # noqa: BLE001 — classifying failure modes
             unexpected[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
     assert not unexpected, unexpected
+
+
+@pytest.fixture(scope="module")
+def nulled_sf(tmp_path_factory):
+    """sf0.001 replica with ~20% NULLs injected into nullable non-key
+    columns — real corpora have nulls even though the driver data
+    doesn't."""
+    d = tmp_path_factory.mktemp("sfnull")
+    specs = {
+        "region": [],
+        "nation": [],
+        "customer": ["c_acctbal", "c_mktsegment"],
+        "supplier": ["s_acctbal"],
+        "part": ["p_retailprice", "p_type"],
+        "orders": ["o_totalprice", "o_orderpriority"],
+        "lineitem": ["l_discount", "l_tax", "l_returnflag"],
+        "events": ["value", "props", "event_type"],
+        "documents": ["text", "lang"],
+        "embeddings": ["label"],
+    }
+    con = duckdb.connect()
+    src = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    for t, cols in specs.items():
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchall()
+        sel = [
+            (
+                f"CASE WHEN (ROW_NUMBER() OVER ()) % 5 = 0 THEN NULL "
+                f"ELSE {name} END AS {name}"
+                if name in cols
+                else name
+            )
+            for name, *_ in desc
+        ]
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+def test_every_query_tolerates_injected_nulls(spark, nulled_sf):
+    """No opaque crash on null-bearing columns — null text, null
+    values, null enrichment keys all flow through (semantics per
+    query; this sweep pins crash-freedom, not results)."""
+    from dataengineering_spark.plans.queries import QUERIES
+
+    unexpected = {}
+    for name, spec in QUERIES.items():
+        try:
+            spec.fn(spark, nulled_sf).collect()
+        except ValueError:
+            pass
+        except Exception as ex:  # noqa: BLE001 — classifying failure modes
+            unexpected[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
+    assert not unexpected, unexpected
