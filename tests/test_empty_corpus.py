@@ -105,3 +105,71 @@ def test_every_query_tolerates_injected_nulls(spark, nulled_sf):
         except Exception as ex:  # noqa: BLE001 — classifying failure modes
             unexpected[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
     assert not unexpected, unexpected
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory):
+    """Documents with CJK / emoji / RTL / combining-accent heads — the
+    text the driver corpus never exercises but a real crawl always
+    contains."""
+    d = tmp_path_factory.mktemp("sfuni")
+    con = duckdb.connect()
+    src = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN '数据处理引擎测试 ' || text
+              WHEN 1 THEN '🚀🔥💾 emoji head ' || text
+              WHEN 2 THEN 'اختبار المحرك ' || text
+              WHEN 3 THEN 'café naïve façade ñoño ' || text
+              ELSE text
+            END AS text,
+            lang, source, n_chars
+          FROM read_parquet('{src}/documents.parquet')
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+_DOC_QUERY_MARKERS = (
+    "token", "lang", "quality", "char", "html", "doc_", "dedup", "simhash",
+    "minhash", "ngram", "fuzzy", "redact", "tfidf", "repetition", "chunk",
+    "fingerprint", "mixture", "dataset", "benchmark", "rarity",
+)
+
+
+def test_text_queries_stay_oracle_exact_on_unicode(spark, unicode_sf):
+    """Not just crash-freedom: every document-facing query must still
+    HASH-MATCH its DuckDB oracle when the text carries multi-byte code
+    points — i.e. both engines agree on substring / levenshtein /
+    regex / md5-of-utf8 semantics over the full unicode range the
+    queries touch."""
+    from dataengineering_spark.plans.queries import QUERIES
+    from tests.conftest import assert_frames_match
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{unicode_sf}/{t}.parquet')"
+        )
+    names = [
+        n
+        for n in QUERIES
+        if any(m in n for m in _DOC_QUERY_MARKERS) and QUERIES[n].sql is not None
+    ]
+    assert len(names) >= 20
+    for name in names:
+        sdf = QUERIES[name].fn(spark, unicode_sf)
+        assert_frames_match(sdf, con.sql(QUERIES[name].sql))
+    con.close()
