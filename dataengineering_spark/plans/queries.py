@@ -794,6 +794,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mixture_sample",
     "dataset_split",
     "pcm_stats",
+    "scd2_lookup",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

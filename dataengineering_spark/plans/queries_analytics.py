@@ -2178,8 +2178,68 @@ FROM events GROUP BY event_type
 """
 
 
+# ===========================================================================
+# Q: scd2_lookup — point-in-time temporal join against versioned intervals
+# ===========================================================================
+#
+# The warehouse primitive behind "which dim version was active when
+# this fact happened": probes are joined to SCD2 intervals AT their
+# timestamp. The scalable implementation is the as-of join (backward
+# at-or-before on valid_from — one sort-merge pass, no range join, no
+# BroadcastNestedLoop); the oracle expresses the same semantics as
+# interval CONTAINMENT (valid_from <= ts < valid_to), so the hash
+# match proves as-of == containment when intervals partition time.
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.asof import asof_join
+
+    intervals = q_scd2_history(spark, sf_dir).select(
+        "user_id", "valid_from", "event_type", "island"
+    )
+    probes = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select("user_id", "event_id", "ts")
+    )
+    looked = asof_join(
+        probes,
+        intervals,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["event_type", "island"],
+    )
+    return looked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type_asof").alias("regime_type"),
+        F.col("island_asof").alias("regime_island"),
+    )
+
+
+SQL_SCD2_LOOKUP = f"""
+WITH iv AS ({SQL_SCD2_HISTORY}),
+probes AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_id % 50 = 0
+)
+SELECT p.user_id, p.event_id, p.ts,
+  i.event_type AS regime_type,
+  CAST(i.island AS BIGINT) AS regime_island
+FROM probes p JOIN iv i
+  ON p.user_id = i.user_id
+  AND i.valid_from <= p.ts
+  AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "scd2_lookup": (
+        q_scd2_lookup,
+        SQL_SCD2_LOOKUP,
+        "analytics:point-in-time temporal join",
+    ),
     "status_priority_sets": (
         q_status_priority_sets,
         SQL_STATUS_PRIORITY_SETS,
