@@ -795,6 +795,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dataset_split",
     "pcm_stats",
     "scd2_lookup",
+    "ohlc_hourly",
+    "chi_square",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

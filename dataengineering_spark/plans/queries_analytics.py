@@ -2233,8 +2233,120 @@ FROM probes p JOIN iv i
 """
 
 
+# ===========================================================================
+# Q: ohlc_hourly — open/high/low/close downsampling per (event_type, hour)
+# ===========================================================================
+#
+# The classic bar-building resample. Open/close are positional (first/
+# last by deterministic (ts, event_id) order) — expressed as a
+# row-number window ascending + descending over a high-cardinality
+# (type, hour) key, folded in the same grouped aggregate as high/low/
+# volume, so one shuffle produces the whole bar.
+
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    )
+    w_asc = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+SQL_OHLC_HOURLY = """
+WITH r AS (
+  SELECT event_type, value, date_trunc('hour', ts) AS hour,
+    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, hour,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  CAST(COUNT(*) AS BIGINT) AS volume
+FROM r GROUP BY event_type, hour
+"""
+
+
+# ===========================================================================
+# Q: chi_square — independence test over the (user-bucket × event_type)
+# contingency table
+# ===========================================================================
+#
+# χ² = Σ (o−e)²/e with e = row·col/n. Every input is an exact integer
+# count, so the per-cell double arithmetic is bit-identical across
+# engines; the 20 cell terms route through DECIMAL so the final sum is
+# order-independent. Emitted in floored micro-units + degrees of
+# freedom.
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("bucket"), "event_type"
+    )
+    cells = ev.groupBy("bucket", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    rows = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("row_n"))
+    cols = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("col_n"))
+    n = ev.count()  # tiny scalar; the contingency table is bounded
+    term = (
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    ).cast("decimal(28,12)")
+    scored = (
+        cells.join(F.broadcast(rows), "bucket")
+        .join(F.broadcast(cols), "event_type")
+        .withColumn("e", F.col("row_n") * F.col("col_n") / F.lit(float(n)))
+        .select(term.alias("t"))
+    )
+    return scored.agg(
+        F.floor(_dec_to_double(F.sum("t")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("chi2_micro"),
+        F.lit((4 - 1) * (5 - 1)).cast("long").alias("dof"),
+    )
+
+
+SQL_CHI_SQUARE = """
+WITH base AS (
+  SELECT user_id % 4 AS bucket, event_type FROM events
+),
+cells AS (SELECT bucket, event_type, COUNT(*) AS o FROM base GROUP BY 1, 2),
+rows_n AS (SELECT bucket, COUNT(*) AS row_n FROM base GROUP BY 1),
+cols_n AS (SELECT event_type, COUNT(*) AS col_n FROM base GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+terms AS (
+  SELECT CAST((o - e) * (o - e) / e AS DECIMAL(28,12)) AS t
+  FROM (
+    SELECT c.o, r.row_n * cl.col_n / t.n AS e
+    FROM cells c JOIN rows_n r ON c.bucket = r.bucket
+    JOIN cols_n cl ON c.event_type = cl.event_type
+    CROSS JOIN tot t
+  )
+)
+SELECT CAST(FLOOR(CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE) * 1000000.0 + 0.5)
+    AS BIGINT) AS chi2_micro,
+  CAST(12 AS BIGINT) AS dof
+FROM terms
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "ohlc_hourly": (q_ohlc_hourly, SQL_OHLC_HOURLY, "timeseries:OHLC bars"),
+    "chi_square": (q_chi_square, SQL_CHI_SQUARE, "analytics:chi-square independence"),
     "scd2_lookup": (
         q_scd2_lookup,
         SQL_SCD2_LOOKUP,
