@@ -1,0 +1,115 @@
+"""Differential fuzzing: custom operators vs DuckDB's NATIVE
+implementations on randomized inputs — not the registry's fixed
+corpus, but hypothesis-generated frames, so the semantics are checked
+across the input space (ties, duplicates, singletons, empty groups).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _duck(pdf_map: dict) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name, pdf in pdf_map.items():
+        con.register(name, pdf)
+    return con
+
+
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 50),  # ts (ties likely)
+            st.integers(-100, 100),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_log_index_matches_duckdb_row_number(spark, rows):
+    """W1 ranking semantics vs DuckDB's native ROW_NUMBER, with the
+    full (ts, value, uid) tie-break chain made deterministic."""
+    from dataengineering_spark.operators.windows import log_index
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    pdf["uid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.uid, r.log_index)
+        for r in log_index(
+            df, partition_by="k", sort_columns=["ts", "v", "uid"]
+        ).collect()
+    }
+    con = _duck({"t": pdf})
+    want = {
+        (uid, rn)
+        for uid, rn in con.execute(
+            "SELECT uid, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY k ORDER BY ts, v, uid) AS BIGINT) FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(-9, 9)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_duckdb_native_asof(spark, left_rows, right_rows):
+    """The custom as-of operator vs DuckDB's NATIVE ASOF JOIN — an
+    independent engine's implementation of the same semantics
+    (backward, at-or-before, per key)."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_spark.operators.asof import asof_join
+
+    lp = pd.DataFrame(left_rows, columns=["k", "lts"])
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "val"])
+    # timestamps must be actual timestamps for the operator contract
+    lf = spark.createDataFrame(lp).select(
+        "k", F.timestamp_seconds(F.col("lts")).alias("lts"), F.col("lts").alias("lsec")
+    )
+    rf = spark.createDataFrame(rp).select(
+        "k", F.timestamp_seconds(F.col("rts")).alias("rts"), "val"
+    )
+    got = {
+        (r.k, r.lsec, r.val_asof)
+        for r in asof_join(
+            lf, rf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    con = _duck({"l": lp, "r": rp})
+    want = {
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.k, l.lts, r.val FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
