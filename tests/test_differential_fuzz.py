@@ -113,3 +113,64 @@ def test_asof_join_matches_duckdb_native_asof(spark, left_rows, right_rows):
     }
     con.close()
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # key
+            st.integers(0, 200_000),  # seconds offset (dense → overlapping windows)
+            st.integers(-50, 50),  # integer value → exact sums
+        ),
+        min_size=1,
+        max_size=35,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_range_frame_matches_duckdb_interval_window(spark, rows):
+    """Time-interval RANGE frames (24h trailing sum + count) vs
+    DuckDB's RANGE BETWEEN INTERVAL window on random timestamps —
+    pins the boundary semantics (inclusive at both frame edges) the
+    rolling_24h family relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["k", "sec", "v"])
+    df = spark.createDataFrame(pdf).select(
+        "k", "sec", "v", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    got = {
+        (r.k, r.sec, r.s, r.c)
+        for r in df.select(
+            "k", "sec",
+            F.sum("v").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        ).collect()
+    }
+    con = _duck({"t": pdf})
+    want = {
+        tuple(row)
+        for row in con.execute(
+            """
+            SELECT k, sec,
+              CAST(SUM(v) OVER w AS BIGINT),
+              CAST(COUNT(*) OVER w AS BIGINT)
+            FROM (SELECT k, sec, v, to_timestamp(sec) AS ts FROM t)
+            WINDOW w AS (PARTITION BY k ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                         AND CURRENT ROW)
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
