@@ -174,3 +174,50 @@ def test_range_frame_matches_duckdb_interval_window(spark, rows):
     }
     con.close()
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation vs a pure-Python union-find on random
+    graphs — chains, cycles, self-loops, and isolated pairs included;
+    the distributed fixpoint must produce exactly the min-id labeling."""
+    from dataengineering_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        (r[0], r[1])
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
