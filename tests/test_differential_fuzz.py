@@ -221,3 +221,70 @@ def test_connected_components_match_union_find(spark, edges):
     nodes = {n for e in edges for n in e}
     want = {(n, find(n)) for n in nodes}
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 120),  # minutes offset — exact-gap boundaries likely
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_native_session_window_matches_gap_islands(spark, rows):
+    """Spark's NATIVE session_window vs the lag-island formulation the
+    oracle uses — including EXACT-gap boundaries (diff == gap merges on
+    both: Spark extends while ts <= prev_end, the island rule splits
+    only on diff > gap), which the µs-grained corpus never exercises."""
+    from pyspark.sql import functions as F
+
+    GAP_MIN = 30
+    pdf = pd.DataFrame(rows, columns=["u", "m"])
+    df = spark.createDataFrame(pdf).select(
+        "u", "m", F.timestamp_seconds(F.col("m") * 60).alias("ts")
+    )
+    native = {
+        (r.u, r.start_m, r.n)
+        for r in df.groupBy(
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("w"), "u"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "u",
+            (F.col("w.start").cast("long") / 60).cast("long").alias("start_m"),
+            "n",
+        )
+        .collect()
+    }
+    con = _duck({"t": pdf})
+    islands = {
+        tuple(row)
+        for row in con.execute(
+            f"""
+            WITH g AS (
+              SELECT u, m,
+                CASE WHEN lag(m) OVER w IS NULL
+                       OR m - lag(m) OVER w > {GAP_MIN} THEN 1 ELSE 0 END AS new_s
+              FROM t WINDOW w AS (PARTITION BY u ORDER BY m)
+            ),
+            s AS (
+              SELECT u, m, SUM(new_s) OVER (PARTITION BY u ORDER BY m
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            )
+            SELECT u, CAST(MIN(m) AS BIGINT) AS start_m,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY u, sid
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert native == islands
