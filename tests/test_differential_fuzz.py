@@ -288,3 +288,101 @@ def test_native_session_window_matches_gap_islands(spark, rows):
     }
     con.close()
     assert native == islands
+
+
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.integers(-10**9, 10**9),  # cents → value with 2 exact decimals
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_decimal_routed_sum_is_engine_exact(spark, rows):
+    """The engine's core numeric contract, fuzzed: dsum (decimal-routed
+    double sum) must equal DuckDB's decimal sum EXACTLY — as strings,
+    no tolerance — for any magnitude and any partitioning, where a
+    naive double sum would drift with order."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_spark.functions.scalars import dsum
+
+    pdf = pd.DataFrame(rows, columns=["g", "cents"])
+    pdf["v"] = pdf["cents"] / 100.0
+    df = spark.createDataFrame(pdf[["g", "v"]]).repartition(7)
+    got = {
+        (r.g, str(r.s)) for r in df.groupBy("g").agg(dsum("v", "s")).collect()
+    }
+    con = _duck({"t": pdf[["g", "v"]]})
+    want = {
+        (g, str(s))
+        for g, s in con.execute(
+            "SELECT g, CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR)"
+            " AS DOUBLE) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 600)),  # (key, minute)
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_sliding_window_matches_duckdb_replication(spark, rows):
+    """Spark's native sliding window (1h size, 30m slide) vs the
+    replicate-into-covering-windows formulation — every event lands in
+    exactly size/slide windows, window starts aligned to the slide."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["k", "m"])
+    df = spark.createDataFrame(pdf).select(
+        "k", F.timestamp_seconds(F.col("m") * 60).alias("ts")
+    )
+    native = {
+        (r.k, r.w_start_m, r.n)
+        for r in df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            (F.col("w.start").cast("long") / 60).cast("long").alias("w_start_m"),
+            "n",
+        )
+        .collect()
+    }
+    con = _duck({"t": pdf})
+    want = {
+        tuple(row)
+        for row in con.execute(
+            """
+            WITH cov AS (
+              SELECT k, m,
+                CAST(m // 30 * 30 AS BIGINT) - CAST(UNNEST([0, 30]) AS BIGINT)
+                  AS w_start_m
+              FROM t
+            )
+            SELECT k, w_start_m, CAST(COUNT(*) AS BIGINT) AS n
+            FROM cov
+            WHERE m >= w_start_m AND m < w_start_m + 60 AND w_start_m >= -30
+            GROUP BY k, w_start_m
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert native == want
