@@ -797,6 +797,7 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_lookup",
     "ohlc_hourly",
     "chi_square",
+    "gapfill_interp",
     # --- driver-stale: last green row is r1/r2; rotate back into the
     #     50-slot window (events-table ones first — same bug family) ---
     "tumbling_window",

@@ -2343,8 +2343,97 @@ FROM terms
 """
 
 
+# ===========================================================================
+# Q: gapfill_interp — linear-interpolation gap fill over the hourly grid
+# ===========================================================================
+#
+# gapfill_hourly zero-fills; this interpolates: an empty hour takes
+# prev + (next − prev) · (h − h_prev)/(h_next − h_prev) between its
+# day's nearest observed hours (edges stay null). Interpolation is
+# scoped WITHIN each day, so every window partitions on a date key —
+# no single-partition exchange at any scale, and the grid is bounded
+# by the calendar (days × 24), not the fact count. The fraction is a
+# ratio of small integers, so the double arithmetic is bit-identical
+# across engines.
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("h")
+    ).agg(dsum("value", "s"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    spine = days.select("day", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"))
+    grid = spine.join(hourly, ["day", "h"], "left")
+    w_b = Window.partitionBy("day").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_f = Window.partitionBy("day").orderBy(F.col("h").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    obs_h = F.when(F.col("s").isNotNull(), F.col("h"))
+    marked = (
+        grid.withColumn("prev_s", F.last("s", ignorenulls=True).over(w_b))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_b))
+        .withColumn("next_s", F.last("s", ignorenulls=True).over(w_f))
+        .withColumn("next_h", F.last(obs_h, ignorenulls=True).over(w_f))
+    )
+    frac = (F.col("h") - F.col("prev_h")) / (F.col("next_h") - F.col("prev_h"))
+    interp = F.col("prev_s") + (F.col("next_s") - F.col("prev_s")) * frac
+    return marked.select(
+        "day",
+        "h",
+        F.when(F.col("s").isNotNull(), F.col("s"))
+        .otherwise(
+            F.when(F.col("prev_h").isNotNull() & F.col("next_h").isNotNull(), interp)
+        )
+        .alias("s_filled"),
+        F.col("s").isNotNull().alias("was_observed"),
+    )
+
+
+SQL_GAPFILL_INTERP = """
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS h,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+spine AS (
+  SELECT day, CAST(UNNEST(range(24)) AS INT) AS h
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase')
+),
+grid AS (
+  SELECT sp.day, sp.h, hr.s
+  FROM spine sp LEFT JOIN hourly hr ON sp.day = hr.day AND sp.h = hr.h
+),
+marked AS (
+  SELECT day, h, s,
+    last_value(s IGNORE NULLS) OVER wb AS prev_s,
+    last_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS prev_h,
+    last_value(s IGNORE NULLS) OVER wf AS next_s,
+    last_value(CASE WHEN s IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS next_h
+  FROM grid
+  WINDOW wb AS (PARTITION BY day ORDER BY h ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY day ORDER BY h DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT day, h,
+  CASE WHEN s IS NOT NULL THEN s
+       WHEN prev_h IS NOT NULL AND next_h IS NOT NULL
+         THEN prev_s + (next_s - prev_s)
+              * (CAST(h AS DOUBLE) - prev_h) / (next_h - prev_h)
+  END AS s_filled,
+  s IS NOT NULL AS was_observed
+FROM marked
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
+    "gapfill_interp": (
+        q_gapfill_interp,
+        SQL_GAPFILL_INTERP,
+        "timeseries:linear-interp gap fill",
+    ),
     "ohlc_hourly": (q_ohlc_hourly, SQL_OHLC_HOURLY, "timeseries:OHLC bars"),
     "chi_square": (q_chi_square, SQL_CHI_SQUARE, "analytics:chi-square independence"),
     "scd2_lookup": (
