@@ -236,3 +236,57 @@ def test_sampling_operators_apply_unchanged_to_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.doc_id, r.split) for r in out_rows}
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks ⋈ purchases
+    within 10 minutes, per user; timestamps offset off epoch 0, which
+    collides with the initial watermark) must produce exactly the batch join's
+    rows — the Structured Streaming flagship the incremental runner's
+    stream-static joins don't cover."""
+    from pyspark.sql import functions as F
+
+    c_dir, p_dir = tmp_path / "clicks", tmp_path / "purch"
+    c_dir.mkdir(); p_dir.mkdir()
+    clicks = spark.createDataFrame(
+        [(u, m) for u in range(4) for m in (0, 7, 30)], "cu long, cm long"
+    ).select("cu", F.timestamp_seconds(F.col("cm") * 60 + 1_000_000_000).alias("cts"))
+    purchases = spark.createDataFrame(
+        [(0, 5, 9.0), (0, 12, 3.0), (1, 8, 4.0), (2, 45, 7.0), (3, 31, 1.0)],
+        "pu long, pm long, amount double",
+    ).select("pu", F.timestamp_seconds(F.col("pm") * 60 + 1_000_000_000).alias("pts"), "amount")
+    clicks.coalesce(1).write.mode("overwrite").parquet(str(c_dir / "b"))
+    purchases.coalesce(1).write.mode("overwrite").parquet(str(p_dir / "b"))
+
+    cond = F.expr(
+        "cu = pu AND pts >= cts AND pts <= cts + INTERVAL 10 MINUTES"
+    )
+    batch = {
+        (r.cu, r.cts, r.pts, r.amount)
+        for r in spark.read.parquet(str(c_dir / "b"))
+        .join(spark.read.parquet(str(p_dir / "b")), cond)
+        .collect()
+    }
+
+    cs = (
+        spark.readStream.schema("cu long, cts timestamp").parquet(str(c_dir / "b"))
+        .withWatermark("cts", "1 hour")
+    )
+    ps = (
+        spark.readStream.schema("pu long, pts timestamp, amount double")
+        .parquet(str(p_dir / "b"))
+        .withWatermark("pts", "1 hour")
+    )
+    rows = []
+    q = (
+        cs.join(ps, cond)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.cu, r.cts, r.pts, r.amount) for r in rows}
+    # matches: u0 c@0-p@5, u0 c@7-p@12, u1 c@0-p@8, u1 c@7-p@8, u3 c@30-p@31
+    assert got == batch and len(batch) == 5
