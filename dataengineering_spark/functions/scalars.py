@@ -16,14 +16,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Decimal(13,6) holds every per-row numeric in the corpus (largest is
-# ~1.3e5; capacity 1e7) and Spark widens the sum buffer by 10 digits
-# (decimal(23,6), capacity 1e17 ≫ any 100 TB sum of such values).
-# Why 13 and not 18: benchmarked ~25% faster per aggregate — the
-# narrower cast stays on the long-backed Decimal fast path — and the
-# cast rounding at 6 decimals is identical, so oracles (which use
-# DECIMAL(18,6)) still match exactly.
-DECIMAL_T = "decimal(13,6)"
+# Decimal(18,6) per-row (capacity 1e12); Spark widens the sum buffer
+# by 10 digits to decimal(28,6) (capacity 1e22 ≫ any 100 TB sum).
+# An earlier decimal(13,6) was ~12% faster per aggregate but ANSI
+# mode hard-fails the cast at 1e7 (caught by the differential-fuzz
+# battery) and its 1e17 sum-buffer capacity is marginal against a
+# genuine 1e12-row money sum — robustness wins. 18 also mirrors the
+# oracle's DECIMAL(18,6) exactly; rounding at 6 decimals is identical
+# either way, so every oracle hash is unchanged.
+DECIMAL_T = "decimal(18,6)"
 
 
 def _dec_to_double(dec: Column) -> Column:
