@@ -2427,7 +2427,72 @@ FROM marked
 """
 
 
+# ===========================================================================
+# Q: triangle_count — per-node triangle counts over the event graph
+# ===========================================================================
+#
+# The canonical distributed-graph kernel the reference defers to
+# TigerGraph (S18-S22). Three ingredients keep it scale-sane:
+#  1. the edge list is DISTINCT and canonically oriented a<b first, so
+#     the self-joins see |E| rows, not |transfers|, and every triangle
+#     is generated exactly once (as a<b<c) instead of 6 times;
+#  2. wedges extend only FORWARD (e1.b = e2.a with b<c implied by the
+#     orientation), halving the wedge stream;
+#  3. the closing check is an equi-join back on (a, c) — three hash
+#     joins total, no cartesian anywhere. On power-law graphs the
+#     standard refinement is degree-ordering instead of id-ordering
+#     (orients wedges away from hubs); id-ordering is kept here
+#     because the oracle must mirror it exactly.
+# Node ids fold the event stream onto overlapping integer spaces
+# (user_id mod 37, event_id mod 101) so the graph is non-bipartite.
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 37).alias("x"),
+        (F.col("event_id") % 101).alias("y"),
+    )
+    edges = (
+        ev.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = edges.select(F.col("a").alias("w_b"), F.col("b").alias("t_c"))
+    wedges = e1.join(e2, F.col("t_b") == F.col("w_b")).drop("w_b")
+    e3 = edges.select(F.col("a").alias("c_a"), F.col("b").alias("c_c"))
+    tris = wedges.join(
+        e3, (F.col("t_a") == F.col("c_a")) & (F.col("t_c") == F.col("c_c"))
+    )
+    return tris.groupBy(F.col("t_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH pts AS (
+  SELECT user_id % 37 AS x, event_id % 101 AS y FROM events
+),
+e AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM pts WHERE x <> y
+)
+SELECT e1.a AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+GROUP BY e1.a
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "triangle_count": (
+        q_triangle_count,
+        SQL_TRIANGLE_COUNT,
+        "graph:triangle counting",
+    ),
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
     "gapfill_interp": (
         q_gapfill_interp,
