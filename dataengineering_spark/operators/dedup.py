@@ -632,3 +632,66 @@ def incremental_lsh_matches(
         )
         .distinct()
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Inter-document span-level dedup — remove repeated boilerplate
+    SPANS across the corpus while keeping the rest of each document
+    (the MassiveText/Gopher "repeated passage" pass; doc-level dedup
+    like :func:`minhash_lsh_pairs` can't touch a doc that is 90%
+    unique with one viral paragraph).
+
+    Each doc splits into non-overlapping ``span_words``-word spans; a
+    span survives iff it is the corpus-wide FIRST occurrence of its
+    content (order: (doc_id, span_id)); survivors re-join in order.
+
+    Scale shape: the only shuffle is the keep-first window, keyed by
+    the span's md5 — high-cardinality, evenly spread (the 32-hex key
+    also keeps shuffle rows narrow vs. carrying full span text as the
+    key). Splitting is a narrow posexplode; reassembly groups by
+    ``id_col``, the natural partitioning of every downstream stage.
+
+    Returns one row per input doc: (id, kept_text, n_spans, n_kept) —
+    a fully-deduped doc survives with empty text, so corpus accounting
+    (rows in == rows out) stays trivial.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(span_words)
+    )
+    spans = d.select(
+        id_col,
+        F.posexplode(starts).alias("span_id", "_start"),
+        F.concat_ws(
+            " ", F.slice("_w", F.col("_start") + 1, F.lit(span_words))
+        ).alias("span_text"),
+    )
+    w = Window.partitionBy(F.md5("span_text")).orderBy(id_col, "span_id")
+    flagged = spans.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("span_id"), F.col("span_text"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s.span_text,
+                ),
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        )
+    )

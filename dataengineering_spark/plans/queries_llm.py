@@ -38,6 +38,7 @@ from dataengineering_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_perm_constants,
+    span_dedup,
     simhash,
     simhash_neardup_pairs,
     simhash_sql,
@@ -2370,7 +2371,54 @@ FROM s GROUP BY doc_id
 """
 
 
+# ===========================================================================
+# Q: span_dedup — inter-document boilerplate-span removal
+# ===========================================================================
+#
+# operators.dedup.span_dedup: every doc splits into non-overlapping
+# 10-word spans; a span survives iff it's the corpus-wide first
+# occurrence of its content ((doc_id, span_id) order); survivors
+# re-join in order. One row out per doc in — a fully-boilerplate doc
+# survives with empty text, keeping corpus accounting trivial.
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return span_dedup(docs, span_words=10)
+
+
+SQL_SPAN_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(t.span_id AS INT) AS span_id,
+    array_to_string(ws[t.span_id*10+1 : t.span_id*10+10], ' ') AS span_text
+  FROM w, UNNEST(generate_series(0, (len(ws)-1)//10)) AS t(span_id)
+),
+flagged AS (
+  SELECT doc_id, span_id, span_text,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(span_text) ORDER BY doc_id, span_id
+    ) = 1 AS keep
+  FROM spans
+)
+SELECT doc_id,
+  COALESCE(
+    string_agg(CASE WHEN keep THEN span_text END, ' ' ORDER BY span_id),
+    ''
+  ) AS kept_text,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged GROUP BY doc_id
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "span_dedup": (
+        q_span_dedup,
+        SQL_SPAN_DEDUP,
+        "north-star:inter-doc span dedup",
+    ),
     "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
         q_dataset_split,
