@@ -128,3 +128,46 @@ def dataset_split(
         .when(h < hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "wsample",
+    priority_col: str = "_priority",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement:
+    each row gets priority u**(1/w) with u uniform in (0,1] derived
+    from the row key's sampling hash, and the global top-``n``
+    priorities win. Inclusion probability is proportional to weight
+    (exactly the A-Res reservoir scheme), yet selection is fully
+    deterministic and append-stable: a row's priority never changes,
+    so re-runs and engine ports agree row-for-row.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-n then a single merge of partition heads; no
+    global sort materializes.
+
+    Exactness note: ``pow`` is not required to be correctly rounded by
+    IEEE-754, so cross-engine bit-parity of priorities is guaranteed
+    only for weights that are powers of two, where u**(1/w) is a
+    chain of ``sqrt`` (which IS correctly rounded). The oracle-checked
+    registry query pins such weights; arbitrary weights remain valid
+    for production use.
+    """
+    u = (sample_hash(key_col, salt) + F.lit(1)).cast("double") / F.lit(
+        float(2**32)
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.when(w == 1.0, u)
+    x = u
+    for k in (2.0, 4.0, 8.0, 16.0):
+        x = F.sqrt(x)
+        pri = pri.when(w == k, x)
+    pri = pri.otherwise(F.pow(u, F.lit(1.0) / w))
+    out = df.withColumn(priority_col, pri)
+    return out.orderBy(
+        F.col(priority_col).desc(), F.col(key_col).asc()
+    ).limit(n)

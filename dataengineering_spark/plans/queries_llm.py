@@ -2372,6 +2372,68 @@ FROM s GROUP BY doc_id
 
 
 # ===========================================================================
+# Q: weighted_sample — Efraimidis–Spirakis weighted corpus sampling
+# ===========================================================================
+#
+# Deterministic weighted sampling without replacement: priority
+# u**(1/w) from the doc's sampling hash, global top-n wins (inclusion
+# ∝ weight). Weights here are powers of two so the priority is a
+# sqrt chain — correctly rounded by IEEE-754 on both engines, hence
+# bit-identical selection; ``pow`` (not correctly rounded) would not
+# guarantee that. Priorities are emitted floored to micro-units.
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "source")
+    weighted = docs.withColumn(
+        "weight",
+        F.expr(
+            "CAST(shiftleft(1, CAST(regexp_replace(source, '^src', '') AS INT) % 4)"
+            " AS INT)"
+        ),
+    )
+    out = weighted_sample(weighted, "weight", n=120, key_col="doc_id")
+    return out.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.floor(F.col("_priority") * 1e6).cast("long").alias("priority_micro"),
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "wsample")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(1 << (CAST(regexp_replace(source, '^src', '') AS INT) % 4) AS INT)
+      AS weight,
+    ({h} + 1) / 4294967296.0 AS u
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, weight,
+    CASE weight
+      WHEN 1 THEN u
+      WHEN 2 THEN sqrt(u)
+      WHEN 4 THEN sqrt(sqrt(u))
+      WHEN 8 THEN sqrt(sqrt(sqrt(u)))
+    END AS pri
+  FROM d
+)
+SELECT doc_id, source, weight,
+  CAST(FLOOR(pri * 1e6) AS BIGINT) AS priority_micro
+FROM p ORDER BY pri DESC, doc_id LIMIT 120
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
+
+
+# ===========================================================================
 # Q: span_dedup — inter-document boilerplate-span removal
 # ===========================================================================
 #
@@ -2418,6 +2480,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_span_dedup,
         SQL_SPAN_DEDUP,
         "north-star:inter-doc span dedup",
+    ),
+    "weighted_sample": (
+        q_weighted_sample,
+        SQL_WEIGHTED_SAMPLE,
+        "north-star:weighted corpus sampling",
     ),
     "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
