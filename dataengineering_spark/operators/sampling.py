@@ -171,3 +171,33 @@ def weighted_sample(
     return out.orderBy(
         F.col(priority_col).desc(), F.col(key_col).asc()
     ).limit(n)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs_col: str,
+    key_col: str,
+    salt: str = "epoch",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Materialize a pretraining mixture's UPSAMPLING side: a row with
+    ``epochs = 2.5`` appears twice always plus a third time for a
+    deterministic hash-chosen 50% of keys — so every source lands
+    within one row of its exact target epoch count, reproducibly
+    (same keys replicate on every run/engine; appends don't reshuffle
+    prior copies). The downsampling side (epochs < 1 → keep-rate
+    filter) is :func:`mixture_sample`; together they express an
+    arbitrary mixture vector.
+
+    Scale shape: a narrow explode of a per-row 1..n sequence — no
+    shuffle; output size is exactly the epoch-weighted corpus. Rows
+    whose copy count is 0 vanish (explode of an empty array).
+    """
+    whole = F.floor(F.col(epochs_col)).cast("int")
+    frac_ppm = F.round((F.col(epochs_col) - whole) * 1e6).cast("long")
+    extra = (sample_hash(key_col, salt) % 1_000_000 < frac_ppm).cast("int")
+    n = (whole + extra).alias("_n_copies")
+    seq = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(seq).alias(copy_col))

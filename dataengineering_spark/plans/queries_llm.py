@@ -2372,6 +2372,55 @@ FROM s GROUP BY doc_id
 
 
 # ===========================================================================
+# Q: epoch_mixture — pretraining mixture upsampling (fractional epochs)
+# ===========================================================================
+#
+# operators.sampling.epoch_upsample: each source gets an epoch count
+# in {0.5 … 2.5}; rows replicate floor(epochs) times plus once more
+# for a deterministic hash-chosen fraction of keys. The shuffle-free
+# complement of mixture_sample (which can only downsample).
+
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import epoch_upsample
+
+    docs = read_table(spark, "documents", sf_dir).select("doc_id", "source")
+    epochs = docs.withColumn(
+        "epochs",
+        0.5 + (F.regexp_replace("source", "^src", "").cast("int") % 5) * 0.5,
+    )
+    return epoch_upsample(epochs, "epochs", key_col="doc_id").select(
+        "doc_id", "source", "copy_id"
+    )
+
+
+def _epoch_mixture_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "epoch")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+    0.5 + (CAST(regexp_replace(source, '^src', '') AS INT) % 5) * 0.5
+      AS epochs
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(epochs) AS INT)
+      + CASE WHEN {h} % 1000000
+             < CAST(ROUND((epochs - FLOOR(epochs)) * 1e6) AS BIGINT)
+        THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, source, CAST(t.copy_id AS INT) AS copy_id
+FROM n, UNNEST(generate_series(1, n_copies)) AS t(copy_id)
+"""
+
+
+SQL_EPOCH_MIXTURE = _epoch_mixture_sql()
+
+
+# ===========================================================================
 # Q: weighted_sample — Efraimidis–Spirakis weighted corpus sampling
 # ===========================================================================
 #
@@ -2485,6 +2534,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_weighted_sample,
         SQL_WEIGHTED_SAMPLE,
         "north-star:weighted corpus sampling",
+    ),
+    "epoch_mixture": (
+        q_epoch_mixture,
+        SQL_EPOCH_MIXTURE,
+        "north-star:mixture epoch upsampling",
     ),
     "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
