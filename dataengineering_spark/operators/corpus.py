@@ -155,3 +155,46 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "score", "rk")
     )
+
+
+def bigram_lm_stats(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model corpus statistics: the top-``k`` bigrams by
+    count, each with its Kneser-Ney continuation counts — distinct
+    left contexts of w2 (how many different words precede it: the KN
+    numerator) and distinct right continuations of w1. The counting
+    pass a KenLM-style n-gram model trains from.
+
+    Scale shape: bigrams come from a narrow in-row zip (no self-join,
+    no per-doc window shuffle); one hash agg per (w1,w2), then the two
+    context counts are row-counts over that already-aggregated bigram
+    table (|distinct bigrams| rows, not |tokens|). Top-k is
+    TakeOrderedAndProject. Ties break lexicographically.
+    """
+    pairs = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(1, size(_w) - 1),"
+        " i -> struct(_w[i-1] AS w1, _w[i] AS w2)) "
+        "ELSE array() END"
+    )
+    bi = (
+        docs.select(F.split(F.col(text_col), " ").alias("_w"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    right = bi.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n_right_continuations")
+    )
+    left = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left_contexts"))
+    top = bi.orderBy(
+        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    return top.join(right, "w1").join(left, "w2").select(
+        "w1", "w2", "cnt", "n_left_contexts", "n_right_continuations"
+    )

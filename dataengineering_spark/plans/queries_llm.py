@@ -2372,6 +2372,47 @@ FROM s GROUP BY doc_id
 
 
 # ===========================================================================
+# Q: bigram_stats — Kneser-Ney-prep bigram counts + continuation counts
+# ===========================================================================
+#
+# operators.corpus.bigram_lm_stats: top-k bigrams by count with
+# distinct-left-context / distinct-right-continuation counts — the
+# counting pass an n-gram LM trains from. Bigrams come from a narrow
+# in-row zip (no self-join, no per-doc window); continuation counts
+# are row-counts over the already-aggregated bigram table.
+
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.corpus import bigram_lm_stats
+
+    return bigram_lm_stats(_docs(spark, sf_dir), k=50)
+
+
+SQL_BIGRAM_STATS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_right_continuations
+  FROM bi GROUP BY w1
+),
+l AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_left_contexts
+  FROM bi GROUP BY w2
+),
+top AS (
+  SELECT * FROM bi ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 50
+)
+SELECT top.w1, top.w2, top.cnt, l.n_left_contexts, r.n_right_continuations
+FROM top JOIN r ON top.w1 = r.w1 JOIN l ON top.w2 = l.w2
+"""
+
+
+# ===========================================================================
 # Q: epoch_mixture — pretraining mixture upsampling (fractional epochs)
 # ===========================================================================
 #
@@ -2539,6 +2580,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_epoch_mixture,
         SQL_EPOCH_MIXTURE,
         "north-star:mixture epoch upsampling",
+    ),
+    "bigram_stats": (
+        q_bigram_stats,
+        SQL_BIGRAM_STATS,
+        "north-star:n-gram LM statistics",
     ),
     "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
