@@ -2428,6 +2428,60 @@ FROM marked
 
 
 # ===========================================================================
+# Q: rollup_cascade — hypertable-style hierarchical rollup (min→hour→day)
+# ===========================================================================
+#
+# Continuous-aggregate cascade: raw events are scanned ONCE into
+# minute partials; hours aggregate the minute partials, days the hour
+# partials — at 100 TB the coarse windows never touch raw data again,
+# and the same partials serve incremental refresh (only dirty minutes
+# recompute). Exactness: sums stay DECIMAL through every level
+# (decimal addition is associative, so cascade ≡ direct aggregation
+# bit-for-bit); the one double cast happens at the end. The oracle
+# aggregates raw→day directly, proving the cascade lossless.
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("minute", F.col("ts")).alias("minute"), "value"
+    )
+    minutes = ev.groupBy("minute").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    hours = (
+        minutes.withColumn("hour", F.date_trunc("hour", F.col("minute")))
+        .groupBy("hour")
+        .agg(
+            F.sum("_s").cast("decimal(18,6)").alias("_s"),
+            F.sum("_n").alias("_n"),
+            F.count(F.lit(1)).alias("_minutes"),
+        )
+    )
+    days = (
+        hours.withColumn("day", F.date_trunc("day", F.col("hour")))
+        .groupBy("day")
+        .agg(
+            _dec_to_double(F.sum("_s")).alias("sum_value"),
+            F.sum("_n").alias("n_events"),
+            F.sum("_minutes").alias("n_minutes"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+    return days.select("day", "n_events", "n_minutes", "n_hours", "sum_value")
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes,
+  CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+    AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ===========================================================================
 # Q: triangle_count — per-node triangle counts over the event graph
 # ===========================================================================
 #
@@ -2492,6 +2546,11 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
         q_triangle_count,
         SQL_TRIANGLE_COUNT,
         "graph:triangle counting",
+    ),
+    "rollup_cascade": (
+        q_rollup_cascade,
+        SQL_ROLLUP_CASCADE,
+        "timeseries:hypertable rollup cascade",
     ),
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
     "gapfill_interp": (
