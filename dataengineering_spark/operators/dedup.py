@@ -369,6 +369,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iterations: int = 50,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(doc_id, component) labels for the near-duplicate pair graph:
     component = min doc id reachable from the doc. This is the final
@@ -379,10 +380,17 @@ def connected_components(
     the loop stops at fixpoint — rounds ≤ graph diameter, and near-dup
     clusters are short-diameter by construction. Per round: one join +
     one groupBy-min, both partitioned on doc id; frames are persisted
-    per round and the previous round unpersisted, so lineage stays
-    O(1) instead of exploding with iterations (the driver-loop
+    per round and the previous round unpersisted (the driver-loop
     anti-pattern this module otherwise avoids is fine here: the loop
     is over *rounds*, not rows, and each round is fully distributed).
+
+    persist() caches execution but does NOT truncate the logical
+    plan — each round's plan embeds every prior round's, doubling per
+    iteration, and a long-diameter graph (a 14-node chain) OOMs the
+    driver on plan analysis alone (caught by the union-find fuzz
+    test). ``localCheckpoint`` every ``checkpoint_every`` rounds cuts
+    the lineage; integer labels make truncation result-invariant,
+    exactly as in ``pagerank_ranks``.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -397,7 +405,7 @@ def connected_components(
         .persist()
     )
     changed = 0
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -423,6 +431,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if checkpoint_every and (_round + 1) % checkpoint_every == 0:
+            truncated = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = truncated
     edges.unpersist()
     if changed != 0:
         import warnings
