@@ -484,6 +484,70 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 
 
 # ===========================================================================
+# Q: minhash_calibration — estimator error audit on LSH candidates
+# ===========================================================================
+#
+# For every LSH candidate pair, the MinHash estimate (matching
+# signature components out of 16) next to the EXACT shingle Jaccard —
+# the per-pair audit that tells you whether the banding parameters
+# (16 hashes, 4 bands) actually deliver the intended precision before
+# trusting them on a 100 TB corpus. Reuses the session pair memo, the
+# codegen signature pipeline, and the shingle-set cache; cost is two
+# small joins over the candidate set, never the corpus cross-product.
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import minhash_signatures
+
+    corpus = _dedup_corpus(_docs(spark, sf_dir))
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    sigs = minhash_signatures(corpus)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("_sb"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(filter(zip_with(_sa, _sb, (x, y) -> x = y), m -> m))")
+            .cast("int")
+            .alias("n_sig_match"),
+        )
+    )
+    exact = jaccard_pairs(corpus, pairs)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "n_sig_match",
+        F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"),
+    )
+
+
+SQL_MINHASH_CALIBRATION = _DEDUP_SQL_CTES + """
+, est AS (
+  SELECT p.doc_a, p.doc_b,
+    CAST(list_sum(list_transform(range(1, 17),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS INT)
+      AS n_sig_match
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+),
+jacx AS (
+  SELECT p.doc_a, p.doc_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_sig_match,
+  CAST(FLOOR(j.jaccard * 1000) AS BIGINT) AS jaccard_milli
+FROM est e JOIN jacx j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
+"""
+
+
+# ===========================================================================
 # Q: simhash_fingerprint — 32-bit SimHash per document
 # ===========================================================================
 
@@ -2660,6 +2724,11 @@ LLM_QUERIES: dict[str, tuple] = {
     ),
     "lang_id": (q_lang_id, SQL_LANG_ID, "north-star:text"),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH, "north-star:dedup"),
+    "minhash_calibration": (
+        q_minhash_calibration,
+        SQL_MINHASH_CALIBRATION,
+        "north-star:MinHash estimator audit",
+    ),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS, "north-star:dedup"),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
