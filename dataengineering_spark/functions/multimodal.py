@@ -531,14 +531,13 @@ def _unfilter_scanlines(raw: bytes, h: int, stride: int, channels: int):
     return recon
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL pure-stdlib PNG decode: zlib inflate + full scanline
-    unfilter (None/Sub/Up/Average/Paeth) for non-interlaced 8-bit
-    grayscale/RGB/RGBA images. Returns the decode_images contract:
-    {width, height, mean_luma, feature: [mean_r, mean_g, mean_b]}.
-    mean_luma = Rec.601 luma of the channel MEANS (channel sums are
-    exact integers, so the result is engine-reproducible — a per-pixel
-    float accumulation would not be)."""
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, "object"]:
+    """Chunk-walk + inflate + unfilter a PNG to its raw pixel matrix:
+    returns (width, height, channels, recon) with ``recon`` the
+    (h, w*channels) uint8 reconstruction. The shared front half of
+    :func:`decode_png` (feature means) and the resize path
+    (:func:`resize_images_nearest`), split out so pixel-consuming
+    operators don't re-walk the container."""
     import zlib
 
     b = bytes(payload)
@@ -572,7 +571,18 @@ def decode_png(payload: bytes) -> dict:
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG scanline data")
-    recon = _unfilter_scanlines(raw, h, stride, channels)
+    return w, h, channels, _unfilter_scanlines(raw, h, stride, channels)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL pure-stdlib PNG decode: zlib inflate + full scanline
+    unfilter (None/Sub/Up/Average/Paeth) for non-interlaced 8-bit
+    grayscale/RGB/RGBA images. Returns the decode_images contract:
+    {width, height, mean_luma, feature: [mean_r, mean_g, mean_b]}.
+    mean_luma = Rec.601 luma of the channel MEANS (channel sums are
+    exact integers, so the result is engine-reproducible — a per-pixel
+    float accumulation would not be)."""
+    w, h, channels, recon = decode_png_pixels(payload)
     # channel sums are exact integers (numpy int64 reduction), so the
     # means — and everything derived from them — stay bit-reproducible
     sums = recon.reshape(h * w, channels).sum(axis=0, dtype="int64")
@@ -775,3 +785,98 @@ def pcm_features(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(_extract, schema=out_schema)
+
+
+def make_gradient_png(width: int, height: int, seed: int) -> bytes:
+    """Deterministic RGB gradient PNG: pixel (x, y) is
+    r=(7x+seed)%256, g=(13y+seed)%256, b=(x+y+seed)%256 — a closed
+    form an oracle can recompute at any coordinate, unlike a solid
+    color which makes spatial operators (resize, crop) untestable.
+    Odd rows are written with PNG filter type 2 (Up) so a decode bug
+    in the Up path corrupts the gradient and fails the oracle; even
+    rows use filter 0."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rows = []
+    prev = [0] * (width * 3)
+    for y in range(height):
+        cur = []
+        for x in range(width):
+            cur += [
+                (7 * x + seed) % 256,
+                (13 * y + seed) % 256,
+                (x + y + seed) % 256,
+            ]
+        if y % 2 == 1:
+            rows.append(
+                b"\x02" + bytes((c - p) % 256 for c, p in zip(cur, prev))
+            )
+        else:
+            rows.append(b"\x00" + bytes(cur))
+        prev = cur
+    idat = zlib.compress(b"".join(rows))
+    return (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(payload: bytes, out_w: int, out_h: int) -> "tuple[int, int, list[int]]":
+    """Decode a PNG and nearest-neighbor resample to (out_w, out_h):
+    output pixel (i, j) reads source pixel (i*h // out_h, j*w // out_w)
+    — the standard floor mapping. Returns (src_w, src_h, flattened
+    row-major RGB ints). Grayscale expands to R=G=B; RGBA drops alpha."""
+    import numpy as np
+
+    w, h, channels, recon = decode_png_pixels(payload)
+    px = recon.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    sy = [(i * h) // out_h for i in range(out_h)]
+    sx = [(j * w) // out_w for j in range(out_w)]
+    out = px[np.ix_(sy, sx)]
+    return w, h, [int(v) for v in out.reshape(-1)]
+
+
+def resize_images_nearest(
+    df: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize over Arrow-batched mapInPandas — the
+    feature-extraction preprocessing step (thumbnail / patch grid) of
+    a multimodal training pipeline. Output: (id, width, height,
+    pixels) with ``pixels`` the resized RGB values as a comma-joined
+    string (exact integers, so any value-hasher compares them across
+    engines). Partitioning, batch shape, and the binary Arrow lane
+    all match decode_images; only the per-payload kernel differs."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, pix = resize_nearest(bytes(payload), out_w, out_h)
+                out.append(
+                    (int(doc_id), w, h, ",".join(str(v) for v in pix))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pixels"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize, schema="doc_id long, width long, height long, pixels string"
+    )

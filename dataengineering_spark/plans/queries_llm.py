@@ -1361,6 +1361,57 @@ FROM documents
 
 
 # ===========================================================================
+# Q: image_resize — REAL decode + nearest-neighbor resample: gradient
+# PNGs (pixel values a closed form of (x, y, doc_id); odd rows use the
+# Up filter so the unfilter path is load-bearing) are decoded and
+# resampled to a 4x4 patch grid via the floor mapping
+# src = (out_idx * src_dim) // 4. The oracle recomputes every sampled
+# pixel from the closed form — a bug in decode, the index mapping,
+# channel order, or the Arrow binary lane breaks the match.
+# ===========================================================================
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        make_gradient_png,
+        resize_images_nearest,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 8 + doc_id % 3
+                rows.append(
+                    (doc_id, make_gradient_png(w, h, doc_id % 251))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return resize_images_nearest(synthesized, out_w=4, out_h=4)
+
+
+SQL_IMAGE_RESIZE = """
+SELECT doc_id,
+  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+  CAST(8 + doc_id % 3 AS BIGINT) AS height,
+  array_to_string(
+    flatten(list_transform(range(0, 16), k -> [
+      (7 * (((k % 4) * (8 + doc_id % 5)) // 4) + doc_id % 251) % 256,
+      (13 * (((k // 4) * (8 + doc_id % 3)) // 4) + doc_id % 251) % 256,
+      ((((k % 4) * (8 + doc_id % 5)) // 4)
+        + (((k // 4) * (8 + doc_id % 3)) // 4) + doc_id % 251) % 256
+    ])), ',') AS pixels
+FROM documents
+"""
+
+
+# ===========================================================================
 # Q: jpeg_meta — image geometry WITHOUT a decode library: JPEG SOFn /
 # PNG IHDR header walks (the WAV/MP4 container pattern applied to
 # images). Payloads are synthesized per doc (even ids JPEG, odd PNG)
@@ -2684,6 +2735,11 @@ LLM_QUERIES: dict[str, tuple] = {
     ),
     "media_durations": (q_media_durations, SQL_MEDIA_DURATIONS, "north-star:multimodal"),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE, "north-star:multimodal"),
+    "image_resize": (
+        q_image_resize,
+        SQL_IMAGE_RESIZE,
+        "north-star:multimodal resize",
+    ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
     "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY, "north-star:text corpus-pass"),
