@@ -102,11 +102,13 @@ def salted_collect(
 
 def explain_skew(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFrame:
     """Key-frequency profile — the diagnostic to run before choosing a
-    mitigation. Returns the heaviest keys with their share."""
+    mitigation. Returns the heaviest keys with their share. Ties at
+    the ``top`` boundary break on the keys themselves so the profile
+    is reproducible across runs and engines."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     total = df.count()
     return (
         counts.withColumn("share", F.col("n") / F.lit(float(total)))
-        .orderBy(F.col("n").desc())
+        .orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
         .limit(top)
     )

@@ -2428,6 +2428,74 @@ FROM marked
 
 
 # ===========================================================================
+# Q: skew_profile / skew_join — the skew toolkit, driver-checkable
+# ===========================================================================
+#
+# operators.skew: explain_skew is the diagnostic (heaviest keys with
+# their share — what you run BEFORE choosing a mitigation);
+# salted_join is the mitigation, and its oracle is the PLAIN join —
+# the parity check IS the semantic-transparency proof that salting
+# never changes results, only the shuffle layout.
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.skew import explain_skew
+
+    tr = transfers_from_events(_t(spark, sf_dir, "events"))
+    prof = explain_skew(tr, ["token_address"], top=10)
+    return prof.select(
+        "token_address",
+        "n",
+        F.floor(F.col("share") * 1e6).cast("long").alias("share_ppm"),
+    )
+
+
+SQL_SKEW_PROFILE = f"""
+WITH transfers AS ({TRANSFERS_SQL}),
+c AS (
+  SELECT token_address, CAST(COUNT(*) AS BIGINT) AS n FROM transfers
+  GROUP BY token_address
+)
+SELECT token_address, n,
+  CAST(FLOOR(n / (SELECT CAST(COUNT(*) AS DOUBLE) FROM transfers) * 1e6)
+       AS BIGINT) AS share_ppm
+FROM c ORDER BY n DESC, token_address ASC LIMIT 10
+"""
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.scalars import dsum
+    from dataengineering_spark.operators.skew import salted_join
+
+    tr = transfers_from_events(_t(spark, sf_dir, "events")).select(
+        "token_address", "sender_address", "coin_value_usd"
+    )
+    dim = tr.groupBy("token_address").agg(
+        dsum("coin_value_usd", "token_total")
+    )
+    joined = salted_join(tr, dim, on=["token_address"], n_salts=8)
+    return joined.groupBy("token_address", "sender_address").agg(
+        F.count(F.lit(1)).alias("n_transfers"),
+        F.max("token_total").alias("token_total"),
+        dsum("coin_value_usd", "sender_value"),
+    )
+
+
+SQL_SKEW_JOIN = f"""
+WITH transfers AS ({TRANSFERS_SQL}),
+dim AS (
+  SELECT token_address, {DSUM.format(e="coin_value_usd")} AS token_total
+  FROM transfers GROUP BY token_address
+)
+SELECT t.token_address, t.sender_address,
+  CAST(COUNT(*) AS BIGINT) AS n_transfers,
+  MAX(d.token_total) AS token_total,
+  {DSUM.format(e="t.coin_value_usd")} AS sender_value
+FROM transfers t JOIN dim d ON t.token_address = d.token_address
+GROUP BY t.token_address, t.sender_address
+"""
+
+
+# ===========================================================================
 # Q: rollup_cascade — hypertable-style hierarchical rollup (min→hour→day)
 # ===========================================================================
 #
@@ -2551,6 +2619,16 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
         q_rollup_cascade,
         SQL_ROLLUP_CASCADE,
         "timeseries:hypertable rollup cascade",
+    ),
+    "skew_profile": (
+        q_skew_profile,
+        SQL_SKEW_PROFILE,
+        "scale:skew diagnostic",
+    ),
+    "skew_join": (
+        q_skew_join,
+        SQL_SKEW_JOIN,
+        "scale:salted-join transparency",
     ),
     "props_json": (q_props_json, SQL_PROPS_JSON, "analytics:JSON extraction"),
     "gapfill_interp": (
