@@ -386,3 +386,93 @@ def test_sliding_window_matches_duckdb_replication(spark, rows):
     }
     con.close()
     assert native == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "日", "é", ""]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dedup_matches_python_reference(spark, docs):
+    """Inter-document span dedup vs a direct Python keep-first sweep —
+    duplicate spans within one doc, across docs, multi-byte words,
+    empty words, and sub-span-length tails included."""
+    from dataengineering_spark.operators.dedup import span_dedup
+
+    SPAN = 3
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.kept_text, r.n_spans, r.n_kept)
+        for r in span_dedup(df, span_words=SPAN).collect()
+    }
+
+    seen: set[str] = set()
+    want = set()
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")  # python split('') -> [''] matches F.split
+        spans = [
+            " ".join(words[s : s + SPAN]) for s in range(0, len(words), SPAN)
+        ]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        want.add((doc_id, " ".join(kept), len(spans), len(kept)))
+    assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1000),  # key
+            st.integers(0, 40),  # epochs in tenths: 0.0 .. 4.0
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_epoch_upsample_matches_closed_form(spark, rows):
+    """epoch_upsample vs the copy-count law computed directly in
+    Python with the same md5-derived hash — zero-epoch rows must
+    vanish, fractional rows replicate for exactly the hash-chosen
+    keys, and copy_ids are dense 1..n."""
+    import hashlib
+
+    from dataengineering_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(k, t / 10.0) for k, t in rows], "k long, epochs double"
+    )
+    got = sorted(
+        (r.k, r.copy_id) for r in epoch_upsample(df, "epochs", "k").collect()
+    )
+
+    want = []
+    for k, tenths in rows:
+        epochs = tenths / 10.0
+        h = int(hashlib.md5(f"epoch|{k}".encode()).hexdigest()[:8], 16)
+        frac_ppm = round((epochs - int(epochs)) * 1e6)
+        n = int(epochs) + (1 if h % 1_000_000 < frac_ppm else 0)
+        want += [(k, c) for c in range(1, n + 1)]
+    assert got == sorted(want)
