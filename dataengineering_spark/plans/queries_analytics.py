@@ -2428,6 +2428,50 @@ FROM marked
 
 
 # ===========================================================================
+# Q: cdc_apply — changelog materialization (latest-wins with deletes)
+# ===========================================================================
+#
+# The Debezium-shaped half of the lakehouse ingest story that
+# merge_upsert (two-table MERGE) doesn't cover: a totally-ordered
+# change stream of I/U/D ops collapses to current table state — keep
+# each key's highest-LSN row, drop keys whose last op is a delete.
+# One shuffle (the per-key window keyed on the high-cardinality key);
+# at scale this is exactly compaction of a CDC topic into a snapshot.
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_micro"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("lsn").desc())
+    latest = ev.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "k", "lsn", "op", "value_micro"
+    )
+
+
+SQL_CDC_APPLY = """
+WITH c AS (
+  SELECT user_id AS k, event_id AS lsn,
+    CASE event_type WHEN 'signup' THEN 'I'
+                    WHEN 'purchase' THEN 'D'
+                    ELSE 'U' END AS op,
+    CAST(FLOOR(value * 1e6) AS BIGINT) AS value_micro,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT k, lsn, op, value_micro FROM c WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ===========================================================================
 # Q: skew_profile / skew_join — the skew toolkit, driver-checkable
 # ===========================================================================
 #
@@ -2619,6 +2663,11 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
         q_rollup_cascade,
         SQL_ROLLUP_CASCADE,
         "timeseries:hypertable rollup cascade",
+    ),
+    "cdc_apply": (
+        q_cdc_apply,
+        SQL_CDC_APPLY,
+        "maintenance:CDC latest-wins apply",
     ),
     "skew_profile": (
         q_skew_profile,
