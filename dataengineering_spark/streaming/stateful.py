@@ -192,3 +192,67 @@ def streaming_dedup_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CDC_LATEST_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value_micro", T.LongType()),
+        T.StructField("is_tombstone", T.BooleanType()),
+    ]
+)
+_CDC_STATE = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value_micro", T.LongType()),
+    ]
+)
+
+
+def streaming_cdc_latest(
+    grouped_stream: DataFrame,
+    key_col: str = "k",
+) -> DataFrame:
+    """Streaming face of the batch ``cdc_apply`` query: per-key state
+    holds the highest-LSN (lsn, op, value_micro) seen across ALL
+    micro-batches; every batch emits the key's refreshed current
+    state, tombstones flagged rather than dropped so downstream sinks
+    can propagate deletes. Late/duplicate events with a lower LSN
+    than the stored state are absorbed without effect — the batch and
+    streaming materializations converge to identical snapshots
+    regardless of how the changelog is sliced into batches."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = None
+        for p in pdfs:
+            for lsn, op, vm in zip(p["lsn"], p["op"], p["value_micro"]):
+                t = (int(lsn), str(op), int(vm))
+                if best is None or t[0] > best[0]:
+                    best = t
+        if state.exists:
+            cur = tuple(state.get)
+            if best is None or cur[0] > best[0]:
+                best = cur
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "k": [int(key[0])],
+                "lsn": [best[0]],
+                "op": [best[1]],
+                "value_micro": [best[2]],
+                "is_tombstone": [best[1] == "D"],
+            }
+        )
+
+    return grouped_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CDC_LATEST_SCHEMA,
+        stateStructType=_CDC_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
@@ -285,3 +286,56 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_cdc_latest_matches_batch_apply(spark, tmp_path):
+    """The stateful streaming CDC op must converge to EXACTLY the
+    batch cdc_apply snapshot however the changelog is sliced into
+    micro-batches: two files -> two batches, final per-key emission
+    (max lsn) minus tombstones == the batch query's rows."""
+    from dataengineering_spark.streaming.stateful import streaming_cdc_latest
+    from dataengineering_spark.plans.queries_analytics import q_cdc_apply
+
+    ev = read_table(spark, "events", SF_SMOKE).select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_micro"),
+    )
+    src = str(tmp_path / "in")
+    ev.filter("lsn % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("lsn % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_cdc_latest(stream, "k")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = spark.read.parquet(out_dir)
+    w = Window.partitionBy("k").orderBy(F.col("lsn").desc())
+    final = (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1 AND NOT is_tombstone")
+        .select("k", "lsn", "op", "value_micro")
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(
+        tuple(r) for r in q_cdc_apply(spark, SF_SMOKE).collect()
+    )
+    assert got == want
