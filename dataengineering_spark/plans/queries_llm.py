@@ -2487,6 +2487,45 @@ FROM s GROUP BY doc_id
 
 
 # ===========================================================================
+# Q: corpus_report — the dataset-card summary in ONE scan
+# ===========================================================================
+#
+# The release report a data team ships alongside a corpus: doc /
+# char / word totals per source, per lang, and overall, as one
+# GROUPING SETS pass over a single projection (word counts ride the
+# same scan as char sums — no second pass, no join of three reports).
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("_n_words"),
+    )
+    docs.createOrReplaceTempView("_corpus_report")
+    return spark.sql(
+        """
+        SELECT source, lang, COUNT(*) AS n_docs,
+          SUM(n_chars) AS total_chars,
+          SUM(_n_words) AS total_words,
+          CAST(GROUPING_ID(source, lang) AS BIGINT) AS gid
+        FROM _corpus_report
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )
+
+
+SQL_CORPUS_REPORT = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+"""
+
+
+# ===========================================================================
 # Q: bigram_stats — Kneser-Ney-prep bigram counts + continuation counts
 # ===========================================================================
 #
@@ -2700,6 +2739,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_bigram_stats,
         SQL_BIGRAM_STATS,
         "north-star:n-gram LM statistics",
+    ),
+    "corpus_report": (
+        q_corpus_report,
+        SQL_CORPUS_REPORT,
+        "north-star:dataset-card report",
     ),
     "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
