@@ -2487,6 +2487,69 @@ FROM s GROUP BY doc_id
 
 
 # ===========================================================================
+# Q: bigram_coverage — LM-table fluency scoring per document
+# ===========================================================================
+#
+# The cheap perplexity proxy: score each doc by the fraction of its
+# bigrams found in the corpus top-200 bigram table. The table is a
+# TakeOrdered top-k (deterministic tie-break) broadcast to the scoring
+# join, so the doc stream is never shuffled — the standard shape for
+# scoring a 100 TB corpus against any small reference table.
+
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_expr = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(1, size(_w) - 1),"
+        " i -> struct(_w[i-1] AS w1, _w[i] AS w2)) "
+        "ELSE array() END"
+    )
+    pairs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", F.explode(pairs_expr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    top = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(200)
+        .select("w1", "w2", F.lit(1).alias("_hit"))
+    )
+    scored = pairs.join(F.broadcast(top), ["w1", "w2"], "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("_hit").alias("n_in_top"),
+        F.floor(
+            F.count("_hit") * 1000 / F.count(F.lit(1))
+        ).cast("long").alias("coverage_permille"),
+    )
+
+
+SQL_BIGRAM_COVERAGE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+top AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2
+  ) ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 200
+)
+SELECT p.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(COUNT(t.w1) AS BIGINT) AS n_in_top,
+  CAST(FLOOR(COUNT(t.w1) * 1000.0 / COUNT(*)) AS BIGINT)
+    AS coverage_permille
+FROM pairs p LEFT JOIN top t ON p.w1 = t.w1 AND p.w2 = t.w2
+GROUP BY p.doc_id
+"""
+
+
+# ===========================================================================
 # Q: corpus_report — the dataset-card summary in ONE scan
 # ===========================================================================
 #
@@ -2744,6 +2807,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_corpus_report,
         SQL_CORPUS_REPORT,
         "north-star:dataset-card report",
+    ),
+    "bigram_coverage": (
+        q_bigram_coverage,
+        SQL_BIGRAM_COVERAGE,
+        "north-star:LM-table fluency score",
     ),
     "pcm_stats": (q_pcm_stats, SQL_PCM_STATS, "north-star:PCM sample decode"),
     "dataset_split": (
