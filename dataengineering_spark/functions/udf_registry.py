@@ -87,3 +87,35 @@ def register_chunk_spans_udtf(spark) -> None:
                 yield start, text[start : start + step]
 
     spark.udtf.register("chunk_spans", ChunkSpans)
+
+
+def grouped_agg_udaf(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    fn: Callable[[pd.Series], float],
+    out_col: str = "agg_value",
+):
+    """Series-to-scalar pandas UDAF (``PandasUDFType.GROUPED_AGG``
+    semantics) — the third Arrow escape hatch next to grouped_apply
+    (frame→frame) and transform_batches (batch→batch). For custom
+    scalar reductions a native expression can't state (a third-party
+    statistic, a model-based score). Arrow-vectorized per group; the
+    same expressibility policy applies — shipped aggregations must
+    use operators/aggregates.py instead.
+
+    Unlike applyInPandas, a grouped-agg UDF composes with other
+    aggregate expressions in one ``agg()`` and rides Spark's hash
+    aggregate; groups never materialize as full frames."""
+    from pyspark.sql import functions as F
+
+    warn_if_expressible(f"grouped_agg_udaf({out_col})")
+
+    # the Series -> float hints are what make pandas_udf infer the
+    # GROUPED_AGG lane; without them it builds a scalar UDF and the
+    # agg() call fails analysis
+    def _reduce(s: pd.Series) -> float:
+        return float(fn(s))
+
+    agg_fn = F.pandas_udf(_reduce, "double")
+    return df.groupBy(*keys).agg(agg_fn(F.col(value_col)).alias(out_col))
