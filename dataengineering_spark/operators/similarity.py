@@ -756,6 +756,79 @@ def pq_adc_topk(
     return topk_per_query(scored, k, score_col="adc_d2", descending=False)
 
 
+def train_ivfpq_index(
+    e: DataFrame,
+    n_centroids: int,
+    coarse_iters: int,
+    m_sub: int,
+    k_sub: int,
+    pq_iters: int,
+    dim: int,
+) -> "tuple[list, dict]":
+    """Train the IVF-PQ artifacts — (cent_rows, by_m) — from a
+    normalized (vec_id, v) frame. Both quantizers seed from the same
+    md5-ranked prefix (one collect) and their Lloyd loops are
+    independent, so they train on concurrent Spark jobs (driver
+    threads; results deterministic either way). The spread frame is
+    persisted for the span of the training collects (each is its own
+    job and would otherwise re-scan + re-shuffle the corpus) and
+    released before any scoring plan is built — the scoring job
+    re-reads the source once, which is also the only behavior that
+    exists at 100 TB, where the training sample is cached but the
+    full corpus never is."""
+    e.persist()
+    try:
+        seed_rows = _ranked_seed_rows(e, max(n_centroids, k_sub))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(
+                ivf_train_rows, e, n_centroids, coarse_iters, dim, seed_rows
+            )
+            f_books = pool.submit(
+                pq_train_books, e, m_sub, k_sub, pq_iters, dim, seed_rows
+            )
+            return f_coarse.result(), f_books.result()
+    finally:
+        e.unpersist()
+
+
+def save_ivfpq_index(spark, path: str, index: "tuple[list, dict]") -> None:
+    """Persist trained IVF-PQ artifacts as two parquet tables
+    (centroids: cid → vector; codebooks: (m, code) → sub-vector) so
+    the expensive training pass runs ONCE and every downstream job —
+    nightly encode, online probe, incremental append — reloads the
+    identical quantizers. Doubles round-trip parquet exactly, so a
+    reloaded index reproduces assignments bit-for-bit."""
+    cent_rows, by_m = index
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v in cent_rows],
+        "cid int, v array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (int(m), int(code), [float(x) for x in c])
+            for m, cents in by_m.items()
+            for code, c in enumerate(cents)
+        ],
+        "m int, code int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivfpq_index(spark, path: str) -> "tuple[list, dict]":
+    """Inverse of :func:`save_ivfpq_index`."""
+    cent_rows = [
+        (r.cid, list(r.v))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    ]
+    by_m: dict[int, list] = {}
+    for r in (
+        spark.read.parquet(f"{path}/codebooks").orderBy("m", "code").collect()
+    ):
+        by_m.setdefault(r.m, []).append(list(r.c))
+    return cent_rows, by_m
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -769,6 +842,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "tuple[list, dict] | None" = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN path. The coarse quantizer
     prunes the candidate set to the query's nprobe cells; PQ codes +
@@ -790,30 +864,12 @@ def ivfpq_topk(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    # Both quantizers seed from the same md5-ranked prefix — one
-    # collect — and their Lloyd loops are independent, so they train
-    # on concurrent Spark jobs (driver threads; results deterministic
-    # either way). The spread frame is persisted for the span of the
-    # training collects (each is its own job and would otherwise
-    # re-scan + re-shuffle the corpus) and released before the lazy
-    # scoring plan is built — that final job re-reads the source once,
-    # which is also the only behavior that exists at 100 TB, where the
-    # training sample is cached but the full corpus never is.
-    e.persist()
-    try:
-        seed_rows = _ranked_seed_rows(e, max(n_centroids, k_sub))
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_coarse = pool.submit(
-                ivf_train_rows, e, n_centroids, coarse_iters, dim, seed_rows
-            )
-            f_books = pool.submit(
-                pq_train_books, e, m_sub, k_sub, pq_iters, dim, seed_rows
-            )
-            cent_rows, by_m = f_coarse.result(), f_books.result()
-    finally:
-        e.unpersist()
+    if index is not None:
+        cent_rows, by_m = index
+    else:
+        cent_rows, by_m = train_ivfpq_index(
+            e, n_centroids, coarse_iters, m_sub, k_sub, pq_iters, dim
+        )
     enc = pq_encode(ivf_assign(e, cent_rows), by_m, m_sub, d_sub, keep=("cid",))
 
     q = queries.select(

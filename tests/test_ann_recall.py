@@ -76,3 +76,39 @@ def test_lsh_recall(spark, exact_topk):
     # 2/3/4 planes here). The gate documents the 4-plane floor; random
     # would score ~0.0025.
     assert r >= 0.1, f"LSH recall@{K} collapsed to {r}"
+
+
+def test_ivfpq_index_roundtrip_identical(spark, tmp_path):
+    """Persist-and-reload must reproduce the EXACT search results:
+    train once, save the quantizers to parquet, reload, and run the
+    query path with the loaded index — identical rows to the
+    fresh-trained run (doubles round-trip parquet exactly)."""
+    from dataengineering_spark.catalog import read_table
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        ivfpq_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+        train_ivfpq_index,
+    )
+
+    emb = read_table(spark, "embeddings", SF_ORACLE)
+    queries = emb.filter(F.col("vec_id") < 10)
+    e = _spread_for_training(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    index = train_ivfpq_index(e, 8, 1, 4, 8, 1, 64)
+    fresh = sorted(
+        tuple(r) for r in ivfpq_topk(emb, queries, k=5, index=index).collect()
+    )
+
+    path = str(tmp_path / "ann_index")
+    save_ivfpq_index(spark, path, index)
+    loaded = load_ivfpq_index(spark, path)
+    assert loaded[0] == [(int(c), [float(x) for x in v]) for c, v in index[0]]
+    reloaded = sorted(
+        tuple(r) for r in ivfpq_topk(emb, queries, k=5, index=loaded).collect()
+    )
+    assert reloaded == fresh
