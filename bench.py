@@ -57,6 +57,11 @@ HEADLINE = (
     # round-5 third pass
     "concurrency_peak",
     "fuzzy_match",
+    # round-5 fourth pass
+    "span_dedup",
+    "bigram_stats",
+    "rollup_cascade",
+    "cdc_apply",
 )
 
 
