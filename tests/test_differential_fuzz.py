@@ -476,3 +476,48 @@ def test_epoch_upsample_matches_closed_form(spark, rows):
         n = int(epochs) + (1 if h % 1_000_000 < frac_ppm else 0)
         want += [(k, c) for c in range(1, n + 1)]
     assert got == sorted(want)
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # key
+            st.sampled_from([1, 2, 4, 8, 16]),  # power-of-two weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 12),  # n
+)
+def test_weighted_sample_matches_python_reference(spark, rows, n):
+    """Efraimidis–Spirakis selection vs a Python recomputation of the
+    identical priority math (md5-derived uniform, sqrt chain) — the
+    top-n set and its tie-breaks must agree exactly."""
+    import hashlib
+    import math
+
+    from dataengineering_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, "k long, w int")
+    got = [
+        r.k for r in weighted_sample(df, "w", n, key_col="k").collect()
+    ]
+
+    def pri(k: int, w: int) -> float:
+        h = int(hashlib.md5(f"wsample|{k}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 2**32
+        x = u
+        for _ in range(int(math.log2(w))):
+            x = math.sqrt(x)
+        return x
+
+    want = [
+        k for k, w in sorted(rows, key=lambda t: (-pri(*t), t[0]))[:n]
+    ]
+    assert sorted(got) == sorted(want)
