@@ -2644,7 +2644,10 @@ def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, "documents", sf_dir).select("doc_id", "source")
     epochs = docs.withColumn(
         "epochs",
-        0.5 + (F.regexp_replace("source", "^src", "").cast("int") % 5) * 0.5,
+        F.expr(
+            "0.5 + (coalesce(try_cast(regexp_replace(source, '^src', '') AS INT), 0)"
+            " % 5) * 0.5"
+        ),
     )
     return epoch_upsample(epochs, "epochs", key_col="doc_id").select(
         "doc_id", "source", "copy_id"
@@ -2658,7 +2661,7 @@ def _epoch_mixture_sql() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, source,
-    0.5 + (CAST(regexp_replace(source, '^src', '') AS INT) % 5) * 0.5
+    0.5 + (COALESCE(TRY_CAST(regexp_replace(source, '^src', '') AS INT), 0) % 5) * 0.5
       AS epochs
   FROM documents
 ),
@@ -2696,8 +2699,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = docs.withColumn(
         "weight",
         F.expr(
-            "CAST(shiftleft(1, CAST(regexp_replace(source, '^src', '') AS INT) % 4)"
-            " AS INT)"
+            "CAST(shiftleft(1, coalesce(try_cast("
+            "regexp_replace(source, '^src', '') AS INT), 0) % 4) AS INT)"
         ),
     )
     out = weighted_sample(weighted, "weight", n=120, key_col="doc_id")
@@ -2716,7 +2719,8 @@ def _weighted_sample_sql() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, source,
-    CAST(1 << (CAST(regexp_replace(source, '^src', '') AS INT) % 4) AS INT)
+    CAST(1 << (COALESCE(TRY_CAST(regexp_replace(source, '^src', '') AS INT), 0) % 4)
+         AS INT)
       AS weight,
     ({h} + 1) / 4294967296.0 AS u
   FROM documents
