@@ -2419,8 +2419,10 @@ marked AS (
 SELECT day, h,
   CASE WHEN s IS NOT NULL THEN s
        WHEN prev_h IS NOT NULL AND next_h IS NOT NULL
+         -- the ratio MUST be parenthesized: a*(b/c) and (a*b)/c differ
+         -- in the last ulp, and the Spark side computes the ratio first
          THEN prev_s + (next_s - prev_s)
-              * (CAST(h AS DOUBLE) - prev_h) / (next_h - prev_h)
+              * ((CAST(h AS DOUBLE) - prev_h) / (next_h - prev_h))
   END AS s_filled,
   s IS NOT NULL AS was_observed
 FROM marked
