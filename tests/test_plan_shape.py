@@ -66,14 +66,17 @@ def test_no_cartesian_products_anywhere(spark):
             "dormant_customers",
             "important_parts",
             "kmv_intersect",
+            "hard_negatives",
+            "cooccurrence_pairs",
         ):
-            # cosine_topk's query-broadcast crossJoin, ivf_ann's
-            # centroid-assignment crossJoin, pq_ann's broadcast-LUT
-            # crossJoin, and dormant_customers' / important_parts' /
-            # kmv_intersect's 1-row scalar-subquery attaches are the deliberate
-            # nested-loops: the broadcast side (|queries|, C
-            # centroids, one LUT row per query, one scalar row) is
-            # tiny by contract.
+            # cosine_topk's / hard_negatives' query-broadcast
+            # crossJoins, ivf_ann's centroid-assignment crossJoin,
+            # pq_ann's broadcast-LUT crossJoin, and dormant_customers'
+            # / important_parts' / kmv_intersect's /
+            # cooccurrence_pairs' 1-row scalar-subquery attaches are
+            # the deliberate nested-loops: the broadcast side
+            # (|queries|, C centroids, one LUT row per query, one
+            # scalar row) is tiny by contract.
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
 
