@@ -62,6 +62,9 @@ HEADLINE = (
     "bigram_stats",
     "rollup_cascade",
     "cdc_apply",
+    # round-5 fifth pass
+    "twap_daily",
+    "token_entropy",
 )
 
 

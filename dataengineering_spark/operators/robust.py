@@ -1,0 +1,138 @@
+"""Robust-statistics building blocks: distributed discrete
+percentiles and step-function time-weighted averages.
+
+``discrete_pcts`` is the rank-offset percentile plan (see
+plans/queries_analytics.q_value_percentiles for the original
+derivation) factored into a reusable operator: per-group discrete
+percentiles WITHOUT a per-group Window, so a low-cardinality group
+column still spreads across every core. ``step_twap`` is the
+integer-exact step-function TWAP used by the twap_daily query.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def discrete_pcts(
+    df: DataFrame,
+    key: str,
+    val: str,
+    tie: str,
+    pcts: Sequence[float],
+    names: Sequence[str],
+) -> DataFrame:
+    """Per-``key`` discrete percentiles of ``val`` → one row per key,
+    one column per name.
+
+    Percentile p selects the row with rank ``floor(p*(n-1))+1`` under
+    ``ORDER BY val, tie`` (percentile_disc semantics; the tie column
+    makes the selected row — hence the value — deterministic).
+
+    Plan shape: global ranks are assembled from (partition, key)-local
+    row_numbers plus a broadcast prefix-sum of per-partition counts
+    over a ``repartitionByRange(key, val, tie)`` layout. No Window
+    ever partitions on ``key`` alone, so a 5-group / billion-row input
+    still runs wide; the only broadcast frames are per-(partition,key)
+    counts and per-key targets — both tiny by construction.
+    """
+    targets = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key,
+            *[
+                (F.floor(F.lit(p) * (F.col("n") - 1)) + 1).alias(f"{nm}_r")
+                for p, nm in zip(pcts, names)
+            ],
+        )
+    )
+    data = df.repartitionByRange(key, val, tie).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_off = (
+        Window.partitionBy(key).orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        data.groupBy("pid", key)
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .withColumn("off", F.coalesce(F.sum("pc").over(w_off), F.lit(0)))
+        .select("pid", key, "off")
+    )
+    w_local = Window.partitionBy("pid", key).orderBy(val, tie)
+    ranked = (
+        data.withColumn("lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["pid", key])
+        .withColumn("rn", F.col("off") + F.col("lrn"))
+        .join(F.broadcast(targets), key)
+    )
+    hits = ranked.filter(
+        functools.reduce(
+            operator.or_, [F.col("rn") == F.col(f"{nm}_r") for nm in names]
+        )
+    )
+    return hits.groupBy(key).agg(
+        *[
+            F.max(F.when(F.col("rn") == F.col(f"{nm}_r"), F.col(val))).alias(nm)
+            for nm in names
+        ]
+    )
+
+
+def step_twap(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    val: str = "value",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Step-function time-weighted average per (key, day).
+
+    Each observation holds from its timestamp until the next one in
+    the same (key, day); the day's last observation holds until
+    midnight. The pipeline is integer-exact end-to-end: values are
+    centi-units (``floor(v*100+0.5)``, exact for the corpus's
+    2-decimal values), durations are whole microseconds
+    (``timestampdiff`` — timezone-free on NTZ timestamps), products
+    are summed in DECIMAL(38,0), and one integer division emits
+    ``twap_micro`` (micro-value units). No float ever reaches the
+    output, so the result is bit-identical on any engine and any
+    partitioning.
+
+    Output: (key, day, n, dur_total_us, twap_micro).
+    """
+    base = df.select(key, ts, val, tie, F.to_date(ts).alias("day"))
+    w = Window.partitionBy(key, "day").orderBy(ts, tie)
+    seg = base.withColumn(
+        "nxt",
+        F.coalesce(
+            F.lead(ts).over(w), F.date_add(F.col("day"), 1).cast("timestamp_ntz")
+        ),
+    ).withColumn("dur_us", F.expr(f"timestampdiff(MICROSECOND, {ts}, nxt)"))
+    contrib = (
+        F.floor(F.col(val) * 100 + F.lit(0.5)).cast("decimal(19,0)")
+        * F.col("dur_us").cast("decimal(19,0)")
+    ).alias("wvd")
+    agg = (
+        seg.select(key, "day", "dur_us", contrib)
+        .groupBy(key, "day")
+        .agg(
+            F.sum("wvd").alias("s1"),
+            F.sum("dur_us").alias("dur_total_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return agg.select(
+        key,
+        "day",
+        "n",
+        "dur_total_us",
+        F.expr(
+            "CAST((s1 * 10000) DIV CAST(dur_total_us AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("twap_micro"),
+    )

@@ -28,83 +28,19 @@ bit-for-bit or integers derived by exact arithmetic.
 
 from __future__ import annotations
 
-import functools
-import operator
-from collections.abc import Sequence
-
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
-from dataengineering_spark.functions.scalars import _dec_to_double, dsum
+from dataengineering_spark.functions.scalars import _dec_to_double
+from dataengineering_spark.operators.robust import discrete_pcts as _discrete_pcts
+from dataengineering_spark.operators.robust import step_twap
 from dataengineering_spark.operators.similarity import cosine, topk_per_query
 from dataengineering_spark.plans.queries import davg_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, name, sf_dir)
-
-
-# ---------------------------------------------------------------------------
-# Distributed discrete percentiles (shared by winsorized_stats /
-# anomaly_mad) — the q_value_percentiles rank-offset plan, factored
-# and parameterized. Never partitions a Window by the group key alone:
-# ranks are (partition, group)-local plus a broadcast prefix-sum
-# offset, so a 5-group table still uses every core.
-# ---------------------------------------------------------------------------
-
-def _discrete_pcts(
-    df: DataFrame,
-    key: str,
-    val: str,
-    tie: str,
-    pcts: Sequence[float],
-    names: Sequence[str],
-) -> DataFrame:
-    """Per-``key`` discrete percentiles of ``val`` (row-selected by
-    ``floor(p*(n-1))+1`` rank, ties broken by ``tie``) → one row per
-    key with one column per entry of ``names``."""
-    targets = (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            key,
-            *[
-                (F.floor(F.lit(p) * (F.col("n") - 1)) + 1).alias(f"{nm}_r")
-                for p, nm in zip(pcts, names)
-            ],
-        )
-    )
-    data = df.repartitionByRange(key, val, tie).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_off = (
-        Window.partitionBy(key).orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        data.groupBy("pid", key)
-        .agg(F.count(F.lit(1)).alias("pc"))
-        .withColumn("off", F.coalesce(F.sum("pc").over(w_off), F.lit(0)))
-        .select("pid", key, "off")
-    )
-    w_local = Window.partitionBy("pid", key).orderBy(val, tie)
-    ranked = (
-        data.withColumn("lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), ["pid", key])
-        .withColumn("rn", F.col("off") + F.col("lrn"))
-        .join(F.broadcast(targets), key)
-    )
-    hits = ranked.filter(
-        functools.reduce(
-            operator.or_, [F.col("rn") == F.col(f"{nm}_r") for nm in names]
-        )
-    )
-    return hits.groupBy(key).agg(
-        *[
-            F.max(F.when(F.col("rn") == F.col(f"{nm}_r"), F.col(val))).alias(nm)
-            for nm in names
-        ]
-    )
 
 
 # ===========================================================================
@@ -223,36 +159,8 @@ GROUP BY d.event_type
 # arithmetic end-to-end; one integer division emits micro-units.
 
 def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", "ts", "value", "event_id", F.to_date("ts").alias("day")
-    )
-    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
-    seg = ev.withColumn(
-        "nxt",
-        F.coalesce(
-            F.lead("ts").over(w), F.date_add(F.col("day"), 1).cast("timestamp_ntz")
-        ),
-    ).withColumn("dur_us", F.expr("timestampdiff(MICROSECOND, ts, nxt)"))
-    contrib = (
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
-        * F.col("dur_us").cast("decimal(19,0)")
-    ).alias("wvd")
-    agg = seg.select("event_type", "day", "dur_us", contrib).groupBy(
-        "event_type", "day"
-    ).agg(
-        F.sum("wvd").alias("s1"),
-        F.sum("dur_us").alias("dur_total_us"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return agg.select(
-        "event_type",
-        "day",
-        "n",
-        "dur_total_us",
-        F.expr("CAST((s1 * 10000) DIV CAST(dur_total_us AS DECIMAL(38,0)) AS BIGINT)").alias(
-            "twap_micro"
-        ),
-    )
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value", "event_id")
+    return step_twap(ev, key="event_type", ts="ts", val="value", tie="event_id")
 
 
 SQL_TWAP_DAILY = """

@@ -521,3 +521,113 @@ def test_weighted_sample_matches_python_reference(spark, rows, n):
         k for k, w in sorted(rows, key=lambda t: (-pri(*t), t[0]))[:n]
     ]
     assert sorted(got) == sorted(want)
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key — few groups, heavy ties
+            st.integers(-5, 5),  # val — tie-dense value space
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_discrete_pcts_matches_python_reference(spark, rows):
+    """The rank-offset percentile operator vs a direct Python
+    sort-and-index reference across the edge space the corpus never
+    hits: singleton groups, all-tied values, p=0 / p=1 endpoints."""
+    import math
+
+    from dataengineering_spark.operators.robust import discrete_pcts
+
+    pcts = (0.0, 0.5, 0.95, 1.0)
+    names = ("p0", "p50", "p95", "p100")
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["uid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.k: (r.p0, r.p50, r.p95, r.p100)
+        for r in discrete_pcts(df, "k", "v", "uid", pcts, names).collect()
+    }
+    want = {}
+    for k in pdf["k"].unique():
+        vals = sorted(
+            pdf[pdf["k"] == k][["v", "uid"]].itertuples(index=False)
+        )
+        n = len(vals)
+        want[k] = tuple(vals[math.floor(p * (n - 1))][0] for p in pcts)
+    assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),  # key
+            st.integers(0, 2),  # day offset
+            st.integers(0, 86_399_999_999),  # microsecond-of-day (ties likely at ends)
+            st.integers(0, 50_000),  # value in cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_step_twap_matches_python_reference(spark, rows):
+    """The integer-exact TWAP operator vs a direct Python step-function
+    integral: same centi-unit flooring, same microsecond durations,
+    same single integer division — including same-timestamp ties
+    (zero-duration segments) and single-event days (duration = to
+    midnight)."""
+    import datetime
+    import math
+
+    from pyspark.sql import types as T
+
+    from dataengineering_spark.operators.robust import step_twap
+
+    base = datetime.datetime(2024, 3, 1)
+    recs = []
+    for uid, (k, dayoff, us, cents) in enumerate(rows):
+        ts = base + datetime.timedelta(days=dayoff, microseconds=us)
+        recs.append((f"k{k}", ts, cents / 100.0, uid))
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(recs, schema)
+    got = {
+        (r.event_type, r.day.isoformat()): (r.n, r.dur_total_us, r.twap_micro)
+        for r in step_twap(df).collect()
+    }
+    groups: dict = {}
+    for k, ts, v, uid in recs:
+        groups.setdefault((k, ts.date()), []).append((ts, uid, v))
+    want = {}
+    for (k, day), seq in groups.items():
+        seq.sort()
+        midnight = datetime.datetime.combine(day, datetime.time()) + datetime.timedelta(
+            days=1
+        )
+        s1 = s2 = 0
+        for i, (ts, uid, v) in enumerate(seq):
+            nxt = seq[i + 1][0] if i + 1 < len(seq) else midnight
+            dur = (nxt - ts) // datetime.timedelta(microseconds=1)
+            wv = math.floor(v * 100 + 0.5)
+            s1 += wv * dur
+            s2 += dur
+        want[(k, day.isoformat())] = (len(seq), s2, (s1 * 10000) // s2)
+    assert got == want
