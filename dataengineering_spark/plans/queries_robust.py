@@ -353,6 +353,123 @@ JOIN per_type nb ON nb.event_type = et_b
 """
 
 
+# ===========================================================================
+# Q: cep_pattern — regex complex-event-processing over daily sequences
+# ===========================================================================
+#
+# Per (user, day) the ordered event-initial string (c/e/p/s/v) is
+# assembled with LISTAGG ... WITHIN GROUP (deterministic full order
+# by ts, event_id — no slot cap), then daily pattern counts are regex
+# matches over the sequence: the MATCH_RECOGNIZE-shaped queries
+# (funnel-with-gaps, immediate repetition, anchored prefix) that
+# sessionized CEP engines run. String length is bounded by
+# events-per-user-per-day — the same envelope any sessionized
+# operator carries.
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        "ts",
+        "event_id",
+    )
+    seqs = ev.groupBy("day", "user_id").agg(
+        F.expr("listagg(c, '') WITHIN GROUP (ORDER BY ts, event_id)").alias("seq")
+    )
+    flag = lambda pat: F.sum(  # noqa: E731
+        F.when(F.col("seq").rlike(pat), F.lit(1)).otherwise(0)
+    )
+    return seqs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag("s.*v.*p").alias("n_funnel"),
+        flag("vv").alias("n_repeat_view"),
+        flag("^p").alias("n_first_purchase"),
+        flag("e$").alias("n_last_error"),
+    )
+
+
+SQL_CEP_PATTERN = """
+WITH seqs AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY 1, 2
+)
+SELECT day, COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN regexp_matches(seq, 's.*v.*p') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_funnel,
+  CAST(SUM(CASE WHEN regexp_matches(seq, 'vv') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_repeat_view,
+  CAST(SUM(CASE WHEN regexp_matches(seq, '^p') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_first_purchase,
+  CAST(SUM(CASE WHEN regexp_matches(seq, 'e$') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_last_error
+FROM seqs GROUP BY day
+"""
+
+
+# ===========================================================================
+# Q: delta_join_ivm — incremental view maintenance for a JOIN aggregate
+# ===========================================================================
+#
+# incremental_agg proves partial-aggregate merge for one table; this
+# proves the JOIN delta algebra: with O = Ob ∪ ΔO and L = Lb ∪ ΔL
+# (insert-only deltas), the maintained aggregate is the merge of four
+# partial aggregates — base ⋈ base (the "precomputed view") plus the
+# three delta terms Ob⋈ΔL, ΔO⋈Lb, ΔO⋈ΔL. Each term aggregates to
+# per-priority DECIMAL partials first (the state an IVM system would
+# store), and the final merge sums partials — exact because decimal
+# addition is associative. The oracle recomputes the full join from
+# scratch; equality IS the maintenance-correctness proof.
+# Deltas split on independent predicates (o_orderkey % 7,
+# l_linenumber >= 4) so all four terms are non-empty.
+
+def q_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    ob = orders.filter(F.col("o_orderkey") % 7 != 0)
+    do = orders.filter(F.col("o_orderkey") % 7 == 0)
+    lb = li.filter(F.col("l_linenumber") < 4)
+    dl = li.filter(F.col("l_linenumber") >= 4)
+
+    def part(o: DataFrame, l: DataFrame) -> DataFrame:  # noqa: E741
+        return (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.col("rev").cast("decimal(18,6)")).alias("rev_d"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    parts = (
+        part(ob, lb)
+        .unionAll(part(ob, dl))
+        .unionAll(part(do, lb))
+        .unionAll(part(do, dl))
+    )
+    return parts.groupBy("o_orderpriority").agg(
+        _dec_to_double(F.sum("rev_d")).alias("revenue"),
+        F.sum("n").alias("n_lines"),
+    )
+
+
+SQL_DELTA_JOIN_IVM = """
+SELECT o_orderpriority,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+       AS VARCHAR) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 ROBUST_QUERIES = {
     "winsorized_stats": (
         q_winsorized_stats,
@@ -375,5 +492,11 @@ ROBUST_QUERIES = {
         q_cooccurrence_pairs,
         SQL_COOCCURRENCE_PAIRS,
         "analytics:co-occurrence lift",
+    ),
+    "cep_pattern": (q_cep_pattern, SQL_CEP_PATTERN, "analytics:regex CEP"),
+    "delta_join_ivm": (
+        q_delta_join_ivm,
+        SQL_DELTA_JOIN_IVM,
+        "ivm:join delta algebra",
     ),
 }
