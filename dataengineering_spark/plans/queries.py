@@ -735,8 +735,15 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_relational import RELATIONAL_QUERIES
     from dataengineering_spark.plans.queries_analytics import ANALYTICS_QUERIES
     from dataengineering_spark.plans.queries_robust import ROBUST_QUERIES
+    from dataengineering_spark.plans.queries_patterns import PATTERN_QUERIES
 
-    for extra in (LLM_QUERIES, RELATIONAL_QUERIES, ANALYTICS_QUERIES, ROBUST_QUERIES):
+    for extra in (
+        LLM_QUERIES,
+        RELATIONAL_QUERIES,
+        ANALYTICS_QUERIES,
+        ROBUST_QUERIES,
+        PATTERN_QUERIES,
+    ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)
 

@@ -1,0 +1,372 @@
+"""Sixth-pass queries: exact allocation, sequence islands, trend
+fitting, attribution, and graph traversal. Each fills a capability
+pocket the earlier passes left open:
+
+- ``proration`` — largest-remainder integer allocation: split each
+  order's total (in cents) across its lineitems proportionally to
+  extended price so the allocated cents sum EXACTLY to the order
+  total. The financial-engineering kernel behind invoice splitting /
+  revenue recognition; float proration can't satisfy the invariant,
+  integer largest-remainder can. All windows partition by order key
+  (bounded group: ≤7 lines/order at any scale), one shuffle total.
+- ``activity_streaks`` — gaps-and-islands: per-user runs of
+  consecutive active days via the classic ``day − row_number``
+  grouping-key trick; emits streak counts plus the longest streak
+  and its start date through an integer sort-key encoding
+  (``len·1e5 + (99999 − start)``) so the argmax is a plain MAX —
+  deterministic on both engines, no order-sensitive ``max_by``.
+- ``regression_trend`` — per-group OLS (value vs. hours-since-epoch)
+  from exact integer moments: Σx, Σy, Σxy, Σx² accumulate as longs,
+  the normal-equation numerator/denominator form in DECIMAL(38,0) /
+  HUGEINT, and the only float ops are one division and one
+  multiply-subtract performed identically on both engines — so the
+  doubles are bit-equal. Partial-aggregate shape: one map-side
+  combine, a 5-row result, no window, no second pass.
+- ``last_touch_attribution`` — marketing attribution: each purchase
+  credits the user's most recent preceding non-purchase event via
+  ``LAST_VALUE(... IGNORE NULLS)`` over ``ROWS BETWEEN UNBOUNDED
+  PRECEDING AND 1 PRECEDING``; purchases with no prior touch land in
+  an explicit ``(none)`` bucket. Per-user window → one keyed shuffle.
+- ``bfs_levels`` — single-source shortest hops over the user-session
+  transition graph (node = event bucket, edge = consecutive events of
+  one user). Spark runs frontier BFS: per hop, expand only the
+  newly-discovered frontier through the edge equi-join and anti-join
+  against the visited set — |V|-bounded state, no path enumeration.
+  The oracle is a recursive CTE whose UNION-dedup + MIN(d) computes
+  the same fixpoint. 4 hops reach 996 of 1000 buckets at sf0.01.
+
+Reference surface: the reference runs allocation/attribution-style
+rollups as ClickHouse SQL through the generic execute operator
+(``clickhouse/v1/operator.py:440-499``) and defers graph traversal to
+TigerGraph (``tigergraph/operator.py``); these give both first-class
+distributed plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.functions.scalars import _dec_to_double
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, name, sf_dir)
+
+
+# ===========================================================================
+# Q: proration — largest-remainder cent allocation across lineitems
+# ===========================================================================
+#
+# T = order total in cents, w_i = lineitem weight in cents.
+# base_i = ⌊T·w_i / Σw⌋, and the R = T − Σbase leftover cents go to
+# the R largest remainders (ties → lowest linenumber). Everything is
+# int64: T ≤ 5e7, w ≤ 1e7 ⇒ T·w ≤ 5e14.
+
+def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("w"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("t_cents"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).drop("o_orderkey")
+    per_order = Window.partitionBy("l_orderkey")
+    by_rem = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber")
+    )
+    b = (
+        j.withColumn("tot_w", F.sum("w").over(per_order))
+        .withColumn("base", F.expr("(t_cents * w) DIV tot_w"))
+        .withColumn("rem", (F.col("t_cents") * F.col("w")) % F.col("tot_w"))
+    )
+    r = b.withColumn("base_sum", F.sum("base").over(per_order)).withColumn(
+        "rk", F.row_number().over(by_rem)
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("t_cents") - F.col("base_sum"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("alloc_cents"),
+    )
+
+
+SQL_PRORATION = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t_cents
+  FROM orders
+),
+j AS (
+  SELECT l_orderkey, l_linenumber, w, t_cents,
+    SUM(w) OVER (PARTITION BY l_orderkey) AS tot_w
+  FROM li JOIN o ON l_orderkey = o_orderkey
+),
+b AS (
+  SELECT *, (t_cents * w) // tot_w AS base,
+    (t_cents * w) % tot_w AS rem
+  FROM j
+),
+r AS (
+  SELECT *,
+    SUM(base) OVER (PARTITION BY l_orderkey) AS base_sum,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rk
+  FROM b
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(base + CASE WHEN rk <= t_cents - base_sum THEN 1 ELSE 0 END AS BIGINT)
+    AS alloc_cents
+FROM r
+"""
+
+
+# ===========================================================================
+# Q: activity_streaks — per-user consecutive-day islands
+# ===========================================================================
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    by_day = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        F.datediff("day", F.lit("1970-01-01")).alias("d_epoch"),
+        (
+            F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(by_day)
+        ).alias("grp"),
+    )
+    isl = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d_epoch").alias("start_d")
+    )
+    # sort key packs (len, earliest start) into one integer so the
+    # argmax is a deterministic MAX on both engines
+    sk = F.col("len") * 100000 + (F.lit(99999) - F.col("start_d"))
+    return isl.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.lit(99999) - F.max(sk) % 100000).cast("int"),
+        ).alias("longest_start"),
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id,
+    day - DATE '1970-01-01' AS d_epoch,
+    (day - DATE '1970-01-01')
+      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+isl AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(d_epoch) AS start_d
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+  CAST(SUM(len) AS BIGINT) AS n_active_days,
+  COUNT(*) AS n_streaks,
+  CAST(MAX(len) AS BIGINT) AS max_streak,
+  CAST(DATE '1970-01-01'
+    + CAST(99999 - MAX(len * 100000 + (99999 - start_d)) % 100000 AS INT)
+    AS DATE) AS longest_start
+FROM isl GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# Q: regression_trend — per-group OLS from exact integer moments
+# ===========================================================================
+
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")) * 24 + F.hour("ts")
+        ).cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d38("n") * d38("sxy") - d38("sx") * d38("sy")
+    den = d38("n") * d38("sxx") - d38("sx") * d38("sx")
+    slope = _dec_to_double(num) / _dec_to_double(den)
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope_centi"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept_centi"),
+    )
+
+
+SQL_REGRESSION_TREND = """
+WITH pts AS (
+  SELECT event_type,
+    CAST((CAST(ts AS DATE) - DATE '2024-01-01') * 24 + hour(ts) AS BIGINT) AS x,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x * y) AS HUGEINT) AS sxy, CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM pts GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n, sx, sy,
+    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS slope_centi
+  FROM m
+)
+SELECT event_type, n, slope_centi,
+  (CAST(sy AS DOUBLE) - slope_centi * CAST(sx AS DOUBLE)) / n AS intercept_centi
+FROM s
+"""
+
+
+# ===========================================================================
+# Q: last_touch_attribution — credit purchases to the latest prior touch
+# ===========================================================================
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(before)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.coalesce("touch", F.lit("(none)")).alias("touch_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = """
+WITH t AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT day, COALESCE(touch, '(none)') AS touch_type, COUNT(*) AS n_purchases
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+# ===========================================================================
+# Q: bfs_levels — single-source shortest hops over the transition graph
+# ===========================================================================
+
+BFS_MAX_HOPS = 4
+BFS_SOURCE = 0
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", (F.col("event_id") % 1000).alias("node")
+    )
+    by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("node").over(by_ts))
+    adj = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("node")))
+        .select(F.col("node").alias("a"), F.col("nxt").alias("b"))
+        .distinct()
+    )
+    dist = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], schema="node bigint, dist int"
+    )
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        cand = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(hop).cast("int")
+        )
+        dist = dist.unionByName(new)
+        frontier = new
+    return dist
+
+
+SQL_BFS_LEVELS = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id % 1000 AS node,
+    LEAD(event_id % 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+adj AS (
+  SELECT DISTINCT node AS a, nxt AS b FROM seq
+  WHERE nxt IS NOT NULL AND nxt <> node
+),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT adj.b AS node, walk.d + 1 AS d
+  FROM walk JOIN adj ON adj.a = walk.node WHERE walk.d < 4
+)
+SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+"""
+
+
+PATTERN_QUERIES = {
+    "proration": (
+        q_proration,
+        SQL_PRORATION,
+        "finance:largest-remainder allocation",
+    ),
+    "activity_streaks": (
+        q_activity_streaks,
+        SQL_ACTIVITY_STREAKS,
+        "analytics:gaps-and-islands streaks",
+    ),
+    "regression_trend": (
+        q_regression_trend,
+        SQL_REGRESSION_TREND,
+        "analytics:per-group OLS trend",
+    ),
+    "last_touch_attribution": (
+        q_last_touch_attribution,
+        SQL_LAST_TOUCH_ATTRIBUTION,
+        "analytics:last-touch attribution",
+    ),
+    "bfs_levels": (q_bfs_levels, SQL_BFS_LEVELS, "graph:SSSP hop levels"),
+}
