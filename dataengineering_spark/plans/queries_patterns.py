@@ -35,6 +35,22 @@ pocket the earlier passes left open:
   The oracle is a recursive CTE whose UNION-dedup + MIN(d) computes
   the same fixpoint. 4 hops reach 996 of 1000 buckets at sf0.01.
 
+Second batch in the same pass:
+
+- ``cusum_changepoint`` — mean-shift detection: the day maximizing
+  |n·prefix_k − k·S| per series. Multiplying the classic CUSUM
+  statistic through by n removes its division, so both engines rank
+  identical int64s; the per-series window runs over the ~days-sized
+  daily aggregate, never the raw events.
+- ``retract_ivm`` — IVM with retractions: updates arrive as
+  (retract old, insert new) and the maintained aggregate is
+  base + inserts − retractions, exact because DECIMAL sums and
+  COUNTs form an abelian group. The recompute-from-scratch oracle is
+  the maintenance proof (the retraction face of delta_join_ivm).
+- ``seasonality_dow`` — weekday seasonal index
+  ⌊1e6·(sum_dow·n_total)/(n_dow·sum_total)⌋ with cross products in
+  DECIMAL(38,0)/HUGEINT; pure two-level partial aggregation.
+
 Reference surface: the reference runs allocation/attribution-style
 rollups as ClickHouse SQL through the generic execute operator
 (``clickhouse/v1/operator.py:440-499``) and defers graph traversal to
@@ -347,6 +363,195 @@ SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
 """
 
 
+# ===========================================================================
+# Q: cusum_changepoint — integer-exact CUSUM changepoint per series
+# ===========================================================================
+#
+# Classic mean-shift detection: the k maximizing |Σ_{i≤k} y_i − k·μ|.
+# Multiplying through by n removes the only division — the statistic
+# n·prefix_k − k·S is exact int64 (|S| ≤ 6e10 centi at sf0.1, n ≤ 31),
+# so both engines rank identical integers. Daily pre-aggregation
+# shrinks the series before any window runs; the per-series window
+# then touches ~days rows, not events.
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("y"))
+    )
+    by_day = Window.partitionBy("event_type").orderBy("day")
+    whole = Window.partitionBy("event_type")
+    c = (
+        daily.withColumn("k", F.row_number().over(by_day))
+        .withColumn(
+            "prefix",
+            F.sum("y").over(by_day.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("s_total", F.sum("y").over(whole))
+        .withColumn("n_days", F.count(F.lit(1)).over(whole))
+        .withColumn(
+            "stat",
+            F.abs(F.col("n_days") * F.col("prefix") - F.col("k") * F.col("s_total")),
+        )
+    )
+    best = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("k")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.col("stat").alias("abs_stat"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+    SUM(y) OVER (PARTITION BY event_type) AS s_total,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+r AS (
+  SELECT event_type, day, n_days,
+    ABS(n_days * prefix - k * s_total) AS stat,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ABS(n_days * prefix - k * s_total) DESC, k) AS rk
+  FROM c
+)
+SELECT event_type, day AS cp_day, CAST(stat AS BIGINT) AS abs_stat,
+  CAST(n_days AS BIGINT) AS n_days
+FROM r WHERE rk = 1
+"""
+
+
+# ===========================================================================
+# Q: retract_ivm — incremental view maintenance with RETRACTIONS
+# ===========================================================================
+#
+# delta_join_ivm proves the insert-only join-delta algebra; this
+# proves the retraction face: an update arrives as (retract old row,
+# insert new row), and the maintained aggregate is
+# agg(base) + agg(inserts) − agg(retractions) — exact because
+# DECIMAL sums and COUNTs form an abelian group. Updates touch orders
+# with o_orderkey % 7 = 0 (price bumped by 10). The oracle recomputes
+# the final state from scratch; equality is the maintenance proof.
+
+def q_retract_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    touched = F.col("o_orderkey") % 7 == 0
+
+    def agg(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.lit(sign) * F.sum(F.col("price").cast("decimal(18,6)"))).alias("rev_d"),
+            (F.lit(sign) * F.count(F.lit(1))).alias("n"),
+        )
+
+    base = agg(o.select("o_orderpriority", F.col("o_totalprice").alias("price")), 1)
+    inserts = agg(
+        o.filter(touched).select(
+            "o_orderpriority", (F.col("o_totalprice") + F.lit(10.0)).alias("price")
+        ),
+        1,
+    )
+    retractions = agg(
+        o.filter(touched).select("o_orderpriority", F.col("o_totalprice").alias("price")),
+        -1,
+    )
+    merged = base.unionAll(inserts).unionAll(retractions)
+    return merged.groupBy("o_orderpriority").agg(
+        _dec_to_double(F.sum("rev_d")).alias("revenue"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
+SQL_RETRACT_IVM = """
+SELECT o_orderpriority,
+  CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 10.0
+                          ELSE o_totalprice END AS DECIMAL(18,6)))
+       AS VARCHAR) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ===========================================================================
+# Q: seasonality_dow — day-of-week seasonal index in exact ppm
+# ===========================================================================
+#
+# index = (mean of the weekday) / (overall mean), emitted as
+# ⌊1e6 · (sum_dow · n_total) / (n_dow · sum_total)⌋. The cross
+# products exceed int64 at scale, so they form in DECIMAL(38,0) /
+# HUGEINT; one integer division emits ppm. Pure two-level partial
+# aggregation — no window, no second scan.
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("weekday(to_date(ts)) + 1").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("y"),
+    )
+    per_dow = ev.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("s_dow"), F.count(F.lit(1)).alias("n_dow")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.sum("y").alias("s_total"), F.count(F.lit(1)).alias("n_total")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    j = per_dow.join(F.broadcast(per_type), "event_type")
+    return j.select(
+        "event_type",
+        "dow",
+        F.col("n_dow").alias("n"),
+        (d38("s_dow") * d38("n_total") * F.lit(1000000).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_num"),
+        (d38("n_dow") * d38("s_total")).cast("decimal(38,0)").alias("_den"),
+    ).select(
+        "event_type",
+        "dow",
+        "n",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("index_ppm"),
+    )
+
+
+SQL_SEASONALITY_DOW = """
+WITH ev AS (
+  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+per_dow AS (
+  SELECT event_type, dow, CAST(SUM(y) AS HUGEINT) AS s_dow, COUNT(*) AS n_dow
+  FROM ev GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, CAST(SUM(y) AS HUGEINT) AS s_total, COUNT(*) AS n_total
+  FROM ev GROUP BY 1
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n_dow AS n,
+  CAST((s_dow * n_total * 1000000) // (n_dow * s_total) AS BIGINT) AS index_ppm
+FROM per_dow JOIN per_type USING (event_type)
+"""
+
+
 PATTERN_QUERIES = {
     "proration": (
         q_proration,
@@ -369,4 +574,19 @@ PATTERN_QUERIES = {
         "analytics:last-touch attribution",
     ),
     "bfs_levels": (q_bfs_levels, SQL_BFS_LEVELS, "graph:SSSP hop levels"),
+    "cusum_changepoint": (
+        q_cusum_changepoint,
+        SQL_CUSUM_CHANGEPOINT,
+        "timeseries:CUSUM mean-shift detection",
+    ),
+    "retract_ivm": (
+        q_retract_ivm,
+        SQL_RETRACT_IVM,
+        "ivm:retraction algebra",
+    ),
+    "seasonality_dow": (
+        q_seasonality_dow,
+        SQL_SEASONALITY_DOW,
+        "timeseries:day-of-week seasonal index",
+    ),
 }
