@@ -92,3 +92,43 @@ def pagerank_ranks(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_hops(
+    adj: DataFrame,
+    source: int,
+    max_hops: int,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, dist) — single-source shortest HOP counts over a directed
+    edge list ``adj(a, b)``, bounded at ``max_hops``.
+
+    Frontier BFS, the scale-sane SSSP shape: per hop, only the
+    newly-discovered frontier joins the edge list (keyed equi-join on
+    the node id — co-partitioned with the edge list's hash layout at
+    scale), and an anti-join against the visited set keeps state
+    |V|-bounded. No path enumeration ever materializes, unlike naive
+    recursive expansion whose intermediate grows with path COUNT.
+    The source row is always emitted (dist 0), reachable or not —
+    matching the recursive-CTE oracle's anchor row. Lineage is cut
+    every ``checkpoint_every`` hops (pagerank_ranks precedent) so deep
+    traversals don't stack a per-hop plan pyramid.
+    """
+    spark = adj.sparkSession
+    dist = spark.createDataFrame([(source, 0)], schema="node bigint, dist int")
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        cand = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(hop).cast("int")
+        )
+        dist = dist.unionByName(new)
+        frontier = new
+        if checkpoint_every and hop % checkpoint_every == 0 and hop < max_hops:
+            dist = dist.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return dist

@@ -65,6 +65,8 @@ from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
 from dataengineering_spark.functions.scalars import _dec_to_double
+from dataengineering_spark.operators.allocation import largest_remainder
+from dataengineering_spark.operators.graph_analytics import bfs_hops
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,28 +93,14 @@ def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("t_cents"),
     )
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).drop("o_orderkey")
-    per_order = Window.partitionBy("l_orderkey")
-    by_rem = Window.partitionBy("l_orderkey").orderBy(
-        F.col("rem").desc(), F.col("l_linenumber")
-    )
-    b = (
-        j.withColumn("tot_w", F.sum("w").over(per_order))
-        .withColumn("base", F.expr("(t_cents * w) DIV tot_w"))
-        .withColumn("rem", (F.col("t_cents") * F.col("w")) % F.col("tot_w"))
-    )
-    r = b.withColumn("base_sum", F.sum("base").over(per_order)).withColumn(
-        "rk", F.row_number().over(by_rem)
-    )
-    return r.select(
-        "l_orderkey",
-        "l_linenumber",
-        (
-            F.col("base")
-            + F.when(F.col("rk") <= F.col("t_cents") - F.col("base_sum"), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        ).alias("alloc_cents"),
-    )
+    return largest_remainder(
+        j,
+        group="l_orderkey",
+        weight="w",
+        total="t_cents",
+        tie="l_linenumber",
+        out="alloc_cents",
+    ).select("l_orderkey", "l_linenumber", "alloc_cents")
 
 
 SQL_PRORATION = """
@@ -325,22 +313,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("a"), F.col("nxt").alias("b"))
         .distinct()
     )
-    dist = spark.createDataFrame(
-        [(BFS_SOURCE, 0)], schema="node bigint, dist int"
-    )
-    frontier = dist
-    for hop in range(1, BFS_MAX_HOPS + 1):
-        cand = (
-            frontier.join(adj, frontier["node"] == adj["a"])
-            .select(F.col("b").alias("node"))
-            .distinct()
-        )
-        new = cand.join(dist, "node", "left_anti").withColumn(
-            "dist", F.lit(hop).cast("int")
-        )
-        dist = dist.unionByName(new)
-        frontier = new
-    return dist
+    return bfs_hops(adj, BFS_SOURCE, BFS_MAX_HOPS)
 
 
 SQL_BFS_LEVELS = """

@@ -631,3 +631,96 @@ def test_step_twap_matches_python_reference(spark, rows):
             s2 += dur
         want[(k, day.isoformat())] = (len(seq), s2, (s1 * 10000) // s2)
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),  # group
+            st.integers(1, 500),  # weight (positive units)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 10_000),  # per-group total units
+)
+def test_largest_remainder_matches_python_reference(spark, rows, total):
+    """Allocation equals a direct Python largest-remainder replay, and
+    the method's defining invariants hold: per-group sums hit the
+    total exactly and every share is within 1 unit of exact
+    proportionality."""
+    from dataengineering_spark.operators.allocation import largest_remainder
+
+    pdf = pd.DataFrame(rows, columns=["g", "w"])
+    pdf["uid"] = range(len(pdf))
+    pdf["t"] = total
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.uid: r.alloc
+        for r in largest_remainder(
+            df, group="g", weight="w", total="t", tie="uid"
+        ).collect()
+    }
+
+    want: dict[int, int] = {}
+    for g, grp in pdf.groupby("g"):
+        W = int(grp["w"].sum())
+        base = {int(r.uid): (total * int(r.w)) // W for r in grp.itertuples()}
+        rem = {int(r.uid): (total * int(r.w)) % W for r in grp.itertuples()}
+        leftover = total - sum(base.values())
+        for uid in sorted(base, key=lambda u: (-rem[u], u))[:leftover]:
+            base[uid] += 1
+        want.update(base)
+    assert got == want
+    for g, grp in pdf.groupby("g"):
+        allocs = [got[int(r.uid)] for r in grp.itertuples()]
+        assert sum(allocs) == total
+        W = int(grp["w"].sum())
+        for r in grp.itertuples():
+            exact = total * int(r.w) / W
+            assert exact - 1 < got[int(r.uid)] < exact + 1
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),  # directed edges
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(1, 5),  # max_hops
+)
+def test_bfs_hops_matches_python_bfs(spark, edges, max_hops):
+    """Frontier BFS equals a driver-side queue BFS: same reachable
+    set, same minimal hop counts, source always present at dist 0."""
+    from dataengineering_spark.operators.graph_analytics import bfs_hops
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if edges:
+        adj = spark.createDataFrame(edges, schema="a bigint, b bigint").distinct()
+    else:
+        adj = spark.createDataFrame([], schema="a bigint, b bigint")
+    got = {r.node: r.dist for r in bfs_hops(adj, 0, max_hops).collect()}
+
+    out: dict[int, list[int]] = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    want = {0: 0}
+    frontier = [0]
+    for hop in range(1, max_hops + 1):
+        nxt = sorted(
+            {b for a in frontier for b in out.get(a, ()) if b not in want}
+        )
+        for b in nxt:
+            want[b] = hop
+        frontier = nxt
+    assert got == want
