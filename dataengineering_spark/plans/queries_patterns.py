@@ -525,6 +525,162 @@ FROM per_dow JOIN per_type USING (event_type)
 """
 
 
+# ===========================================================================
+# Q: fifo_match — FIFO inventory matching via cumulative-interval overlap
+# ===========================================================================
+#
+# The classic cost-accounting kernel: issues consume receipts in FIFO
+# order. Expressed set-at-a-time (no per-row loop): each receipt/issue
+# owns the half-open interval [cum − qty, cum) of its part's running
+# total, and a receipt funds an issue iff their intervals overlap —
+# matched qty = min(ends) − max(starts). The join is an equi-join on
+# partkey with interval predicates; per-part streams are bounded
+# (lineitems per part), so the pairing stays local to a hash
+# partition. All integer arithmetic (TPC-H quantities are integral).
+
+def q_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_receipt"),
+    )
+    # the synthetic corpus duplicates (l_orderkey, l_linenumber) up to
+    # 3x; adding qty to the order makes remaining ties interchangeable
+    # (only qty feeds the cumulative interval), so cend is engine-stable
+    cum = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = (
+        base.filter("is_receipt")
+        .withColumn("cend", F.sum("qty").over(cum))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_orderkey").alias("r_order"),
+            F.col("l_linenumber").alias("r_line"),
+            (F.col("cend") - F.col("qty")).alias("r_start"),
+            F.col("cend").alias("r_end"),
+        )
+    )
+    i = (
+        base.filter(~F.col("is_receipt"))
+        .withColumn("cend", F.sum("qty").over(cum))
+        .select(
+            F.col("l_partkey").alias("i_partkey"),
+            F.col("l_orderkey").alias("i_order"),
+            F.col("l_linenumber").alias("i_line"),
+            (F.col("cend") - F.col("qty")).alias("i_start"),
+            F.col("cend").alias("i_end"),
+        )
+    )
+    j = r.join(
+        i,
+        (F.col("partkey") == F.col("i_partkey"))
+        & (F.col("r_start") < F.col("i_end"))
+        & (F.col("i_start") < F.col("r_end")),
+    )
+    return j.select(
+        "partkey",
+        "r_order",
+        "r_line",
+        "i_order",
+        "i_line",
+        (
+            F.least("r_end", "i_end") - F.greatest("r_start", "i_start")
+        ).alias("qty_matched"),
+    )
+
+
+SQL_FIFO_MATCH = """
+WITH base AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+    CAST(l_quantity AS BIGINT) AS qty,
+    l_orderkey % 2 = 0 AS is_receipt
+  FROM lineitem
+),
+r AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, qty,
+    SUM(qty) OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber, qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+  FROM base WHERE is_receipt
+),
+i AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, qty,
+    SUM(qty) OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber, qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+  FROM base WHERE NOT is_receipt
+)
+SELECT r.l_partkey AS partkey,
+  r.l_orderkey AS r_order, r.l_linenumber AS r_line,
+  i.l_orderkey AS i_order, i.l_linenumber AS i_line,
+  CAST(LEAST(r.cend, i.cend) - GREATEST(r.cend - r.qty, i.cend - i.qty) AS BIGINT)
+    AS qty_matched
+FROM r JOIN i ON r.l_partkey = i.l_partkey
+  AND r.cend - r.qty < i.cend AND i.cend - i.qty < r.cend
+"""
+
+
+# ===========================================================================
+# Q: rolling_active_users — trailing-7-day distinct users (WAU) per day
+# ===========================================================================
+#
+# Distinct-count over a sliding window can't ride a running-sum
+# window (distinct doesn't decompose); the scale shape is the
+# bounded-fanout EXPLODE: each (day, user) pair contributes itself to
+# the 7 target days it is visible from (sequence explode, fanout
+# exactly 7), then one hash aggregation counts distincts per target
+# day. No range join, no per-day rescan; stickiness = DAU/WAU in
+# exact ppm.
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct().withColumnRenamed("day", "target_day")
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "target_day")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("target_day", "day")
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(dau * 1000000) DIV wau").alias("stickiness_ppm"),
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT du.day + CAST(x AS INTEGER) AS target_day, du.user_id
+  FROM du, UNNEST(range(0, 7)) AS t(x)
+),
+wau AS (
+  SELECT c.target_day AS day, COUNT(DISTINCT c.user_id) AS wau
+  FROM contrib c JOIN days d ON c.target_day = d.day
+  GROUP BY 1
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT day, dau, wau, CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau USING (day)
+"""
+
+
 PATTERN_QUERIES = {
     "proration": (
         q_proration,
@@ -561,5 +717,15 @@ PATTERN_QUERIES = {
         q_seasonality_dow,
         SQL_SEASONALITY_DOW,
         "timeseries:day-of-week seasonal index",
+    ),
+    "fifo_match": (
+        q_fifo_match,
+        SQL_FIFO_MATCH,
+        "finance:FIFO inventory matching",
+    ),
+    "rolling_active_users": (
+        q_rolling_active_users,
+        SQL_ROLLING_ACTIVE_USERS,
+        "analytics:rolling WAU / stickiness",
     ),
 }
