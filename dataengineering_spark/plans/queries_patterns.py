@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
 from dataengineering_spark.functions.scalars import _dec_to_double
-from dataengineering_spark.operators.allocation import largest_remainder
+from dataengineering_spark.operators.allocation import fifo_match, largest_remainder
 from dataengineering_spark.operators.graph_analytics import bfs_hops
 
 
@@ -549,48 +549,20 @@ def q_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic corpus duplicates (l_orderkey, l_linenumber) up to
     # 3x; adding qty to the order makes remaining ties interchangeable
     # (only qty feeds the cumulative interval), so cend is engine-stable
-    cum = (
-        Window.partitionBy("l_partkey")
-        .orderBy("l_orderkey", "l_linenumber", "qty")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    m = fifo_match(
+        base,
+        group="l_partkey",
+        qty="qty",
+        order=("l_orderkey", "l_linenumber", "qty"),
+        receipt_flag="is_receipt",
     )
-    r = (
-        base.filter("is_receipt")
-        .withColumn("cend", F.sum("qty").over(cum))
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            F.col("l_orderkey").alias("r_order"),
-            F.col("l_linenumber").alias("r_line"),
-            (F.col("cend") - F.col("qty")).alias("r_start"),
-            F.col("cend").alias("r_end"),
-        )
-    )
-    i = (
-        base.filter(~F.col("is_receipt"))
-        .withColumn("cend", F.sum("qty").over(cum))
-        .select(
-            F.col("l_partkey").alias("i_partkey"),
-            F.col("l_orderkey").alias("i_order"),
-            F.col("l_linenumber").alias("i_line"),
-            (F.col("cend") - F.col("qty")).alias("i_start"),
-            F.col("cend").alias("i_end"),
-        )
-    )
-    j = r.join(
-        i,
-        (F.col("partkey") == F.col("i_partkey"))
-        & (F.col("r_start") < F.col("i_end"))
-        & (F.col("i_start") < F.col("r_end")),
-    )
-    return j.select(
-        "partkey",
-        "r_order",
-        "r_line",
-        "i_order",
-        "i_line",
-        (
-            F.least("r_end", "i_end") - F.greatest("r_start", "i_start")
-        ).alias("qty_matched"),
+    return m.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("r_l_orderkey").alias("r_order"),
+        F.col("r_l_linenumber").alias("r_line"),
+        F.col("i_l_orderkey").alias("i_order"),
+        F.col("i_l_linenumber").alias("i_line"),
+        "qty_matched",
     )
 
 

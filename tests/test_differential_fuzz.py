@@ -724,3 +724,55 @@ def test_bfs_hops_matches_python_bfs(spark, edges, max_hops):
             want[b] = hop
         frontier = nxt
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.integers(1, 20),  # qty
+            st.booleans(),  # receipt?
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fifo_match_equals_queue_simulation(spark, rows):
+    """The interval-overlap formulation IS FIFO: the set-at-a-time
+    join must produce exactly the (receipt, issue, qty) pairings an
+    imperative queue walk produces, on random receipt/issue streams
+    including exhausted-receipt and exhausted-issue tails."""
+    from dataengineering_spark.operators.allocation import fifo_match
+
+    pdf = pd.DataFrame(rows, columns=["g", "qty", "is_r"])
+    pdf["seq"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.g, r.r_seq, r.i_seq): r.qty_matched
+        for r in fifo_match(
+            df, group="g", qty="qty", order=("seq",), receipt_flag="is_r"
+        ).collect()
+    }
+
+    want: dict[tuple, int] = {}
+    for g, grp in pdf.groupby("g"):
+        receipts = [
+            [int(r.seq), int(r.qty)] for r in grp.itertuples() if r.is_r
+        ]
+        issues = [[int(r.seq), int(r.qty)] for r in grp.itertuples() if not r.is_r]
+        ri = 0
+        for i_seq, need in issues:
+            while need > 0 and ri < len(receipts):
+                r_seq, avail = receipts[ri]
+                take = min(need, avail)
+                want[(g, r_seq, i_seq)] = take
+                need -= take
+                receipts[ri][1] -= take
+                if receipts[ri][1] == 0:
+                    ri += 1
+    assert got == want
