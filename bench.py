@@ -65,6 +65,9 @@ HEADLINE = (
     # round-5 fifth pass
     "twap_daily",
     "token_entropy",
+    # round-5 sixth pass
+    "proration",
+    "fifo_match",
 )
 
 

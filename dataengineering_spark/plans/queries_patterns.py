@@ -653,6 +653,69 @@ FROM dau JOIN wau USING (day)
 """
 
 
+# ===========================================================================
+# Q: typo_pairs — edit-distance≤1 similarity join via deletion variants
+# ===========================================================================
+#
+# The FastSS trick: dist(a,b) ≤ 1 ⇔ their deletion neighborhoods
+# {w} ∪ {w minus one char} intersect, so the all-pairs fuzzy match
+# becomes an EQUI-join on the variant string with bounded fanout
+# (len+1 variants per string) — never a cross join, never a
+# per-pair distance matrix. The native levenshtein() filter then
+# certifies candidates exactly (identical unit-cost definition on
+# both engines). Same-variant collisions can generate a candidate
+# pair twice (repeated characters), hence the DISTINCT before the
+# certificate. Record-linkage shape: customer keys differing in one
+# character.
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        _t(spark, sf_dir, "customer")
+        .select(F.lower("c_name").alias("word"))
+        .distinct()
+    )
+    v = w.select(
+        "word",
+        F.explode(
+            F.concat(
+                F.array(F.col("word")),
+                F.expr(
+                    "transform(sequence(0, length(word) - 1), i -> "
+                    "concat(substring(word, 1, i), substring(word, i + 2, 100000)))"
+                ),
+            )
+        ).alias("var"),
+    )
+    a = v.select(F.col("word").alias("w1"), "var")
+    b = v.select(F.col("word").alias("w2"), "var")
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("w1", "w2")).filter(
+        F.col("dist") <= 1
+    )
+
+
+SQL_TYPO_PAIRS = """
+WITH w AS (SELECT DISTINCT lower(c_name) AS word FROM customer),
+v AS (
+  SELECT word, unnest(list_prepend(word,
+    list_transform(range(0, length(word)), i ->
+      substr(word, 1, i) || substr(word, i + 2)))) AS var
+  FROM w
+),
+cand AS (
+  SELECT DISTINCT a.word AS w1, b.word AS w2
+  FROM v a JOIN v b ON a.var = b.var AND a.word < b.word
+)
+SELECT w1, w2, CAST(levenshtein(w1, w2) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(w1, w2) <= 1
+"""
+
+
 PATTERN_QUERIES = {
     "proration": (
         q_proration,
@@ -699,5 +762,10 @@ PATTERN_QUERIES = {
         q_rolling_active_users,
         SQL_ROLLING_ACTIVE_USERS,
         "analytics:rolling WAU / stickiness",
+    ),
+    "typo_pairs": (
+        q_typo_pairs,
+        SQL_TYPO_PAIRS,
+        "linkage:deletion-neighborhood fuzzy join",
     ),
 }
