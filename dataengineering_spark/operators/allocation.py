@@ -42,7 +42,14 @@ def largest_remainder(
     (constant per group, integer units) proportional to ``weight``
     (positive integer units), deterministic via ``tie``."""
     per_group = Window.partitionBy(group)
-    by_rem = Window.partitionBy(group).orderBy(F.col("_rem").desc(), F.col(tie))
+    # weight joins the tie chain: rows duplicated on `tie` with equal
+    # remainders but different weights would otherwise take the +1 unit
+    # in engine-dependent order (remainders of different weights CAN
+    # collide mod W); with it, remaining ties are fully-identical rows,
+    # which are interchangeable
+    by_rem = Window.partitionBy(group).orderBy(
+        F.col("_rem").desc(), F.col(tie), F.col(weight)
+    )
     b = (
         df.withColumn("_tot_w", F.sum(weight).over(per_group))
         .withColumn("_base", F.expr(f"(`{total}` * `{weight}`) DIV _tot_w"))

@@ -79,7 +79,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # T = order total in cents, w_i = lineitem weight in cents.
 # base_i = ⌊T·w_i / Σw⌋, and the R = T − Σbase leftover cents go to
-# the R largest remainders (ties → lowest linenumber). Everything is
+# the R largest remainders (ties → lowest linenumber, then weight —
+# the corpus duplicates (orderkey, linenumber)). Everything is
 # int64: T ≤ 5e7, w ≤ 1e7 ⇒ T·w ≤ 5e14.
 
 def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +127,8 @@ b AS (
 r AS (
   SELECT *,
     SUM(base) OVER (PARTITION BY l_orderkey) AS base_sum,
-    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rk
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                       ORDER BY rem DESC, l_linenumber, w) AS rk
   FROM b
 )
 SELECT l_orderkey, l_linenumber,
