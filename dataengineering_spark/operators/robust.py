@@ -136,3 +136,50 @@ def step_twap(
             "CAST((s1 * 10000) DIV CAST(dur_total_us AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("twap_micro"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    val: str,
+) -> DataFrame:
+    """Per-key CUSUM mean-shift changepoint over an ordered integer
+    series: the position k maximizing |Σ_{i≤k} y_i − k·μ|, with the
+    statistic multiplied through by n (n·prefix_k − k·S) so it stays
+    exact int64 — no division, both engines rank identical integers.
+    Ties take the earliest position. ``order_col`` must be unique per
+    key (pre-aggregate first — the caller's series should already be
+    the grid, not raw events, so the windows run over ~series-length
+    rows).
+
+    Returns (key, order_col at the changepoint, abs_stat, n) — one
+    row per key. Fuzz-checked against a direct Python scan in
+    tests/test_differential_fuzz.py.
+    """
+    by_order = Window.partitionBy(key).orderBy(order_col)
+    whole = Window.partitionBy(key)
+    c = (
+        df.withColumn("_k", F.row_number().over(by_order))
+        .withColumn(
+            "_prefix",
+            F.sum(val).over(by_order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_s", F.sum(val).over(whole))
+        .withColumn("_n", F.count(F.lit(1)).over(whole))
+        .withColumn(
+            "_stat",
+            F.abs(F.col("_n") * F.col("_prefix") - F.col("_k") * F.col("_s")),
+        )
+    )
+    best = Window.partitionBy(key).orderBy(F.col("_stat").desc(), F.col("_k"))
+    return (
+        c.withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .select(
+            key,
+            order_col,
+            F.col("_stat").alias("abs_stat"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )

@@ -67,6 +67,7 @@ from dataengineering_spark.catalog import read_table
 from dataengineering_spark.functions.scalars import _dec_to_double
 from dataengineering_spark.operators.allocation import fifo_match, largest_remainder
 from dataengineering_spark.operators.graph_analytics import bfs_hops
+from dataengineering_spark.operators.robust import cusum_changepoint as _cusum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -355,33 +356,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("y"))
     )
-    by_day = Window.partitionBy("event_type").orderBy("day")
-    whole = Window.partitionBy("event_type")
-    c = (
-        daily.withColumn("k", F.row_number().over(by_day))
-        .withColumn(
-            "prefix",
-            F.sum("y").over(by_day.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("s_total", F.sum("y").over(whole))
-        .withColumn("n_days", F.count(F.lit(1)).over(whole))
-        .withColumn(
-            "stat",
-            F.abs(F.col("n_days") * F.col("prefix") - F.col("k") * F.col("s_total")),
-        )
-    )
-    best = Window.partitionBy("event_type").orderBy(
-        F.col("stat").desc(), F.col("k")
-    )
-    return (
-        c.withColumn("rk", F.row_number().over(best))
-        .filter(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("day").alias("cp_day"),
-            F.col("stat").alias("abs_stat"),
-            F.col("n_days").cast("long").alias("n_days"),
-        )
+    return _cusum(daily, key="event_type", order_col="day", val="y").select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        "abs_stat",
+        F.col("n").alias("n_days"),
     )
 
 

@@ -776,3 +776,48 @@ def test_fifo_match_equals_queue_simulation(spark, rows):
                 if receipts[ri][1] == 0:
                     ri += 1
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # key
+            st.integers(-1000, 1000),  # value (negatives included)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cusum_changepoint_matches_python_scan(spark, rows):
+    """The windowed n·prefix − k·S argmax equals a direct Python scan
+    of the same statistic, on random series with negative values,
+    constant series (stat 0 everywhere → earliest position wins), and
+    singletons."""
+    from dataengineering_spark.operators.robust import cusum_changepoint
+
+    pdf = pd.DataFrame(rows, columns=["k", "y"])
+    pdf["pos"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.k, r.pos, r.abs_stat, r.n)
+        for r in cusum_changepoint(df, key="k", order_col="pos", val="y").collect()
+    }
+
+    want = set()
+    for k, grp in pdf.groupby("k"):
+        ys = [int(r.y) for r in grp.itertuples()]
+        poss = [int(r.pos) for r in grp.itertuples()]
+        n, s = len(ys), sum(ys)
+        prefix, best = 0, None
+        for i, y in enumerate(ys):
+            prefix += y
+            stat = abs(n * prefix - (i + 1) * s)
+            if best is None or stat > best[1]:
+                best = (poss[i], stat)
+        want.add((k, best[0], best[1], n))
+    assert got == want
