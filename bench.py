@@ -68,6 +68,10 @@ HEADLINE = (
     # round-5 sixth pass
     "proration",
     "fifo_match",
+    # round-5 seventh pass
+    "path_topk",
+    "jaccard_matrix",
+    "interval_union",
 )
 
 

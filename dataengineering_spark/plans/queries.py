@@ -736,6 +736,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_analytics import ANALYTICS_QUERIES
     from dataengineering_spark.plans.queries_robust import ROBUST_QUERIES
     from dataengineering_spark.plans.queries_patterns import PATTERN_QUERIES
+    from dataengineering_spark.plans.queries_frontier import FRONTIER_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -743,6 +744,7 @@ def _register_extra_queries() -> None:
         ANALYTICS_QUERIES,
         ROBUST_QUERIES,
         PATTERN_QUERIES,
+        FRONTIER_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)
