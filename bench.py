@@ -72,6 +72,9 @@ HEADLINE = (
     "path_topk",
     "jaccard_matrix",
     "interval_union",
+    # round-5 eighth pass
+    "bollinger_breakout",
+    "rfm_segments",
 )
 
 

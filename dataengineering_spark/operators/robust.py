@@ -84,6 +84,62 @@ def discrete_pcts(
     )
 
 
+def global_discrete_pcts(
+    df: DataFrame,
+    val: str,
+    tie: str,
+    pcts: Sequence[float],
+    names: Sequence[str],
+) -> dict[str, int]:
+    """GLOBAL discrete percentiles of ``val`` → {name: value} on the driver.
+
+    The keyed ``discrete_pcts`` cannot serve a whole-frame quantile: a
+    constant key folds its offsets Window into an Exchange
+    SinglePartition and its cuts join into a nested loop — exactly the
+    shapes the plan guards reject. This variant follows the repo's
+    RangePartitioner pattern instead: ``repartitionByRange(val, tie)``
+    spreads the sort, per-partition counts (≤ #partitions rows)
+    collect to the driver for the prefix-sum offsets, and the target
+    ranks come back as a broadcast pid→offset frame. Driver state is
+    O(#partitions) — cluster-bounded, never data-bounded. Callers
+    inline the returned cut values as literals (the 1-row collect is
+    the same bounded class as the IVF centroid pulls).
+    """
+    data = df.repartitionByRange(val, tie).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = sorted(
+        (r["_pid"], r["pc"])
+        for r in data.groupBy("_pid").agg(F.count(F.lit(1)).alias("pc")).collect()
+    )
+    n = sum(c for _, c in pc)
+    offs, acc = [], 0
+    for pid, c in pc:
+        offs.append((pid, acc))
+        acc += c
+    targets = {nm: int(p * (n - 1)) + 1 for p, nm in zip(pcts, names)}
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w_local = Window.partitionBy("_pid").orderBy(val, tie)
+    ranked = (
+        data.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+    hits = ranked.filter(
+        functools.reduce(
+            operator.or_, [F.col("_rn") == F.lit(r) for r in targets.values()]
+        )
+    )
+    row = hits.agg(
+        *[
+            F.max(F.when(F.col("_rn") == F.lit(r), F.col(val))).alias(nm)
+            for nm, r in targets.items()
+        ]
+    ).collect()[0]
+    return {nm: row[nm] for nm in names}
+
+
 def step_twap(
     df: DataFrame,
     key: str = "event_type",

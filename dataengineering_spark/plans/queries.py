@@ -737,6 +737,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_robust import ROBUST_QUERIES
     from dataengineering_spark.plans.queries_patterns import PATTERN_QUERIES
     from dataengineering_spark.plans.queries_frontier import FRONTIER_QUERIES
+    from dataengineering_spark.plans.queries_segments import SEGMENT_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -745,6 +746,7 @@ def _register_extra_queries() -> None:
         ROBUST_QUERIES,
         PATTERN_QUERIES,
         FRONTIER_QUERIES,
+        SEGMENT_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)

@@ -131,3 +131,31 @@ def test_weighted_median_matches_expansion(spark, rows):
                 want.add((g, v))
                 break
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(-50, 50),  # values with ties likely
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_discrete_pcts_matches_sorted_rank(spark, vals):
+    """The RangePartitioner-pattern global percentile must equal the
+    value at rank floor(p*(n-1))+1 of the fully sorted list."""
+    from dataengineering_spark.operators.robust import global_discrete_pcts
+
+    pdf = pd.DataFrame({"v": vals})
+    pdf["uid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    got = global_discrete_pcts(
+        df, val="v", tie="uid", pcts=(0.25, 0.5, 0.9), names=("a", "b", "c")
+    )
+    ordered = sorted(zip(pdf["v"], pdf["uid"]))
+    n = len(ordered)
+    want = {
+        nm: ordered[int(p * (n - 1))][0]
+        for p, nm in zip((0.25, 0.5, 0.9), ("a", "b", "c"))
+    }
+    assert got == want
