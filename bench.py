@@ -75,6 +75,9 @@ HEADLINE = (
     # round-5 eighth pass
     "bollinger_breakout",
     "rfm_segments",
+    # round-5 ninth pass
+    "ks_drift",
+    "benford_digits",
 )
 
 

@@ -105,8 +105,16 @@ def global_discrete_pcts(
     inline the returned cut values as literals (the 1-row collect is
     the same bounded class as the IVF centroid pulls).
     """
-    data = df.repartitionByRange(val, tie).withColumn(
-        "_pid", F.spark_partition_id()
+    from dataengineering_spark.caching import persist_tracked
+
+    # three jobs (counts collect, hits collect, any caller re-read)
+    # read this ranged layout — a recompute would re-sample the range
+    # bounds and shift rows across partitions, invalidating the
+    # offsets (known repo hazard)
+    data = persist_tracked(
+        df.repartitionByRange(val, tie).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     pc = sorted(
         (r["_pid"], r["pc"])
@@ -138,6 +146,61 @@ def global_discrete_pcts(
         ]
     ).collect()[0]
     return {nm: row[nm] for nm in names}
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: Sequence[str],
+    cols: Sequence[str],
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Exact GLOBAL running sums of ``cols`` under ``ORDER BY order``.
+
+    The naive shape — ``Window.orderBy(...)`` with no partition — is an
+    Exchange SinglePartition feeding a Window: the whole frame through
+    one task (plan-guard-rejected). RangePartitioner pattern instead:
+    ``repartitionByRange(order)`` gives a sorted-partition layout,
+    per-partition totals (≤ #partitions rows) collect to the driver
+    for exclusive prefix offsets, and the in-partition window (keyed
+    by partition id — never SinglePartition) adds the broadcast
+    offset. Driver state is O(#partitions × #cols), cluster-bounded.
+    Global CDFs / cumulative counters at any scale.
+    """
+    from dataengineering_spark.caching import persist_tracked
+
+    # the totals collect and the returned plan both read this ranged
+    # layout — persist so the range bounds are sampled exactly once
+    # (known repo hazard: re-sampled bounds shift rows across
+    # partitions and break the prefix offsets)
+    data = persist_tracked(
+        df.repartitionByRange(*order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    per = sorted(
+        (r["_pid"], tuple(r[f"_t_{c}"] for c in cols))
+        for r in data.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_t_{c}") for c in cols])
+        .collect()
+    )
+    offs, acc = [], [0] * len(cols)
+    for pid, totals in per:
+        offs.append((pid, *acc))
+        acc = [a + (t or 0) for a, t in zip(acc, totals)]
+    spark = df.sparkSession
+    off_schema = ", ".join(["_pid int"] + [f"_off_{c} long" for c in cols])
+    off_df = spark.createDataFrame(offs, off_schema)
+    # default RANGE ...-CURRENT ROW frame: ties on the order key all
+    # receive the tie group's full sum (CDF semantics), and range
+    # partitioning never splits equal keys across partitions — so the
+    # result is deterministic even with duplicate order keys.
+    w = Window.partitionBy("_pid").orderBy(*order)
+    out = data.join(F.broadcast(off_df), "_pid")
+    for c in cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.sum(c).over(w) + F.col(f"_off_{c}")
+        )
+    return out.drop("_pid", *[f"_off_{c}" for c in cols])
 
 
 def step_twap(

@@ -738,6 +738,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_patterns import PATTERN_QUERIES
     from dataengineering_spark.plans.queries_frontier import FRONTIER_QUERIES
     from dataengineering_spark.plans.queries_segments import SEGMENT_QUERIES
+    from dataengineering_spark.plans.queries_drift import DRIFT_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -747,6 +748,7 @@ def _register_extra_queries() -> None:
         PATTERN_QUERIES,
         FRONTIER_QUERIES,
         SEGMENT_QUERIES,
+        DRIFT_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)

@@ -159,3 +159,35 @@ def test_global_discrete_pcts_matches_sorted_rank(spark, vals):
         for p, nm in zip((0.25, 0.5, 0.9), ("a", "b", "c"))
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-20, 20),  # order key (ties likely)
+            st.integers(-10, 10),  # a
+            st.integers(0, 5),  # b
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_global_cumsum_matches_sorted_prefix(spark, rows):
+    """The RangePartitioner-pattern global cumsum must equal the
+    tie-inclusive prefix sums of the sorted list (CDF semantics: every
+    row in a tie group carries the group's full running total)."""
+    from dataengineering_spark.operators.robust import global_cumsum
+
+    pdf = pd.DataFrame(rows, columns=["k", "a", "b"])
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.k, r.cum_a, r.cum_b)
+        for r in global_cumsum(df, order=("k",), cols=("a", "b")).collect()
+    )
+    totals = pdf.groupby("k")[["a", "b"]].sum().sort_index().cumsum()
+    want = sorted(
+        (int(k), int(totals.loc[k, "a"]), int(totals.loc[k, "b"]))
+        for k in pdf["k"]
+    )
+    assert got == want
