@@ -11,8 +11,14 @@ group key.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _keys(partition_by: str | Sequence[str]) -> list[str]:
+    return [partition_by] if isinstance(partition_by, str) else list(partition_by)
 
 
 def skyline_2d(
@@ -47,7 +53,7 @@ def skyline_2d(
 
 def interval_union(
     df: DataFrame,
-    partition_by: str,
+    partition_by: str | Sequence[str],
     start: str,
     end: str,
     island_col: str = "island",
@@ -62,7 +68,7 @@ def interval_union(
     half-open convention [start, end). Callers aggregate per
     (partition, island) for coverage / merged spans.
     """
-    wo = Window.partitionBy(partition_by).orderBy(start, end)
+    wo = Window.partitionBy(*_keys(partition_by)).orderBy(start, end)
     prevmax = F.max(end).over(wo.rowsBetween(Window.unboundedPreceding, -1))
     new_island = F.when(
         prevmax.isNull() | (F.col(start) > prevmax), 1
@@ -75,16 +81,16 @@ def interval_union(
 
 def interval_coverage(
     df: DataFrame,
-    partition_by: str,
+    partition_by: str | Sequence[str],
     start: str,
     end: str,
 ) -> DataFrame:
     """Total covered length and merged-interval count per partition."""
     isl = interval_union(df, partition_by, start, end)
-    per_island = isl.groupBy(partition_by, "island").agg(
+    per_island = isl.groupBy(*_keys(partition_by), "island").agg(
         F.min(start).alias("_lo"), F.max(end).alias("_hi")
     )
-    return per_island.groupBy(partition_by).agg(
+    return per_island.groupBy(*_keys(partition_by)).agg(
         F.sum(F.col("_hi") - F.col("_lo")).alias("covered"),
         F.count("*").alias("n_intervals"),
     )

@@ -739,6 +739,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_frontier import FRONTIER_QUERIES
     from dataengineering_spark.plans.queries_segments import SEGMENT_QUERIES
     from dataengineering_spark.plans.queries_drift import DRIFT_QUERIES
+    from dataengineering_spark.plans.queries_lifecycle import LIFECYCLE_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -749,6 +750,7 @@ def _register_extra_queries() -> None:
         FRONTIER_QUERIES,
         SEGMENT_QUERIES,
         DRIFT_QUERIES,
+        LIFECYCLE_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)
