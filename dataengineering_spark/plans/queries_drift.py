@@ -130,6 +130,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("v").agg(F.sum("d1").alias("d1"), F.sum("d2").alias("d2"))
     cum = global_cumsum(g, order=("v",), cols=("d1", "d2"))
     tot = g.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2")).collect()[0]
+    if not tot["n1"] or not tot["n2"]:
+        raise ValueError(
+            "ks_drift: both samples must be non-empty "
+            f"(n1={tot['n1']}, n2={tot['n2']})"
+        )
     n1, n2 = int(tot["n1"]), int(tot["n2"])
     stat = _d38(F.col("cum_d1")) * _d38(F.lit(n2)) - _d38(F.col("cum_d2")) * _d38(
         F.lit(n1)
