@@ -740,6 +740,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_segments import SEGMENT_QUERIES
     from dataengineering_spark.plans.queries_drift import DRIFT_QUERIES
     from dataengineering_spark.plans.queries_lifecycle import LIFECYCLE_QUERIES
+    from dataengineering_spark.plans.queries_growth import GROWTH_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -751,6 +752,7 @@ def _register_extra_queries() -> None:
         SEGMENT_QUERIES,
         DRIFT_QUERIES,
         LIFECYCLE_QUERIES,
+        GROWTH_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)
