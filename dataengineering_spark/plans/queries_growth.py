@@ -225,6 +225,8 @@ def q_lorenz_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cum.agg(
         F.max("cum_r").alias("total_r"), F.max("cum_one").alias("n_parts")
     ).collect()[0]
+    if tot["n_parts"] is None or not tot["total_r"]:
+        raise ValueError("lorenz_8020: empty revenue frame")
     total_r, n_parts = int(tot["total_r"]), int(tot["n_parts"])
     out = None
     for pct in _LORENZ_PCT:
