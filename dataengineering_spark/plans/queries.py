@@ -741,6 +741,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_drift import DRIFT_QUERIES
     from dataengineering_spark.plans.queries_lifecycle import LIFECYCLE_QUERIES
     from dataengineering_spark.plans.queries_growth import GROWTH_QUERIES
+    from dataengineering_spark.plans.queries_audit import AUDIT_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -753,6 +754,7 @@ def _register_extra_queries() -> None:
         DRIFT_QUERIES,
         LIFECYCLE_QUERIES,
         GROWTH_QUERIES,
+        AUDIT_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             QUERIES[name] = QuerySpec(fn, sql, ref)
