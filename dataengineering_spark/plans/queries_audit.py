@@ -69,7 +69,15 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(label).alias("edge"),
                 "child_rows",
                 "orphans",
-                F.expr("(orphans * 1000000) DIV child_rows").alias("orphan_ppm"),
+                # empty child table → 0 ppm, not a divide-by-zero
+                F.coalesce(
+                    F.expr(
+                        "(orphans * 1000000) DIV nullif(child_rows, 0)"
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("orphan_ppm"),
             )
         )
         out = row if out is None else out.unionAll(row)
