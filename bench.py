@@ -78,6 +78,11 @@ HEADLINE = (
     # round-5 ninth pass
     "ks_drift",
     "benford_digits",
+    # round-5 tenth-twelfth passes
+    "vocab_growth",
+    "topk_churn",
+    "growth_accounting",
+    "sla_percentiles",
 )
 
 
