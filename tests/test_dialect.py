@@ -1,0 +1,110 @@
+"""ClickHouse→Spark dialect shim: the reference's own query shapes
+(``clickhouse/utils.py``, ``airflow/bitquery.py``,
+``coinprice/*.py``) must execute unchanged through the translator."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dataengineering_spark.functions.dialect import (
+    run_clickhouse_sql,
+    translate_clickhouse_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def master_view(spark):
+    pdf = pd.DataFrame(
+        {
+            "block": ["17", "42", "9"],
+            "block_num": [17, 42, 9],
+            "block_date_time": pd.to_datetime(
+                ["2024-01-03 05:00:00", "2024-01-05 23:59:00", "2024-01-01 00:00:00"]
+            ),
+            "symbol": ["eth", "btc", "eth"],
+            "value": [10.0, 20.0, 30.0],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("ch_master")
+    return pdf
+
+
+def test_reference_head_probe_shape(spark, master_view):
+    # clickhouse/utils.py: SELECT toDate(max(block_date_time)) as
+    # block_date, max(block) as block from {chain}.master
+    out = run_clickhouse_sql(
+        spark,
+        "SELECT toDate(max(block_date_time)) as block_date,"
+        " max(block_num) as block from ch_master",
+    ).collect()[0]
+    assert str(out["block_date"]) == "2024-01-05"
+    assert out["block"] == 42
+
+
+def test_reference_ripple_uint_cast(spark, master_view):
+    # clickhouse/utils.py: SELECT max(toUInt64(block)) as block ...
+    out = run_clickhouse_sql(
+        spark, "SELECT max(toUInt64(block)) as block from ch_master"
+    ).collect()[0]
+    assert out["block"] == 42
+
+
+def test_format_clause_stripped():
+    t = translate_clickhouse_sql(
+        "select symbol,address from tokens_metadata FORMAT JSON"
+    )
+    assert t.format == "JSON"
+    assert "FORMAT" not in t.sql
+    t2 = translate_clickhouse_sql(
+        "select distinct(symbol) as symbol from m FORMAT JSONCompactStrings"
+    )
+    assert t2.format == "JSONCompactStrings"
+
+
+def test_conditional_aggregates(spark, master_view):
+    out = run_clickhouse_sql(
+        spark,
+        "SELECT countIf(symbol = 'eth') AS c,"
+        " sumIf(value, symbol = 'eth') AS s,"
+        " uniqExact(symbol) AS u"
+        " FROM ch_master",
+    ).collect()[0]
+    assert (out["c"], out["s"], out["u"]) == (2, 40.0, 2)
+
+
+def test_multi_if_nesting(spark, master_view):
+    rows = run_clickhouse_sql(
+        spark,
+        "SELECT block_num, multiIf(block_num > 40, 'big',"
+        " block_num > 10, 'mid', 'small') AS bucket FROM ch_master",
+    ).collect()
+    got = {r["block_num"]: r["bucket"] for r in rows}
+    assert got == {42: "big", 17: "mid", 9: "small"}
+
+
+def test_trunc_and_clock_functions(spark, master_view):
+    out = run_clickhouse_sql(
+        spark,
+        "SELECT toStartOfDay(max(block_date_time)) AS d,"
+        " today() <= toDate(now()) AS ok FROM ch_master",
+    ).collect()[0]
+    assert str(out["d"]).startswith("2024-01-05 00:00:00")
+    assert out["ok"] is True
+
+
+def test_literals_are_left_alone():
+    t = translate_clickhouse_sql(
+        "SELECT * FROM t WHERE name = 'toDate(x)' AND d >= toDate('2024-01-01')"
+    )
+    assert "'toDate(x)'" in t.sql
+    assert "to_date('2024-01-01')" in t.sql
+
+
+def test_unsupported_raises_with_pointer():
+    with pytest.raises(ValueError, match="replaceRegexpOne"):
+        translate_clickhouse_sql(
+            r"SELECT replaceRegexpOne(transaction_id, '\d-', '') FROM t"
+        )
+    with pytest.raises(ValueError, match="arrayJoin"):
+        translate_clickhouse_sql("SELECT arrayJoin(xs) FROM t")
