@@ -32,6 +32,12 @@ FORMATS: dict[str, tuple[str, dict[str, str]]] = {
     "json": ("json", {}),
     "CSVWithNames": ("csv", {"header": "true"}),
     "csv": ("csv", {"header": "true"}),
+    # ClickHouse FORMAT-clause spellings (fed by functions/dialect.py)
+    "JSON": ("json", {}),
+    "JSONCompact": ("json", {}),
+    "JSONCompactStrings": ("json", {}),
+    "TSVWithNames": ("csv", {"header": "true", "sep": "\t"}),
+    "TSV": ("csv", {"header": "false", "sep": "\t"}),
 }
 
 
@@ -120,13 +126,20 @@ def flush_partitions(
     )
 
 
-def run_sql_file(spark: SparkSession, path: str, params: dict | None = None) -> list[DataFrame]:
+def run_sql_file(
+    spark: SparkSession,
+    path: str,
+    params: dict | None = None,
+    dialect: str = "spark",
+) -> list[DataFrame]:
     """Execute a file of ``;``-separated SQL statements (the
     reference's multi-statement runner,
     ``clickhouse/v1/bash_hook.py:307-355`` and
     ``airflow/bigquery/utils.py:86-111``), with named parameters
     instead of string templating (F9). Returns one DataFrame per
-    statement."""
+    statement. ``dialect="clickhouse"`` routes each statement through
+    the ClickHouse→Spark shim (``functions/dialect.py``) so a
+    reference user's SQL files run unchanged."""
     with open(path) as f:
         text = f.read()
     results = []
@@ -134,5 +147,11 @@ def run_sql_file(spark: SparkSession, path: str, params: dict | None = None) -> 
         stmt = stmt.strip()
         if not stmt:
             continue
+        if dialect == "clickhouse":
+            from dataengineering_spark.functions.dialect import (
+                translate_clickhouse_sql,
+            )
+
+            stmt = translate_clickhouse_sql(stmt).sql
         results.append(spark.sql(stmt, args=params or {}))
     return results

@@ -108,3 +108,17 @@ def test_unsupported_raises_with_pointer():
         )
     with pytest.raises(ValueError, match="arrayJoin"):
         translate_clickhouse_sql("SELECT arrayJoin(xs) FROM t")
+
+
+def test_sql_file_clickhouse_dialect(spark, master_view, tmp_path):
+    p = tmp_path / "probe.sql"
+    p.write_text(
+        "SELECT toDate(max(block_date_time)) as block_date from ch_master;\n"
+        "SELECT max(toUInt64(block)) as block from ch_master;\n"
+    )
+    from dataengineering_spark.sources.io import run_sql_file
+
+    r = run_sql_file(spark, str(p), dialect="clickhouse")
+    assert len(r) == 2
+    assert str(r[0].collect()[0]["block_date"]) == "2024-01-05"
+    assert r[1].collect()[0]["block"] == 42
