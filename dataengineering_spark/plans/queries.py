@@ -764,111 +764,31 @@ _register_extra_queries()
 
 
 # The external correctness driver checks at most the FIRST 50 entries of
-# queries() per round, while the registry holds more.  Entries listed here are
-# emitted first so queries that have never (or not yet) received a green
-# driver row get checked before long-stable ones rotate back in.  Every query
+# queries() per round, while the registry holds more.  Ordering is now
+# mechanical (see _ordered_names below): the committed DRIVER_LAST_GREEN map
+# (plans/driver_rounds.py, regenerated per round by
+# scripts/rebuild_driver_priority.py) records each query's last fully-green
+# driver round; queries sort red-first, then never-checked, then stalest
+# green.  _DRIVER_PRIORITY remains only as an optional manual override that
+# is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
-_DRIVER_PRIORITY: list[str] = [
-    # --- r4-red (timestamp-unit bug, fixed r5): re-confirm first ---
-    "session_window",
-    "sliding_window",
-    "gapfill_hourly",
-    "rolling_24h",
-    "transactions_agg",
-    "chain_state_pivot",
-    "enrichment_pipeline",
-    # --- new in round 5: never driver-checked ---
-    "ivfpq_ann",
-    "bin_packing_merged",
-    "quality_filter",
-    "pretrain_pipeline",
-    "pagerank",
-    "funnel_steps",
-    "cohort_retention",
-    "scd2_history",
-    "snapshot_diff",
-    "tfidf_terms",
-    "countmin_topk",
-    "event_transitions",
-    "zorder_key",
-    "kmv_intersect",
-    "props_json",
-    "event_unpivot",
-    "user_diversity",
-    "concurrency_peak",
-    "ewma_daily",
-    "degree_distribution",
-    "fuzzy_match",
-    "bloom_prune",
-    "value_correlation",
-    "quantile_bins",
-    "merge_upsert",
-    "table_checksum",
-    "sales_cube",
-    "user_drawdown",
-    "value_cume",
-    "user_event_sequence",
-    "status_priority_sets",
-    "session_bounds",
-    "incremental_agg",
-    "mixture_sample",
-    "dataset_split",
-    "pcm_stats",
-    "scd2_lookup",
-    "ohlc_hourly",
-    "chi_square",
-    "gapfill_interp",
-    # --- driver-stale: last green row is r1/r2; rotate back into the
-    #     50-slot window (events-table ones first — same bug family) ---
-    "tumbling_window",
-    "interval_join",
-    "filtered_events",
-    "grouped_counts",
-    "constant_key_join",
-    "top1_by_order",
-    "distinct_universe",
-    "union_all",
-    "missing_keys",
-    "dedup_exact",
-    "scale_and_reset",
-    "full_outer_join",
-    "hedera_extract",
-    "sync_next_range",
-    "media_durations",
-    "token_count",
-    "doc_fingerprint",
-    "quality_score",
-    "lang_id",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "simhash_fingerprint",
-    "simhash_neardup",
-    "cosine_topk",
-    "lsh_ann",
-    "ivf_ann",
-    "embedding_neardup",
-    "multimodal_metadata",
-    "order_count_distribution",
-    "supplier_part_counts",
-    "min_cost_supplier",
-    "shipping_priority",
-    "local_supplier_volume",
-    "doc_chunks",
-    "token_shards",
-    "hash_sample",
-    "stratified_sample",
-    "image_decode",
-    "asof_join",
-    "nation_trade_volume",
-    "small_quantity_revenue",
-    "prominent_suppliers",
-]
-
+_DRIVER_PRIORITY: list[str] = []
 
 def _ordered_names() -> list[str]:
+    from dataengineering_spark.plans.driver_rounds import DRIVER_LAST_GREEN
+
     head = [n for n in _DRIVER_PRIORITY if n in QUERIES]
-    rest = [n for n in QUERIES if n not in _DRIVER_PRIORITY]
+    registry_pos = {n: i for i, n in enumerate(QUERIES)}
+
+    def sort_key(name: str) -> tuple[int, int]:
+        # red (checked, never green) -> -1: first.  never-checked -> 0: next.
+        # green -> 1 + last green round: stalest first.  Ties break on
+        # registry order so the window stays deterministic round-to-round.
+        last = DRIVER_LAST_GREEN.get(name)
+        rank = 0 if last is None else (last if last < 0 else 1 + last)
+        return (rank, registry_pos[name])
+
+    rest = sorted((n for n in QUERIES if n not in head), key=sort_key)
     return head + rest
 
 

@@ -181,7 +181,7 @@ WITH cohort AS (
 rev AS (
   SELECT c.cohort,
     (CAST(date_trunc('week', e.ts) AS DATE) - c.cohort) // 7 AS age_weeks,
-    SUM(CAST(floor(e.value * 1e6 + 0.5) AS BIGINT)) AS rev_micro
+    CAST(SUM(CAST(floor(e.value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
   FROM events e JOIN cohort c ON e.user_id = c.user_id
   WHERE e.event_type = 'purchase'
   GROUP BY 1, 2

@@ -1931,7 +1931,8 @@ mapping AS (
   FROM loads WHERE load > {half}
 ),
 mloads AS (
-  SELECT merged_id, SUM(load) AS merged_load FROM mapping GROUP BY merged_id
+  SELECT merged_id, CAST(SUM(load) AS BIGINT) AS merged_load
+  FROM mapping GROUP BY merged_id
 )
 SELECT p.window_id, p.doc_id, p.n_chars, p.bin_idx,
        mp.merged_id, ml.merged_load

@@ -216,7 +216,7 @@ def q_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BOLLINGER_BREAKOUT = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-    SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS x
+    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ),
 stats AS (
