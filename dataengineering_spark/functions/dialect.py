@@ -19,12 +19,20 @@ S2/S6 runners accept them unchanged:
   TSV...`` → stripped and returned separately (the reader/writer layer
   owns formats, ``sources/io.py``)
 
+- ``arrayJoin(expr) [AS alias]`` in the top-level SELECT list →
+  ``LATERAL VIEW explode(expr)`` (exactly one call; nested/multiple
+  uses raise — ClickHouse's multi-arrayJoin cartesian semantics are a
+  deliberate non-goal)
+- ``toStartOfWeek`` → a Sunday-start expression (ClickHouse mode 0 is
+  Sunday-first; a bare ``date_trunc('week')`` would be Monday-first)
+- nested same-name calls translate fully: the rewrite loops to a
+  fixpoint (``toUInt64(coalesce(toUInt64(x), 0))`` both convert)
+
 Deliberately NOT translated (raise ``ValueError`` pointing at the
 native operator): ``replaceRegexpOne`` (Spark's ``regexp_replace``
 replaces ALL matches — the one reference use, the Ripple block parse
 at ``clickhouse/utils.py``, is implemented natively in
-``functions/scalars.py``), and ``arrayJoin`` (use LATERAL VIEW
-``explode`` — a clause-level rewrite no function map can do safely).
+``functions/scalars.py``).
 
 This is a pragmatic word-boundary rewriter for the reference's query
 shapes, not a full SQL parser: function names inside string literals
@@ -36,7 +44,9 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-# simple name-for-name rewrites (CH is case-sensitive for these)
+# simple name-for-name rewrites (CH is case-sensitive for these).
+# Rename targets must never re-match a ClickHouse source name — the
+# translation core loops to a fixpoint to handle nested calls.
 _RENAMES = {
     "toDate": "to_date",
     "toDateTime": "to_timestamp",
@@ -46,12 +56,9 @@ _RENAMES = {
     "now": "current_timestamp",
     "today": "current_date",
     "countIf": "count_if",
-    "uniq": "approx_count_distinct",
-    "toStartOfDay": "date_trunc('DAY', ",  # handled specially below
     "lowerUTF8": "lower",
     "upperUTF8": "upper",
     "ifNull": "coalesce",
-    "assumeNotNull": "",  # no-op wrapper in Spark (nullability hint only)
 }
 
 _INT_CASTS = {
@@ -65,9 +72,11 @@ _INT_CASTS = {
     "toInt8": "TINYINT",
 }
 
+# toStartOfWeek is NOT here: ClickHouse's default mode 0 means
+# Sunday-start weeks, while Spark date_trunc('week') is Monday-start —
+# it gets a dedicated Sunday-start render below.
 _TRUNCS = {
     "toStartOfDay": "day",
-    "toStartOfWeek": "week",
     "toStartOfMonth": "month",
     "toStartOfHour": "hour",
 }
@@ -77,7 +86,6 @@ _UNSUPPORTED = {
         "Spark regexp_replace replaces ALL matches; the reference's one "
         "use (Ripple block parse) is native — see functions/scalars.py"
     ),
-    "arrayJoin": "use LATERAL VIEW explode(...) — a clause-level rewrite",
 }
 
 _FORMAT_RE = re.compile(
@@ -166,24 +174,105 @@ def _split_args(args: str) -> list[str]:
     return parts
 
 
-def translate_clickhouse_sql(sql: str) -> TranslatedSQL:
-    """Rewrite a ClickHouse query into Spark SQL (see module doc)."""
-    fmt = None
-    m = _FORMAT_RE.search(sql)
-    if m:
-        fmt = m.group(1)
-        sql = sql[: m.start()]
+def _render_uniq(args: str) -> str:
+    """uniq(a) → approx_count_distinct(a); uniq(a, b, ...) estimates
+    distinct TUPLES in ClickHouse, so multi-arg forms struct()-wrap —
+    a blind rename would make Spark read the second argument as the
+    rsd precision parameter and silently change semantics."""
+    parts = _split_args(args)
+    if len(parts) <= 1:
+        return f"approx_count_distinct({args})"
+    return f"approx_count_distinct(struct({', '.join(parts)}))"
 
-    masked, lits = _mask_literals(sql)
 
-    for name, why in _UNSUPPORTED.items():
-        if re.search(rf"\b{name}\s*\(", masked):
-            raise ValueError(f"unsupported ClickHouse function {name}(): {why}")
+_CLAUSE_KEYWORDS = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION)\b",
+    re.IGNORECASE,
+)
 
+
+def _depth_at(text: str, idx: int) -> int:
+    return text.count("(", 0, idx) - text.count(")", 0, idx)
+
+
+def _rewrite_array_join(masked: str) -> str:
+    """arrayJoin(arr) in the SELECT list → LATERAL VIEW explode.
+
+    Deliberately narrow (the reference itself never uses arrayJoin —
+    this exists for migrating user queries): exactly ONE top-level
+    SELECT-list ``arrayJoin(expr) [AS alias]``; anything else
+    (multiple calls = ClickHouse cartesian semantics, subquery
+    placement, WHERE-clause use) raises with a pointer.
+    """
+    pat = re.compile(r"\barrayJoin\s*\(")
+    matches = list(pat.finditer(masked))
+    if not matches:
+        return masked
+    if len(matches) > 1:
+        raise ValueError(
+            "unsupported: multiple arrayJoin() calls (ClickHouse gives the "
+            "cartesian product) — rewrite as explicit LATERAL VIEW explode"
+        )
+    m = matches[0]
+    if _depth_at(masked, m.start()) != 0:
+        raise ValueError(
+            "unsupported: arrayJoin() outside the top-level SELECT list — "
+            "rewrite as LATERAL VIEW explode in the subquery"
+        )
+    sel = re.search(r"\bSELECT\b", masked, re.IGNORECASE)
+    frm = None
+    for fm in re.finditer(r"\bFROM\b", masked, re.IGNORECASE):
+        if _depth_at(masked, fm.start()) == 0:
+            frm = fm
+            break
+    if not sel or not frm or not (sel.end() <= m.start() < frm.start()):
+        raise ValueError(
+            "unsupported: arrayJoin() must appear in the top-level SELECT "
+            "list — rewrite as LATERAL VIEW explode"
+        )
+    open_idx = masked.index("(", m.start())
+    end = _balanced_arg(masked, open_idx)
+    arr_expr = masked[open_idx + 1 : end - 1].strip()
+    alias_m = re.match(r"\s+AS\s+(\w+)", masked[end:], re.IGNORECASE)
+    if alias_m:
+        alias = alias_m.group(1)
+        call_end = end + alias_m.end()
+    else:
+        alias = "aj"
+        call_end = end
+    # swap the call (+ AS clause) for a plain column reference
+    body = masked[: m.start()] + alias + masked[call_end:]
+    # insert the LATERAL VIEW after the FROM-clause table expression:
+    # just before the first top-level clause keyword after FROM, else at
+    # the end of the statement.
+    frm2 = None
+    for fm in re.finditer(r"\bFROM\b", body, re.IGNORECASE):
+        if _depth_at(body, fm.start()) == 0:
+            frm2 = fm
+            break
+    insert_at = len(body.rstrip().rstrip(";"))
+    for kw in _CLAUSE_KEYWORDS.finditer(body, frm2.end()):
+        if _depth_at(body, kw.start()) == 0:
+            insert_at = kw.start()
+            break
+    lv = f" LATERAL VIEW explode({arr_expr}) _aj AS {alias} "
+    return body[:insert_at].rstrip() + lv + body[insert_at:]
+
+
+def _translate_once(masked: str) -> str:
+    """One pass of every function-level rewrite."""
     for name, unit in _TRUNCS.items():
         masked = _rewrite_call(
             masked, name, lambda a, u=unit: f"date_trunc('{u}', {a})"
         )
+    # ClickHouse toStartOfWeek defaults to mode 0 = Sunday-start weeks;
+    # Spark date_trunc('week') truncates to Monday.  Shift by one day on
+    # the way in and back out so every Sunday lands in its own week.
+    masked = _rewrite_call(
+        masked,
+        "toStartOfWeek",
+        lambda a: f"date_sub(date_trunc('week', date_add(to_date({a}), 1)), 1)",
+    )
     for name, sqltype in _INT_CASTS.items():
         masked = _rewrite_call(
             masked, name, lambda a, t=sqltype: f"CAST({a} AS {t})"
@@ -205,12 +294,42 @@ def translate_clickhouse_sql(sql: str) -> TranslatedSQL:
     masked = _rewrite_call(
         masked, "uniqExact", lambda a: f"count(DISTINCT {a})"
     )
+    masked = _rewrite_call(masked, "uniq", _render_uniq)
     masked = _rewrite_call(masked, "multiIf", _render_multi_if)
+    # assumeNotNull is a nullability hint with no Spark equivalent —
+    # strip the wrapper, keep the argument parenthesized.
     masked = _rewrite_call(masked, "assumeNotNull", lambda a: f"({a})")
     for src, dst in _RENAMES.items():
-        if src in ("toStartOfDay", "assumeNotNull"):
-            continue  # handled above
         masked = re.sub(rf"\b{src}\s*\(", f"{dst}(", masked)
+    return masked
+
+
+def translate_clickhouse_sql(sql: str) -> TranslatedSQL:
+    """Rewrite a ClickHouse query into Spark SQL (see module doc)."""
+    fmt = None
+    m = _FORMAT_RE.search(sql)
+    if m:
+        fmt = m.group(1)
+        sql = sql[: m.start()]
+
+    masked, lits = _mask_literals(sql)
+
+    for name, why in _UNSUPPORTED.items():
+        if re.search(rf"\b{name}\s*\(", masked):
+            raise ValueError(f"unsupported ClickHouse function {name}(): {why}")
+
+    masked = _rewrite_array_join(masked)
+
+    # Loop to a fixpoint so nested same-name calls translate too —
+    # a single pass emits argument text verbatim, leaving e.g. the
+    # inner toUInt64 of toUInt64(coalesce(toUInt64(x), 0)) untouched.
+    for _ in range(10):
+        before = masked
+        masked = _translate_once(masked)
+        if masked == before:
+            break
+    else:
+        raise ValueError("dialect rewrite did not converge (10 passes)")
 
     return TranslatedSQL(sql=_unmask(masked, lits).strip(), format=fmt)
 

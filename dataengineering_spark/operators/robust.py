@@ -52,8 +52,17 @@ def discrete_pcts(
             ],
         )
     )
-    data = df.repartitionByRange(key, val, tie).withColumn(
-        "pid", F.spark_partition_id()
+    from dataengineering_spark.caching import persist_tracked
+
+    # Both the offsets branch and the ranked branch below read this
+    # ranged layout; correctness requires them to see IDENTICAL sampled
+    # range bounds.  Exchange reuse usually deduplicates the shuffle,
+    # but AQE/plan changes can break that — persist pins the layout
+    # (same known repo hazard as global_discrete_pcts / global_cumsum).
+    data = persist_tracked(
+        df.repartitionByRange(key, val, tie).withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     w_off = (
         Window.partitionBy(key).orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

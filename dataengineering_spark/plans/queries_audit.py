@@ -87,32 +87,32 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REFERENTIAL_AUDIT = """
 SELECT 'lineitem->orders' AS edge, COUNT(*) AS child_rows,
   COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphans,
-  CAST((COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) * 1000000)
-       // COUNT(*) AS BIGINT) AS orphan_ppm
+  CAST(COALESCE((COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) * 1000000)
+       // NULLIF(COUNT(*), 0), 0) AS BIGINT) AS orphan_ppm
 FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 UNION ALL
 SELECT 'lineitem->part', COUNT(*),
   COUNT(*) FILTER (WHERE p.p_partkey IS NULL),
-  CAST((COUNT(*) FILTER (WHERE p.p_partkey IS NULL) * 1000000)
-       // COUNT(*) AS BIGINT)
+  CAST(COALESCE((COUNT(*) FILTER (WHERE p.p_partkey IS NULL) * 1000000)
+       // NULLIF(COUNT(*), 0), 0) AS BIGINT)
 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 UNION ALL
 SELECT 'lineitem->supplier', COUNT(*),
   COUNT(*) FILTER (WHERE s.s_suppkey IS NULL),
-  CAST((COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) * 1000000)
-       // COUNT(*) AS BIGINT)
+  CAST(COALESCE((COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) * 1000000)
+       // NULLIF(COUNT(*), 0), 0) AS BIGINT)
 FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
 UNION ALL
 SELECT 'orders->customer', COUNT(*),
   COUNT(*) FILTER (WHERE c.c_custkey IS NULL),
-  CAST((COUNT(*) FILTER (WHERE c.c_custkey IS NULL) * 1000000)
-       // COUNT(*) AS BIGINT)
+  CAST(COALESCE((COUNT(*) FILTER (WHERE c.c_custkey IS NULL) * 1000000)
+       // NULLIF(COUNT(*), 0), 0) AS BIGINT)
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'customer->nation', COUNT(*),
   COUNT(*) FILTER (WHERE n.n_nationkey IS NULL),
-  CAST((COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) * 1000000)
-       // COUNT(*) AS BIGINT)
+  CAST(COALESCE((COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) * 1000000)
+       // NULLIF(COUNT(*), 0), 0) AS BIGINT)
 FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 

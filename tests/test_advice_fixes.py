@@ -72,3 +72,31 @@ def test_asof_join_rejects_reserved_column_names(spark):
             "t",
             ["v"],
         )
+
+
+def test_discrete_pcts_pins_ranged_layout(spark):
+    """discrete_pcts' offsets and ranked branches must read IDENTICAL
+    sampled range bounds; the builder persists the ranged layout (same
+    hazard class as global_discrete_pcts) instead of relying on
+    exchange reuse, which AQE can break (round-5 ADVICE)."""
+    from dataengineering_spark.caching import release_tracked, tracked_count
+    from dataengineering_spark.operators.robust import discrete_pcts
+
+    release_tracked()
+    df = spark.range(1000).selectExpr(
+        "id % 3 AS k", "id * 7 % 101 AS v", "id AS tie"
+    )
+    out = discrete_pcts(df, "k", "v", "tie", (0.5,), ("med",))
+    assert tracked_count() >= 1, "ranged layout not persisted"
+    rows = {r["k"]: r["med"] for r in out.collect()}
+    # oracle: exact percentile_disc per key computed in plain Python
+    import collections
+
+    groups = collections.defaultdict(list)
+    for i in range(1000):
+        groups[i % 3].append((i * 7 % 101, i))
+    for k, vals in groups.items():
+        vals.sort()
+        want = vals[(len(vals) - 1) // 2][0]
+        assert rows[k] == want, (k, rows[k], want)
+    assert release_tracked() >= 1

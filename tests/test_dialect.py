@@ -106,8 +106,13 @@ def test_unsupported_raises_with_pointer():
         translate_clickhouse_sql(
             r"SELECT replaceRegexpOne(transaction_id, '\d-', '') FROM t"
         )
+    # multiple arrayJoins = ClickHouse cartesian semantics: still raises
     with pytest.raises(ValueError, match="arrayJoin"):
-        translate_clickhouse_sql("SELECT arrayJoin(xs) FROM t")
+        translate_clickhouse_sql("SELECT arrayJoin(xs), arrayJoin(ys) FROM t")
+    with pytest.raises(ValueError, match="arrayJoin"):
+        translate_clickhouse_sql(
+            "SELECT * FROM (SELECT arrayJoin(xs) FROM t)"
+        )
 
 
 def test_sql_file_clickhouse_dialect(spark, master_view, tmp_path):
@@ -122,3 +127,88 @@ def test_sql_file_clickhouse_dialect(spark, master_view, tmp_path):
     assert len(r) == 2
     assert str(r[0].collect()[0]["block_date"]) == "2024-01-05"
     assert r[1].collect()[0]["block"] == 42
+
+
+# --- round-6 additions: ADVICE fixes + arrayJoin clause rewrite ------------
+
+
+def test_to_start_of_week_is_sunday_start(spark):
+    # ClickHouse toStartOfWeek mode 0: Sunday-first.  2024-01-07 is a
+    # Sunday and must map to ITSELF, not to Monday 2024-01-01 or -08.
+    out = run_clickhouse_sql(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-01-07')) AS sun,"
+        " toStartOfWeek(toDate('2024-01-06')) AS sat,"
+        " toStartOfWeek(toDate('2024-01-08')) AS mon",
+    ).collect()[0]
+    assert str(out["sun"]) == "2024-01-07"  # Sunday starts its own week
+    assert str(out["sat"]) == "2023-12-31"  # Saturday belongs to prior Sunday
+    assert str(out["mon"]) == "2024-01-07"  # Monday follows its Sunday
+
+
+def test_nested_same_name_calls_converge(spark):
+    # One-pass rewriters leave the inner call untranslated (undefined
+    # function at spark.sql) — the fixpoint loop must convert both.
+    t = translate_clickhouse_sql("SELECT toUInt64(coalesce(toUInt64(x), 0)) AS v FROM t")
+    assert "toUInt64" not in t.sql
+    assert t.sql.count("CAST") == 2
+    t2 = translate_clickhouse_sql(
+        "SELECT multiIf(a, multiIf(b, 1, 2), 3) AS v FROM t"
+    )
+    assert "multiIf" not in t2.sql
+
+
+def test_uniq_multi_arg_counts_tuples(spark, master_view):
+    # uniq(a, b) estimates distinct PAIRS; a blind rename would feed b
+    # to approx_count_distinct as the rsd parameter.
+    out = run_clickhouse_sql(
+        spark, "SELECT uniq(symbol, block) AS u FROM ch_master"
+    ).collect()[0]
+    assert out["u"] == 3  # 3 distinct (symbol, block) pairs
+    t = translate_clickhouse_sql("SELECT uniq(a, b) FROM t")
+    assert "struct(a, b)" in t.sql
+
+
+def test_array_join_lateral_view(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, array(10, 20)), (2, array(30)) AS t(id, xs)"
+    ).createOrReplaceTempView("aj_t")
+    rows = run_clickhouse_sql(
+        spark,
+        "SELECT id, arrayJoin(xs) AS x FROM aj_t WHERE id >= 1 ORDER BY id, x",
+    ).collect()
+    assert [(r["id"], r["x"]) for r in rows] == [(1, 10), (1, 20), (2, 30)]
+    # bare form gets a generated alias
+    rows2 = run_clickhouse_sql(
+        spark, "SELECT arrayJoin(xs) FROM aj_t ORDER BY aj"
+    ).collect()
+    assert [r["aj"] for r in rows2] == [10, 20, 30]
+
+
+def test_array_join_through_sql_file_oracle(spark, duck, tmp_path):
+    # oracle-checked route: same exploded aggregation in DuckDB UNNEST
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "toks": [["a", "b"], ["b"], ["a", "b", "c"]]}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("aj_docs")
+    p = tmp_path / "aj.sql"
+    p.write_text(
+        "SELECT tok, count(*) AS n FROM aj_docs"
+        " LATERAL VIEW explode(toks) _x AS tok GROUP BY tok;\n"
+        "SELECT arrayJoin(toks) AS tok FROM aj_docs;\n"
+    )
+    from dataengineering_spark.sources.io import run_sql_file
+
+    r = run_sql_file(spark, str(p), dialect="clickhouse")
+    got = sorted((row["tok"], row["n"]) for row in r[0].collect())
+    want = duck.sql(
+        "SELECT tok, count(*) FROM (SELECT UNNEST(toks) AS tok FROM "
+        "(VALUES (['a','b']), (['b']), (['a','b','c'])) d(toks)) "
+        "GROUP BY tok ORDER BY tok"
+    ).fetchall()
+    assert got == [(t, n) for t, n in want]
+    assert sorted(row["tok"] for row in r[1].collect()) == [
+        "a", "a", "b", "b", "b", "c",
+    ]
