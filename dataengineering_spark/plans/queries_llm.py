@@ -1812,7 +1812,18 @@ FROM f
 # ===========================================================================
 
 PACK_BUDGET = 4000
-PACK_WINDOWS = 8
+# Fixed window SIZE, not fixed window COUNT: pack_bins_ffd's contract is
+# "bounded items per window" — windowing by doc_id % K keeps K windows
+# whose membership grows with the corpus, so the per-window FFD scan
+# (O(items × bins)) goes quadratic at scale (the round-6 sf10 run
+# measured 14× wall for 10× rows). doc_id div W gives a window count
+# that grows with the data and constant per-window work. W=250 keeps
+# ≥2 windows at the driver's sf0.01 (500 docs), so the cross-window
+# merge pass stays exercised by the correctness gate, and measured
+# best among W ∈ {64,125,250,625} at sf10 (3.3 s vs 35.4 s pre-fix —
+# small W pays applyInPandas group-count overhead, huge W refills the
+# quadratic per-window scan).
+PACK_WINDOW_SIZE = 250
 
 
 def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1821,7 +1832,7 @@ def q_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "n_chars",
-        (F.col("doc_id") % PACK_WINDOWS).alias("window_id"),
+        F.expr(f"doc_id div {PACK_WINDOW_SIZE}").alias("window_id"),
     )
     return pack_bins_ffd(
         docs,
@@ -1843,9 +1854,9 @@ def _ffd_fit(item_size: str = "it.n_chars") -> str:
 
 SQL_BIN_PACKING = f"""
 WITH RECURSIVE it AS (
-  SELECT doc_id % {PACK_WINDOWS} AS window_id, doc_id, n_chars,
+  SELECT doc_id // {PACK_WINDOW_SIZE} AS window_id, doc_id, n_chars,
          ROW_NUMBER() OVER (
-           PARTITION BY doc_id % {PACK_WINDOWS}
+           PARTITION BY doc_id // {PACK_WINDOW_SIZE}
            ORDER BY n_chars DESC, doc_id
          ) AS rn
   FROM documents
