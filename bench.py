@@ -83,6 +83,12 @@ HEADLINE = (
     "topk_churn",
     "growth_accounting",
     "sla_percentiles",
+    # round-6 additions
+    "shipmode_priority",
+    "promo_revenue_monthly",
+    "ngram_novelty",
+    "prefix_dedup",
+    "embedding_norm_hist",
 )
 
 

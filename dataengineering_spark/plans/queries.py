@@ -757,6 +757,11 @@ def _register_extra_queries() -> None:
         AUDIT_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
+            # a repeated name would silently shadow the earlier query in
+            # queries()/oracle_sql() (found the hard way with a second
+            # promo_revenue, round 6) — fail at import instead
+            if name in QUERIES:
+                raise ValueError(f"duplicate registry query name: {name}")
             QUERIES[name] = QuerySpec(fn, sql, ref)
 
 

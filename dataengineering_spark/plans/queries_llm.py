@@ -26,6 +26,7 @@ from dataengineering_spark.functions.text import (
     bpe_token_count,
     detect_lang,
     fingerprint,
+    normalize_text,
     punct_count,
     quality_score,
     stopword_count,
@@ -2798,6 +2799,170 @@ FROM flagged GROUP BY doc_id
 """
 
 
+
+# ===========================================================================
+# Q: ngram_novelty — per-document share of word-bigram shingles this
+# document INTRODUCED to the corpus (first occurrence by doc_id order).
+# A low introduced-share marks boilerplate-heavy or near-duplicate
+# documents; the metric is the streaming-dedup view of the same shingle
+# space minhash_lsh banded. Plan: one normalize+shingle pass (the same
+# explode+codegen shape as the dedup suite), groupBy shingle → min
+# doc_id (map-side combine shrinks this to |vocab|), broadcast-free
+# shuffle join back on the shingle, per-doc conditional count. Ratio is
+# integer ppm so the oracle compares exactly.
+# ===========================================================================
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+    from dataengineering_spark.operators.dedup import exploded_shingles
+
+    docs = _docs(spark, sf_dir)
+    # 3-word shingles through the dedup suite's codegen explode shape —
+    # an inline transform() lambda here evaluates interpreted
+    # (~2 ms/element) and benched 23 s at sf0.1 vs sub-second for this
+    # plan. distinct() matches the oracle's list_distinct per doc;
+    # persist because both the first-occurrence agg and the join-back
+    # re-reference the frame.
+    grams = persist_tracked(
+        exploded_shingles(docs, "doc_id", "text", n=3)
+        .select("doc_id", F.col("shingle").alias("g"))
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("introduced"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "introduced",
+        F.expr("introduced * 1000000 div n_grams").alias("novelty_ppm"),
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+w AS (SELECT doc_id, string_split(nt, ' ') AS words FROM norm),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                             i -> array_to_string(words[i:i+2], ' '))
+    END) AS sh
+  FROM w
+),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      AS introduced
+  FROM grams JOIN first USING (g)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, introduced,
+  CAST(introduced * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+FROM per_doc
+"""
+
+
+# ===========================================================================
+# Q: prefix_dedup — boilerplate-prefix clusters: documents sharing an
+# identical 64-char normalized prefix (the cheap first-pass filter web
+# pipelines run before shingle dedup). Key is md5 of the prefix so the
+# shuffle key is fixed-width; clusters of ≥2 report every member plus
+# the canonical (min doc_id) survivor flag. One scan + one groupBy +
+# one shuffle join on the digest — no windows, no driver state.
+# ===========================================================================
+
+
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.substring(normalize_text("text"), 1, 64))
+    keyed = docs.select("doc_id", key.alias("prefix_key"))
+    clusters = keyed.groupBy("prefix_key").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    ).filter(F.col("cluster_size") >= 2)
+    return (
+        keyed.join(clusters, "prefix_key")
+        .select(
+            "doc_id",
+            "prefix_key",
+            "cluster_size",
+            (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
+        )
+    )
+
+
+SQL_PREFIX_DEDUP = f"""
+WITH keyed AS (
+  SELECT doc_id, md5(substr({NORM_SQL}, 1, 64)) AS prefix_key
+  FROM documents
+),
+clusters AS (
+  SELECT prefix_key, COUNT(*) AS cluster_size,
+         MIN(doc_id) AS canonical_doc
+  FROM keyed GROUP BY prefix_key HAVING COUNT(*) >= 2
+)
+SELECT k.doc_id, k.prefix_key, c.cluster_size,
+       k.doc_id = c.canonical_doc AS is_canonical
+FROM keyed k JOIN clusters c USING (prefix_key)
+"""
+
+
+# ===========================================================================
+# Q: embedding_norm_hist — corpus-health histogram of embedding L2
+# norms (collapsed or exploding norms are the first symptom of a bad
+# encoder run). All math is integer: each component quantizes to
+# round(x*1000) and the squared-norm sums those squares, so bucket
+# edges are bit-identical across engines regardless of summation
+# order. Single scan, JVM-side aggregate over the array, tiny result.
+# ===========================================================================
+
+
+def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+    ssq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + q(x) * q(x),
+    )
+    return (
+        emb.select("vec_id", (ssq / F.lit(1000000)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+    )
+
+
+SQL_EMBEDDING_NORM_HIST = """
+WITH q AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+      AS BIGINT) AS ssq
+  FROM embeddings
+)
+SELECT CAST(ssq // 1000000 AS BIGINT) AS bucket, COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+FROM q GROUP BY 1
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "span_dedup": (
         q_span_dedup,
@@ -2914,6 +3079,13 @@ LLM_QUERIES: dict[str, tuple] = {
         "north-star:MinHash estimator audit",
     ),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY, "north-star:dedup"),
+    "prefix_dedup": (q_prefix_dedup, SQL_PREFIX_DEDUP, "north-star:dedup"),
+    "embedding_norm_hist": (
+        q_embedding_norm_hist,
+        SQL_EMBEDDING_NORM_HIST,
+        "north-star:similarity diagnostics",
+    ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS, "north-star:dedup"),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP, "north-star:dedup"),

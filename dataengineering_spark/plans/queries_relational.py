@@ -1050,6 +1050,98 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+
+# ===========================================================================
+# Q: shipmode_priority — TPC-H Q12 shape: lineitem⋈orders shuffle join,
+# late-shipment predicate, per-mode conditional priority census. The
+# corpus has no l_shipmode/commitdate/receiptdate, so the mode is a
+# deterministic l_linenumber bucket and "late" is shipdate ≥ 60 days
+# after the order date (same join/filter/conditional-agg plan as Q12).
+# ===========================================================================
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    mode = F.element_at(
+        F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("AIR")),
+        (F.col("l_linenumber") % 3 + 1).cast("int"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select(mode.alias("ship_mode"), high.alias("_high"))
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT
+  ['MAIL', 'SHIP', 'AIR'][l_linenumber % 3 + 1] AS ship_mode,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+# ===========================================================================
+# Q: promo_revenue_monthly — TPC-H Q14 shape per ship month (the
+# one-row classic lives in queries_analytics.promo_revenue); lineitem⋈
+# part with part broadcast. Both ratio operands route
+# through DECIMAL(18,6) so the final double division is deterministic.
+# ===========================================================================
+
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(dsum(promo_rev, "_promo"), dsum(rev, "_total"))
+    )
+    return agg.select(
+        "ship_month",
+        (F.lit(100.0) * F.col("_promo") / F.col("_total")).alias("promo_pct"),
+    )
+
+
+SQL_PROMO_REVENUE_MONTHLY = f"""
+SELECT
+  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+  100.0 * {DSUM.format(e="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+        / {DSUM.format(e="l_extendedprice * (1.0 - l_discount)")} AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "late_order_priority": (
         q_late_order_priority,
@@ -1062,6 +1154,16 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         q_asof_join_nulls,
         SQL_ASOF_JOIN_NULLS,
         "as-of join NULL-value row semantics",
+    ),
+    "shipmode_priority": (
+        q_shipmode_priority,
+        SQL_SHIPMODE_PRIORITY,
+        "TPC-H Q12 shape",
+    ),
+    "promo_revenue_monthly": (
+        q_promo_revenue_monthly,
+        SQL_PROMO_REVENUE_MONTHLY,
+        "TPC-H Q14 shape, per-month",
     ),
     "market_share": (q_market_share, SQL_MARKET_SHARE, "TPC-H Q8 shape"),
     "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT, "TPC-H Q9 shape"),

@@ -16,7 +16,18 @@ def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_ORACLE)
     rel = duck.sql(spec.sql)
-    assert_frames_match(sdf, rel)
+    try:
+        assert_frames_match(sdf, rel)
+    finally:
+        # Operators that pin a partitioning (discrete_pcts, chunking,
+        # global rank/cumsum) persist_tracked their layouts; without a
+        # release here the suite accumulates one cache per query AND
+        # Spark's cache manager starts substituting those
+        # InMemoryRelations into later queries' identical subtrees,
+        # which breaks the plan-shape guards order-dependently.
+        from dataengineering_spark.caching import release_tracked
+
+        release_tracked()
 
 
 def test_all_queries_have_fn():

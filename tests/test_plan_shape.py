@@ -139,6 +139,18 @@ def test_value_percentiles_single_range_exchange(spark):
     persisted instead (see operators/chunking.py for that pattern)."""
     from dataengineering_spark.plans.queries_analytics import q_value_percentiles
 
+    # Other operators (discrete_pcts et al.) persist_tracked the SAME
+    # repartitionByRange(event_type, value, event_id) layout; if one ran
+    # earlier this session, Spark's cache manager substitutes that
+    # InMemoryRelation into this query's subtrees and the exchange-reuse
+    # shape below disappears (still correct — even more strongly pinned —
+    # but not the clean-session plan the driver executes). Clear caches
+    # so the guard checks the shape that actually ships.
+    from dataengineering_spark.caching import release_tracked
+
+    release_tracked()
+    spark.catalog.clearCache()
+
     df = q_value_percentiles(spark, SF_ORACLE)
     df.collect()  # AQE reuse is a runtime decision — inspect the final plan
     plan = plan_of(df)
