@@ -1,0 +1,68 @@
+"""The mechanical driver-window rotation contract (VERDICT r5 #1/#4).
+
+The external driver checks only the FIRST 50 entries of queries();
+ordering comes from the committed DRIVER_LAST_GREEN map: red (checked,
+never green) first, never-checked next, then green stalest-first, ties
+in registry order. These tests pin that contract and keep the committed
+map in sync with the CORRECTNESS_r*.json files it derives from.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from dataengineering_spark.plans.driver_rounds import DRIVER_LAST_GREEN
+from dataengineering_spark.plans.queries import QUERIES, _ordered_names
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rank(name: str) -> int:
+    last = DRIVER_LAST_GREEN.get(name)
+    return 0 if last is None else (last if last < 0 else 1 + last)
+
+
+def test_ordering_is_red_then_never_then_stalest():
+    names = _ordered_names()
+    assert sorted(names) == sorted(QUERIES), "ordering must be a permutation"
+    ranks = [_rank(n) for n in names]
+    assert ranks == sorted(ranks), "rank order violated"
+    # ties break on registry position (deterministic window round-to-round)
+    pos = {n: i for i, n in enumerate(QUERIES)}
+    for a, b in zip(names, names[1:]):
+        if _rank(a) == _rank(b):
+            assert pos[a] < pos[b], (a, b)
+
+
+def test_window_targets_weakest_evidence():
+    window = _ordered_names()[:50]
+    reds = [n for n in QUERIES if DRIVER_LAST_GREEN.get(n, 0) < 0]
+    never = [n for n in QUERIES if n not in DRIVER_LAST_GREEN]
+    for n in reds:
+        assert n in window, f"red query {n} must be re-checked first"
+    # never-checked queries fill the window before any green rotates in
+    n_free = 50 - len(reds)
+    expect_never = min(n_free, len(never))
+    assert sum(1 for n in window if n in never) == expect_never
+
+
+def test_committed_map_matches_correctness_files():
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from rebuild_driver_priority import compute_last_green
+
+    assert compute_last_green() == DRIVER_LAST_GREEN, (
+        "driver_rounds.py is stale — run scripts/rebuild_driver_priority.py"
+    )
+
+
+def test_every_query_has_an_oracle():
+    from dataengineering_spark.plans.queries import get_oracle_sql
+
+    missing = [n for n, s in QUERIES.items() if s.sql is None]
+    # non-SQL-expressible ops are allowed, but must be deliberate: today
+    # the registry is 100% oracle-backed — extend this list consciously
+    assert missing == [], missing
+    assert len(get_oracle_sql()) == len(QUERIES)
