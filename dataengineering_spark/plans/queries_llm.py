@@ -2885,9 +2885,15 @@ FROM per_doc
 
 
 def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+
     docs = _docs(spark, sf_dir)
     key = F.md5(F.substring(normalize_text("text"), 1, 64))
-    keyed = docs.select("doc_id", key.alias("prefix_key"))
+    # both the clusters branch and the join-back re-reference this
+    # frame; without the persist each branch re-runs the regex
+    # normalize over the full corpus (the dominant cost — measured 2×
+    # at sf10). 40 bytes/doc: cache is corpus-count-bounded, tiny.
+    keyed = persist_tracked(docs.select("doc_id", key.alias("prefix_key")))
     clusters = keyed.groupBy("prefix_key").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("doc_id").alias("canonical_doc"),
