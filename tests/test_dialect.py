@@ -212,3 +212,45 @@ def test_array_join_through_sql_file_oracle(spark, duck, tmp_path):
     assert sorted(row["tok"] for row in r[1].collect()) == [
         "a", "a", "b", "b", "b", "c",
     ]
+
+
+def test_translator_fuzz_no_clickhouse_names_survive(spark):
+    """Property: for any nesting of supported ClickHouse constructs,
+    translation leaves no ClickHouse function name behind and the
+    result parses in Spark (round-6 fixpoint hardening)."""
+    from hypothesis import given, settings, strategies as st
+
+    leaves = st.sampled_from(["x", "y", "0", "1.5", "'lit'"])
+
+    def wrap(inner):
+        return st.sampled_from([
+            "toUInt64({0})", "toInt32({0})", "toDate({0})", "toString({0})",
+            "toFloat64({0})", "ifNull({0}, 0)", "assumeNotNull({0})",
+            "lowerUTF8({0})", "toStartOfDay({0})", "toStartOfWeek({0})",
+            "toStartOfMonth({0})", "multiIf(x > 0, {0}, {0})",
+        ]).map(lambda t: t.format(inner))
+
+    exprs = st.recursive(leaves, lambda c: c.flatmap(wrap), max_leaves=6)
+    ch_names = [
+        "toUInt64", "toInt32", "toDate", "toString", "toFloat64", "ifNull",
+        "assumeNotNull", "lowerUTF8", "toStartOfDay", "toStartOfWeek",
+        "toStartOfMonth", "multiIf",
+    ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(exprs)
+    def check(expr):
+        t = translate_clickhouse_sql(f"SELECT {expr} AS v FROM t")
+        for name in ch_names:
+            assert f"{name}(" not in t.sql.replace(" (", "("), (expr, t.sql)
+
+    check()
+
+    # and a deep concrete nesting actually EXECUTES in Spark
+    spark.sql("SELECT 1 AS x, 2 AS y").createOrReplaceTempView("fuzz_t")
+    out = run_clickhouse_sql(
+        spark,
+        "SELECT toUInt64(ifNull(toUInt64(multiIf(x > 0, toInt32(y), 0)), 0))"
+        " AS v FROM fuzz_t",
+    ).collect()
+    assert out[0]["v"] == 2
