@@ -88,6 +88,7 @@ HEADLINE = (
     "promo_revenue_monthly",
     "ngram_novelty",
     "prefix_dedup",
+    "content_dedup",
     "embedding_norm_hist",
 )
 

@@ -2925,6 +2925,48 @@ FROM keyed k JOIN clusters c USING (prefix_key)
 """
 
 
+
+# ===========================================================================
+# Q: content_dedup — full-content exact dedup census: one row per
+# document with its content digest (md5 of normalized text — the SAME
+# key streaming/dedup.content_dedup_stream states on, so the batch
+# backfill and the live stream are provably keyed identically),
+# duplicate-class size, and the deterministic canonical survivor
+# (min doc_id). groupBy digest + shuffle join back; no windows.
+# ===========================================================================
+
+
+def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.streaming.dedup import content_key
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select("doc_id", content_key("text").alias("ckey"))
+    classes = keyed.groupBy("ckey").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return keyed.join(classes, "ckey").select(
+        "doc_id",
+        "ckey",
+        "n_copies",
+        (F.col("doc_id") == F.col("canonical_doc")).alias("is_survivor"),
+    )
+
+
+SQL_CONTENT_DEDUP = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({NORM_SQL}) AS ckey FROM documents
+),
+classes AS (
+  SELECT ckey, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
+  FROM keyed GROUP BY ckey
+)
+SELECT k.doc_id, k.ckey, c.n_copies,
+       k.doc_id = c.canonical_doc AS is_survivor
+FROM keyed k JOIN classes c USING (ckey)
+"""
+
+
 # ===========================================================================
 # Q: embedding_norm_hist — corpus-health histogram of embedding L2
 # norms (collapsed or exploding norms are the first symptom of a bad
@@ -3087,6 +3129,7 @@ LLM_QUERIES: dict[str, tuple] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY, "north-star:dedup"),
     "prefix_dedup": (q_prefix_dedup, SQL_PREFIX_DEDUP, "north-star:dedup"),
+    "content_dedup": (q_content_dedup, SQL_CONTENT_DEDUP, "north-star:dedup, streaming-twin"),
     "embedding_norm_hist": (
         q_embedding_norm_hist,
         SQL_EMBEDDING_NORM_HIST,
