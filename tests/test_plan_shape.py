@@ -256,3 +256,37 @@ def test_ivfpq_scores_only_probed_cells(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_round6_query_plans_have_sane_shapes(spark):
+    """Round-6 additions: broadcast where a dim is small, no nested-loop
+    or cartesian anywhere, no single-partition exchange."""
+    from dataengineering_spark.caching import release_tracked
+
+    checks = {
+        # part is a dim → must broadcast into the lineitem scan
+        "promo_revenue_monthly": lambda p: "BroadcastHashJoin" in p,
+        # equi hash join on orderkey; at sf0.01 AQE legitimately
+        # broadcasts the 1996-filtered lineitem side (it's tiny after
+        # pushdown), at scale it stays a shuffle join — either is the
+        # right call, a nested loop never is
+        "shipmode_priority": lambda p: (
+            "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p
+        ),
+        # digest-keyed self-join: equi-join only
+        "prefix_dedup": lambda p: True,
+        "content_dedup": lambda p: True,
+        "ngram_novelty": lambda p: True,
+        "embedding_norm_hist": lambda p: True,
+    }
+    for name, extra in checks.items():
+        df = QUERIES[name].fn(spark, SF_ORACLE)
+        df.collect()
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "Exchange SinglePartition" not in p, name
+        assert extra(p), (name, p)
+        release_tracked()
