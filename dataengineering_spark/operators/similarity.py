@@ -793,6 +793,32 @@ def train_ivfpq_index(
         e.unpersist()
 
 
+def train_ivfpq(
+    corpus: DataFrame,
+    n_centroids: int,
+    coarse_iters: int,
+    m_sub: int,
+    k_sub: int,
+    pq_iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[list, dict]":
+    """:func:`train_ivfpq_index` over a RAW corpus frame — applies the
+    same (vec_id, v)-normalization + training spread ``ivfpq_topk``
+    uses, so an index trained here feeds ``ivfpq_topk(index=...)``
+    bit-identically to its internal training path."""
+    e = _spread_for_training(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    return train_ivfpq_index(
+        e, n_centroids, coarse_iters, m_sub, k_sub, pq_iters, dim
+    )
+
+
 def save_ivfpq_index(spark, path: str, index: "tuple[list, dict]") -> None:
     """Persist trained IVF-PQ artifacts as two parquet tables
     (centroids: cid → vector; codebooks: (m, code) → sub-vector) so
