@@ -2993,6 +2993,129 @@ FROM keyed k JOIN classes c USING (ckey)
 """
 
 
+
+# ===========================================================================
+# Q: dedup_rate_by_source — where do the duplicates come from? Exact
+# content classes (content_dedup's digest) rolled up per source:
+# docs, duplicate docs (non-survivors), and dup ppm. The mixture-
+# weighting decision this feeds is THE standard dedup follow-up in a
+# pretraining pipeline. One digest groupBy + one source rollup.
+# ===========================================================================
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.streaming.dedup import content_key
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select("doc_id", "source", content_key("text").alias("ckey"))
+    classes = keyed.groupBy("ckey").agg(F.min("doc_id").alias("canonical_doc"))
+    flagged = keyed.join(classes, "ckey").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("canonical_doc"), 0)
+        .otherwise(1)
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.expr("CAST(sum(is_dup) * 1000000 div count(1) AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5({NORM_SQL}) AS ckey FROM documents
+),
+classes AS (
+  SELECT ckey, MIN(doc_id) AS canonical_doc FROM keyed GROUP BY ckey
+),
+flagged AS (
+  SELECT source,
+    CASE WHEN k.doc_id = c.canonical_doc THEN 0 ELSE 1 END AS is_dup
+  FROM keyed k JOIN classes c USING (ckey)
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+  CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+FROM flagged GROUP BY source
+"""
+
+
+# ===========================================================================
+# Q: cluster_size_hist — how big do near-duplicate clusters get? The
+# minhash-LSH connected components (dedup_clusters, session-memoized
+# pair frame) rolled into a size histogram: one row per cluster size
+# with the number of clusters and docs at that size. The heavy tail of
+# this histogram is what boilerplate removal targets.
+# ===========================================================================
+
+
+def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q_dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+
+
+SQL_CLUSTER_SIZE_HIST = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component\nFROM reach GROUP BY src",
+    """SELECT cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM (
+  SELECT component, COUNT(*) AS cluster_size
+  FROM (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+  ) comp GROUP BY component
+) sizes GROUP BY cluster_size""",
+)
+
+
+# ===========================================================================
+# Q: source_lang_matrix — the (source × lang) contingency cube with
+# integer-ppm row shares: the first table anyone asks of a new corpus,
+# and the denominator audit for mixture sampling. Single scan, one
+# two-key groupBy; the per-source totals ride a window over the tiny
+# aggregated frame, never the doc stream.
+# ===========================================================================
+
+
+def q_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source")
+    return cell.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(n_docs * 1000000 div sum(n_docs) OVER"
+            " (PARTITION BY source) AS BIGINT)"
+        ).alias("source_share_ppm"),
+    )
+
+
+SQL_SOURCE_LANG_MATRIX = """
+WITH cell AS (
+  SELECT source, lang, COUNT(*) AS n_docs
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+  CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source)
+       AS BIGINT) AS source_share_ppm
+FROM cell
+"""
+
+
 # ===========================================================================
 # Q: embedding_norm_hist — corpus-health histogram of embedding L2
 # norms (collapsed or exploding norms are the first symptom of a bad
@@ -3156,6 +3279,21 @@ LLM_QUERIES: dict[str, tuple] = {
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY, "north-star:dedup"),
     "prefix_dedup": (q_prefix_dedup, SQL_PREFIX_DEDUP, "north-star:dedup"),
     "content_dedup": (q_content_dedup, SQL_CONTENT_DEDUP, "north-star:dedup, streaming-twin"),
+    "dedup_rate_by_source": (
+        q_dedup_rate_by_source,
+        SQL_DEDUP_RATE_BY_SOURCE,
+        "north-star:dedup, mixture audit",
+    ),
+    "cluster_size_hist": (
+        q_cluster_size_hist,
+        SQL_CLUSTER_SIZE_HIST,
+        "north-star:dedup cluster profile",
+    ),
+    "source_lang_matrix": (
+        q_source_lang_matrix,
+        SQL_SOURCE_LANG_MATRIX,
+        "north-star:corpus contingency cube",
+    ),
     "embedding_norm_hist": (
         q_embedding_norm_hist,
         SQL_EMBEDDING_NORM_HIST,
