@@ -2994,6 +2994,122 @@ FROM keyed k JOIN classes c USING (ckey)
 
 
 
+
+# ===========================================================================
+# Q: knn_label_accuracy — leave-one-out kNN label vote over the
+# embedding corpus: for each held-out query vector, do its 5 cosine
+# neighbors vote its own label? The standard embedding-quality eval
+# (a collapsed or shuffled encoder scores ~chance here). Reuses the
+# brute-force cosine rank (broadcast query side); the vote runs on the
+# 50×5 aggregated frame, never the corpus.
+# ===========================================================================
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    nn = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    voted = (
+        nn.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        voted.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("label").alias("true_label"),
+            "pred_label",
+            (F.col("label") == F.col("pred_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+SQL_KNN_LABEL_ACCURACY = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
+scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id, e.label,
+    list_dot_product(qv, e.v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+),
+voted AS (
+  SELECT query_id, true_label, label, COUNT(*) AS votes
+  FROM ranked WHERE rank <= 5
+  GROUP BY query_id, true_label, label
+),
+pred AS (
+  SELECT query_id, true_label, label AS pred_label,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY votes DESC, label ASC) AS r
+  FROM voted
+)
+SELECT query_id, true_label, pred_label,
+  CAST(true_label = pred_label AS INT) AS correct
+FROM pred WHERE r = 1
+"""
+
+
+# ===========================================================================
+# Q: ttr_by_source — type-token ratio per source (vocabulary richness;
+# templated/boilerplate sources score low). Token space is the
+# normalized word stream the text tier shares. Explode + two-level
+# agg; distinct-token counting shuffles on (source, token) with
+# map-side combine, never a full-corpus distinct.
+# ===========================================================================
+
+
+def q_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.expr(
+            "CAST(count(DISTINCT tok) * 1000000 div count(1) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+
+
+SQL_TTR_BY_SOURCE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_SQL}, ' ')) AS tok
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_tokens,
+  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+  CAST(COUNT(DISTINCT tok) * 1000000 // COUNT(*) AS BIGINT) AS ttr_ppm
+FROM toks GROUP BY source
+"""
+
+
 # ===========================================================================
 # Q: dedup_rate_by_source — where do the duplicates come from? Exact
 # content classes (content_dedup's digest) rolled up per source:
@@ -3293,6 +3409,16 @@ LLM_QUERIES: dict[str, tuple] = {
         q_source_lang_matrix,
         SQL_SOURCE_LANG_MATRIX,
         "north-star:corpus contingency cube",
+    ),
+    "knn_label_accuracy": (
+        q_knn_label_accuracy,
+        SQL_KNN_LABEL_ACCURACY,
+        "north-star:embedding-quality eval",
+    ),
+    "ttr_by_source": (
+        q_ttr_by_source,
+        SQL_TTR_BY_SOURCE,
+        "north-star:text vocabulary richness",
     ),
     "embedding_norm_hist": (
         q_embedding_norm_hist,
