@@ -777,7 +777,14 @@ _register_extra_queries()
 # green.  _DRIVER_PRIORITY remains only as an optional manual override that
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
-_DRIVER_PRIORITY: list[str] = []
+_DRIVER_PRIORITY: list[str] = [
+    # round-6 oracle fixes that MUST get driver confirmation this round:
+    # the HUGEINT casts found by the type-lattice gate (bin_packing_merged
+    # sorts first mechanically as the only red; these two were displaced
+    # past slot 50 by the round-6 registry additions)
+    "bollinger_breakout",
+    "ltv_cohorts",
+]
 
 def _ordered_names() -> list[str]:
     from dataengineering_spark.plans.driver_rounds import DRIVER_LAST_GREEN
