@@ -2965,8 +2965,15 @@ FROM keyed k JOIN clusters c USING (prefix_key)
 def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.streaming.dedup import content_key
 
+    from dataengineering_spark.caching import persist_tracked
+
     docs = _docs(spark, sf_dir)
-    keyed = docs.select("doc_id", content_key("text").alias("ckey"))
+    # the classes branch and the join-back both re-reference the keyed
+    # frame; persist or each re-runs the full-text normalize+md5 scan
+    # (the dominant cost — same fix as prefix_dedup, measured ~2x)
+    keyed = persist_tracked(
+        docs.select("doc_id", content_key("text").alias("ckey"))
+    )
     classes = keyed.groupBy("ckey").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("canonical_doc"),
@@ -3122,8 +3129,12 @@ FROM toks GROUP BY source
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.streaming.dedup import content_key
 
+    from dataengineering_spark.caching import persist_tracked
+
     docs = _docs(spark, sf_dir)
-    keyed = docs.select("doc_id", "source", content_key("text").alias("ckey"))
+    keyed = persist_tracked(
+        docs.select("doc_id", "source", content_key("text").alias("ckey"))
+    )
     classes = keyed.groupBy("ckey").agg(F.min("doc_id").alias("canonical_doc"))
     flagged = keyed.join(classes, "ckey").select(
         "source",
