@@ -44,7 +44,19 @@ def pack_bins_ffd(
 ) -> DataFrame:
     """(window_col, id_col, size_col, bin_idx): first-fit-decreasing
     bin assignment within each ``window_col`` group.  ``bin_idx`` is
-    0-based and window-scoped (global bin identity is the pair)."""
+    0-based and window-scoped (global bin identity is the pair).
+
+    Plan shape (the 100 TB lesson, round-6 sf100 probe): a
+    ``groupBy(window).applyInPandas`` pays per-GROUP Arrow/worker
+    overhead — at 20k windows that overhead alone was ~20 s, dwarfing
+    the packing itself.  Instead the windows are range-partitioned
+    (equal keys never split across range partitions) and sorted into
+    FFD order (window, size DESC, id) WITHIN each partition, and ONE
+    ``mapInPandas`` stream per partition walks the rows carrying
+    (current window, bin loads) across Arrow batches — per-group cost
+    becomes per-PARTITION cost.  Results are identical to the grouped
+    form: FFD state resets at every window boundary, so the assignment
+    depends only on the per-window row order, which the sort pins."""
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(
         [
@@ -54,31 +66,37 @@ def pack_bins_ffd(
             "bin_idx bigint",
         ]
     )
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [size_col, id_col], ascending=[False, True]
-        ).reset_index(drop=True)
-        loads: list[int] = []
-        assign: list[int] = []
-        for s in pdf[size_col]:
-            s = int(s)
-            for i, load in enumerate(loads):
-                if load + s <= budget:
-                    loads[i] = load + s
-                    assign.append(i)
-                    break
-            else:
-                assign.append(len(loads))
-                loads.append(s)
-        pdf["bin_idx"] = assign
-        return pdf[[window_col, id_col, size_col, "bin_idx"]]
-
-    return (
+    data = (
         df.select(window_col, id_col, size_col)
-        .groupBy(window_col)
-        .applyInPandas(_pack, schema=schema)
+        .repartitionByRange(window_col)
+        .sortWithinPartitions(
+            F.col(window_col), F.col(size_col).desc(), F.col(id_col)
+        )
     )
+
+    def _pack_stream(batches):
+        cur_w = None
+        loads: list[int] = []
+        for pdf in batches:
+            assign: list[int] = []
+            for w, s in zip(pdf[window_col], pdf[size_col]):
+                if w != cur_w:
+                    cur_w = w
+                    loads = []
+                s = int(s)
+                for i, load in enumerate(loads):
+                    if load + s <= budget:
+                        loads[i] = load + s
+                        assign.append(i)
+                        break
+                else:
+                    assign.append(len(loads))
+                    loads.append(s)
+            out = pdf[[window_col, id_col, size_col]].copy()
+            out["bin_idx"] = assign
+            yield out
+
+    return data.mapInPandas(_pack_stream, schema)
 
 
 def merge_underfilled_bins(
