@@ -192,3 +192,46 @@ def test_mixture_sample_is_nested_and_deterministic(spark):
         ).collect()
     }
     assert again == lo_ids
+
+
+def test_ffd_stream_state_survives_arrow_batch_boundaries(spark):
+    """pack_bins_ffd streams one mapInPandas per partition carrying
+    (window, loads) state ACROSS Arrow batches; force tiny batches so
+    every window straddles several and assert assignments still equal
+    a direct Python FFD replay."""
+    from dataengineering_spark.operators.packing import pack_bins_ffd
+
+    budget = 500
+    rows = [(i, i // 40, 30 + (i * 17) % 90) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, window_id long, n_chars long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            (r.window_id, r.doc_id): r.bin_idx
+            for r in pack_bins_ffd(
+                df, "window_id", "n_chars", "doc_id", budget
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # direct replay: per window, (size desc, id asc), first-fit
+    import collections
+
+    by_w = collections.defaultdict(list)
+    for doc_id, w, s in rows:
+        by_w[w].append((s, doc_id))
+    want = {}
+    for w, items in by_w.items():
+        loads: list[int] = []
+        for s, doc_id in sorted(items, key=lambda t: (-t[0], t[1])):
+            for i, load in enumerate(loads):
+                if load + s <= budget:
+                    loads[i] = load + s
+                    want[(w, doc_id)] = i
+                    break
+            else:
+                want[(w, doc_id)] = len(loads)
+                loads.append(s)
+    assert got == want
