@@ -777,27 +777,25 @@ _register_extra_queries()
 # green.  _DRIVER_PRIORITY remains only as an optional manual override that
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
-_DRIVER_PRIORITY: list[str] = [
-    # round-6 oracle fixes that MUST get driver confirmation this round:
-    # the HUGEINT casts found by the type-lattice gate (bin_packing_merged
-    # sorts first mechanically as the only red; these two were displaced
-    # past slot 50 by the round-6 registry additions)
-    "bollinger_breakout",
-    "ltv_cohorts",
-]
+_DRIVER_PRIORITY: list[str] = []
 
 def _ordered_names() -> list[str]:
-    from dataengineering_spark.plans.driver_rounds import DRIVER_LAST_GREEN
+    from dataengineering_spark.plans.driver_rounds import DRIVER_HISTORY
 
     head = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     registry_pos = {n: i for i, n in enumerate(QUERIES)}
 
     def sort_key(name: str) -> tuple[int, int]:
-        # red (checked, never green) -> -1: first.  never-checked -> 0: next.
-        # green -> 1 + last green round: stalest first.  Ties break on
-        # registry order so the window stays deterministic round-to-round.
-        last = DRIVER_LAST_GREEN.get(name)
-        rank = 0 if last is None else (last if last < 0 else 1 + last)
+        # red (never green, or most recent check not green — a live
+        # regression) -> -1: first.  never-checked -> 0: next.  green ->
+        # 1 + last green round: stalest first.  Ties break on registry
+        # order so the window stays deterministic round-to-round.
+        hist = DRIVER_HISTORY.get(name)
+        if hist is None:
+            rank = 0
+        else:
+            last_green, last_checked = hist
+            rank = -1 if (last_green < 0 or last_checked > last_green) else 1 + last_green
         return (rank, registry_pos[name])
 
     rest = sorted((n for n in QUERIES if n not in head), key=sort_key)

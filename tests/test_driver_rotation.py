@@ -12,15 +12,21 @@ from __future__ import annotations
 import glob
 import os
 
-from dataengineering_spark.plans.driver_rounds import DRIVER_LAST_GREEN
+from dataengineering_spark.plans.driver_rounds import (
+    DRIVER_HISTORY,
+    DRIVER_LAST_GREEN,
+)
 from dataengineering_spark.plans.queries import QUERIES, _ordered_names
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _rank(name: str) -> int:
-    last = DRIVER_LAST_GREEN.get(name)
-    return 0 if last is None else (last if last < 0 else 1 + last)
+    hist = DRIVER_HISTORY.get(name)
+    if hist is None:
+        return 0
+    last_green, last_checked = hist
+    return -1 if (last_green < 0 or last_checked > last_green) else 1 + last_green
 
 
 def test_ordering_is_red_then_never_then_stalest():
@@ -44,8 +50,8 @@ def test_ordering_is_red_then_never_then_stalest():
 
 def test_window_targets_weakest_evidence():
     window = _ordered_names()[:50]
-    reds = [n for n in QUERIES if DRIVER_LAST_GREEN.get(n, 0) < 0]
-    never = [n for n in QUERIES if n not in DRIVER_LAST_GREEN]
+    reds = [n for n in QUERIES if n in DRIVER_HISTORY and _rank(n) < 0]
+    never = [n for n in QUERIES if n not in DRIVER_HISTORY]
     for n in reds:
         assert n in window, f"red query {n} must be re-checked first"
     # never-checked queries fill the window before any green rotates in
@@ -58,11 +64,27 @@ def test_committed_map_matches_correctness_files():
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from rebuild_driver_priority import compute_last_green
+    from rebuild_driver_priority import compute_history
 
-    assert compute_last_green() == DRIVER_LAST_GREEN, (
+    hist = compute_history()
+    assert hist == DRIVER_HISTORY, (
         "driver_rounds.py is stale — run scripts/rebuild_driver_priority.py"
     )
+    assert DRIVER_LAST_GREEN == {n: lg for n, (lg, _lc) in hist.items()}
+
+
+def test_regression_ranks_red():
+    # a query green in round N but red on a later check must rank with the
+    # reds (ADVICE r6): simulate via the rank function's contract
+    assert _rank("__never_checked__") == 0
+    DRIVER_HISTORY["__regressed__"] = (3, 5)
+    DRIVER_HISTORY["__never_green__"] = (-1, 5)
+    try:
+        assert _rank("__regressed__") == -1
+        assert _rank("__never_green__") == -1
+    finally:
+        del DRIVER_HISTORY["__regressed__"]
+        del DRIVER_HISTORY["__never_green__"]
 
 
 def test_every_query_has_an_oracle():
