@@ -174,6 +174,26 @@ def _split_args(args: str) -> list[str]:
     return parts
 
 
+def _render_to_start_of_week(args: str) -> str:
+    """toStartOfWeek(d[, mode]) — ClickHouse mode 0 (the default) means
+    Sunday-start weeks; Spark date_trunc('week') truncates to Monday, so
+    shift by one day in and back out.  Only mode 0 is supported: a blind
+    1-arg rewrite would fold an explicit mode argument into to_date()'s
+    format parameter and emit invalid Spark SQL (ADVICE r6)."""
+    parts = _split_args(args)
+    if len(parts) > 1:
+        mode = parts[1]
+        if mode.strip() != "0":
+            raise ValueError(
+                "toStartOfWeek mode "
+                f"{mode!r} unsupported — only mode 0 (Sunday-start) "
+                "translates; rewrite the query with date_trunc('week', "
+                "date_add(d, 1)) semantics for Monday-start modes"
+            )
+    d = parts[0]
+    return f"date_sub(date_trunc('week', date_add(to_date({d}), 1)), 1)"
+
+
 def _render_uniq(args: str) -> str:
     """uniq(a) → approx_count_distinct(a); uniq(a, b, ...) estimates
     distinct TUPLES in ClickHouse, so multi-arg forms struct()-wrap —
@@ -268,11 +288,7 @@ def _translate_once(masked: str) -> str:
     # ClickHouse toStartOfWeek defaults to mode 0 = Sunday-start weeks;
     # Spark date_trunc('week') truncates to Monday.  Shift by one day on
     # the way in and back out so every Sunday lands in its own week.
-    masked = _rewrite_call(
-        masked,
-        "toStartOfWeek",
-        lambda a: f"date_sub(date_trunc('week', date_add(to_date({a}), 1)), 1)",
-    )
+    masked = _rewrite_call(masked, "toStartOfWeek", _render_to_start_of_week)
     for name, sqltype in _INT_CASTS.items():
         masked = _rewrite_call(
             masked, name, lambda a, t=sqltype: f"CAST({a} AS {t})"

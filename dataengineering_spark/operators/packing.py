@@ -74,12 +74,22 @@ def pack_bins_ffd(
         )
     )
 
+    _UNSET = object()
+
     def _pack_stream(batches):
-        cur_w = None
+        # sentinel start + NaN→None normalization: a null window arrives
+        # as NaN in pandas and NaN != NaN is always True, which would
+        # reset FFD state on EVERY null row instead of packing all nulls
+        # as one group like the grouped form did (ADVICE r6).  Nulls are
+        # contiguous here: repartitionByRange keeps them in one range
+        # partition and the within-partition sort groups them.
+        cur_w = _UNSET
         loads: list[int] = []
         for pdf in batches:
             assign: list[int] = []
             for w, s in zip(pdf[window_col], pdf[size_col]):
+                if pd.isna(w):
+                    w = None
                 if w != cur_w:
                     cur_w = w
                     loads = []

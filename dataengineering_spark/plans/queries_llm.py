@@ -3205,6 +3205,12 @@ FROM (
   ) comp GROUP BY component
 ) sizes GROUP BY cluster_size""",
 )
+# the .replace above anchors on exact text inside SQL_DEDUP_CLUSTERS; if
+# that anchor drifts (whitespace / alias rename) replace silently no-ops
+# and the oracle would carry the wrong schema (ADVICE r6)
+assert SQL_CLUSTER_SIZE_HIST != SQL_DEDUP_CLUSTERS, (
+    "SQL_CLUSTER_SIZE_HIST anchor not found in SQL_DEDUP_CLUSTERS"
+)
 
 
 # ===========================================================================

@@ -146,6 +146,21 @@ def test_to_start_of_week_is_sunday_start(spark):
     assert str(out["mon"]) == "2024-01-07"  # Monday follows its Sunday
 
 
+def test_to_start_of_week_mode_arg(spark):
+    # explicit mode 0 is the same Sunday-start translation; any other
+    # mode must raise (a blind 1-arg rewrite would fold the mode into
+    # to_date()'s format argument → invalid Spark SQL, ADVICE r6)
+    out = run_clickhouse_sql(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-01-07'), 0) AS sun",
+    ).collect()[0]
+    assert str(out["sun"]) == "2024-01-07"
+    with pytest.raises(ValueError, match="toStartOfWeek mode"):
+        translate_clickhouse_sql(
+            "SELECT toStartOfWeek(toDate('2024-01-07'), 1) AS monday_mode"
+        )
+
+
 def test_nested_same_name_calls_converge(spark):
     # One-pass rewriters leave the inner call untranslated (undefined
     # function at spark.sql) — the fixpoint loop must convert both.

@@ -67,6 +67,28 @@ def test_pack_bins_ffd_partitioning_invariant_and_oversize(spark):
         assert (pa.bin_idx == bin_idx).sum() == 1
 
 
+def test_pack_bins_ffd_null_window_packs_as_one_group(spark):
+    # nulls arrive as NaN in pandas and NaN != NaN, so an unnormalized
+    # state check would reset FFD on EVERY null row (each null doc →
+    # bin 0).  All nulls must pack as ONE window, like the grouped form
+    # (ADVICE r6).
+    from dataengineering_spark.operators.packing import pack_bins_ffd
+
+    budget = 250
+    rows = [(i, None if i < 12 else i % 2, 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, window_id long, n_chars long")
+    pdf = pack_bins_ffd(df, "window_id", "n_chars", "doc_id", budget).toPandas()
+    nulls = pdf[pdf.window_id.isna()]
+    assert len(nulls) == 12
+    # 12 size-100 docs at budget 250 → bins of 2 → bin_idx 0..5, not all 0
+    counts = nulls.groupby("bin_idx").size()
+    assert (counts == 2).all() and len(counts) == 6
+    # non-null windows unaffected: textbook FFD per window
+    for wid, grp in pdf[pdf.window_id.notna()].groupby("window_id"):
+        ref = _ffd_reference(list(zip(grp["doc_id"], grp["n_chars"])), budget)
+        assert dict(zip(grp["doc_id"], grp["bin_idx"])) == ref, wid
+
+
 def test_hll_sketch_state_merges_losslessly(spark):
     from dataengineering_spark.operators.sketches import (
         hll_estimate_from_sketch,
