@@ -41,17 +41,6 @@ def discrete_pcts(
     still runs wide; the only broadcast frames are per-(partition,key)
     counts and per-key targets — both tiny by construction.
     """
-    targets = (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            key,
-            *[
-                (F.floor(F.lit(p) * (F.col("n") - 1)) + 1).alias(f"{nm}_r")
-                for p, nm in zip(pcts, names)
-            ],
-        )
-    )
     from dataengineering_spark.caching import persist_tracked
 
     # Both the offsets branch and the ranked branch below read this
@@ -62,6 +51,22 @@ def discrete_pcts(
     data = persist_tracked(
         df.repartitionByRange(key, val, tie).withColumn(
             "pid", F.spark_partition_id()
+        )
+    )
+    # targets derives from the PERSISTED frame, not ``df``: when the
+    # input is itself a join/agg pipeline (sla_percentiles: orders ⋈
+    # min-shipdate), reading ``df`` here would run that pipeline a
+    # second time just to count rows per key (isolated-bench finding,
+    # round 7).
+    targets = (
+        data.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key,
+            *[
+                (F.floor(F.lit(p) * (F.col("n") - 1)) + 1).alias(f"{nm}_r")
+                for p, nm in zip(pcts, names)
+            ],
         )
     )
     w_off = (

@@ -951,27 +951,33 @@ def _cm_bucket_sql(row_expr: str, key_expr: str, dialect: str) -> str:
 
 
 def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+
     ev = _t(spark, sf_dir, "events")
     rows = F.array(*[F.lit(i) for i in range(CM_ROWS)])
     bucket = F.expr(_cm_bucket_sql("cm_row", "user_id", "spark"))
-    sketch = (
-        ev.select("user_id", F.explode(rows).alias("cm_row"))
-        .withColumn("bucket", bucket)
-        .groupBy("cm_row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE events pass: per-key exact counts.  The sketch cell total is
+    # the sum of counts of the keys hashing into the cell, so it builds
+    # from this |distinct keys| frame — hashing 3×|events| raw rows
+    # (the r5 shape) redid the md5 work per event for the same cells
+    # (isolated-bench regression fix, round 7).
+    exact = persist_tracked(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     )
-    keys = ev.select("user_id").distinct()
+    keyed = (
+        exact.select("user_id", "exact_n", F.explode(rows).alias("cm_row"))
+        .withColumn("bucket", bucket)
+    )
+    sketch = keyed.groupBy("cm_row", "bucket").agg(
+        F.sum("exact_n").alias("cnt")
+    )
     est = (
-        keys.select("user_id", F.explode(rows).alias("cm_row"))
-        .withColumn("bucket", bucket)
-        .join(F.broadcast(sketch), ["cm_row", "bucket"])
+        keyed.join(F.broadcast(sketch), ["cm_row", "bucket"])
         .groupBy("user_id")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min("cnt").alias("est"), F.first("exact_n").alias("exact_n"))
     )
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     return (
-        est.join(exact, "user_id")
-        .orderBy(F.desc("est"), F.asc("user_id"))
+        est.orderBy(F.desc("est"), F.asc("user_id"))
         .limit(CM_TOPK)
         .select("user_id", "est", "exact_n", (F.col("est") - F.col("exact_n")).alias("overcount"))
     )
