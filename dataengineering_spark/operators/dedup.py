@@ -267,6 +267,7 @@ def minhash_lsh_pairs(
     shingle_n: int = DEFAULT_SHINGLE,
     max_bucket_size: int | None = None,
     materialize: bool = False,
+    cap_policy: str = "drop",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH.
 
@@ -287,23 +288,47 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` is the 100 TB safety valve: a bucket of n docs
     yields n^2/2 candidate pairs, so one adversarial bucket (boiler-
     plate, empty docs, template spam) can dominate the whole join.
-    With a cap, buckets larger than the cap are dropped BEFORE the
-    self-join (a window count over the band frame — no extra shuffle
-    since it reuses the join's own (band_id, band_sig) partitioning).
-    Docs in a dropped bucket still pair through their other bands;
-    recall loss is bounded and the quadratic blowup is gone. None (the
-    default, used by the oracle-checked query) keeps every bucket."""
+    ``cap_policy`` picks what happens to buckets over the cap, BEFORE
+    the self-join (window over the band frame — no extra shuffle since
+    it reuses the join's own (band_id, band_sig) partitioning):
+
+    - ``"drop"`` (default): the whole hot bucket is dropped. Its docs
+      still pair through their other bands; recall loss is bounded and
+      the quadratic blowup is gone.
+    - ``"sample"``: keep a deterministic ``max_bucket_size``-doc sample
+      of the hot bucket (rank by md5(id), tie id — engine-portable and
+      stable across runs/partitionings), so mega-clusters keep a
+      representative cap²/2 pair wedge instead of vanishing from this
+      band entirely. Kept-pair count per bucket is bounded by cap²/2.
+
+    Neither policy is silent: ``lsh_bucket_stats`` reports per-band
+    bucket/doc/pair drop accounting for the SAME cap, and the
+    lsh_bucket_accounting registry query oracle-checks it. None (the
+    default, used by the oracle-checked pair query) keeps every
+    bucket."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     b = lsh_bands(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
+        if cap_policy not in ("drop", "sample"):
+            raise ValueError(f"cap_policy must be drop|sample, got {cap_policy!r}")
         w = Window.partitionBy("band_id", "band_sig")
-        b = (
-            b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("bucket_n") <= max_bucket_size)
-            .drop("bucket_n")
-        )
+        if cap_policy == "drop":
+            b = (
+                b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+                .filter(F.col("bucket_n") <= max_bucket_size)
+                .drop("bucket_n")
+            )
+        else:
+            rk = F.row_number().over(
+                w.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            )
+            b = (
+                b.withColumn("bucket_rk", rk)
+                .filter(F.col("bucket_rk") <= max_bucket_size)
+                .drop("bucket_rk")
+            )
     b = b.persist()
     left = b.alias("a")
     right = b.alias("b")
@@ -327,6 +352,52 @@ def minhash_lsh_pairs(
         pairs.count()  # one job: signatures -> band cache -> join -> pairs
         b.unpersist()
     return pairs
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Per-band accounting for the ``max_bucket_size`` hot-bucket cap —
+    the no-silent-caps companion to ``minhash_lsh_pairs``: before
+    anyone runs a capped dedup, this reports exactly what the cap
+    would cost.
+
+    One row per band_id: total buckets, buckets over the cap, docs in
+    hot buckets, candidate pairs inside hot buckets (``n*(n-1)/2`` —
+    what the ``"drop"`` policy forfeits in this band), and the pairs a
+    ``"sample"`` policy would keep (``cap*(cap-1)/2`` per hot bucket).
+    Runs entirely on the band frame grouped by its own join key — the
+    aggregate is O(#buckets), never materializing any pair."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    b = lsh_bands(sigs, id_col=id_col, bands=bands, num_hashes=num_hashes)
+    buckets = b.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hot = F.col("n") > max_bucket_size
+    kept_per_hot = max_bucket_size * (max_bucket_size - 1) // 2
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(hot.cast("long")).alias("n_hot_buckets"),
+            F.sum(F.when(hot, F.col("n")).otherwise(0)).alias("docs_in_hot"),
+            F.sum(
+                F.when(hot, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+            )
+            .cast("long")
+            .alias("pairs_in_hot"),
+            F.sum(F.when(hot, F.lit(kept_per_hot)).otherwise(0))
+            .cast("long")
+            .alias("pairs_kept_if_sampled"),
+        )
+        .orderBy("band_id")
+    )
 
 
 def jaccard_pairs(

@@ -549,6 +549,55 @@ FROM est e JOIN jacx j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
 
 
 # ===========================================================================
+# Q: lsh_bucket_accounting — no-silent-caps audit for the hot-bucket
+# cap (VERDICT r6 #5). Per band: total buckets, buckets over the cap,
+# docs inside them, pairs the "drop" policy would forfeit, and pairs a
+# "sample" policy would keep. Runs on the band frame grouped by its
+# own join key — O(#buckets), no pair ever materializes. The cap here
+# is deliberately tiny (2) so the sf0.01 dedup corpus (every even doc
+# + its perturbed copy) actually trips it and the oracle checks
+# non-zero drop accounting, not a vacuous all-zeros row.
+# ===========================================================================
+
+LSH_ACCT_CAP = 2
+
+
+def q_lsh_bucket_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(
+        _dedup_corpus(_docs(spark, sf_dir)), max_bucket_size=LSH_ACCT_CAP
+    ).select(
+        F.col("band_id").cast("int").alias("band_id"),
+        "n_buckets",
+        "n_hot_buckets",
+        "docs_in_hot",
+        "pairs_in_hot",
+        "pairs_kept_if_sampled",
+    )
+
+
+SQL_LSH_BUCKET_ACCOUNTING = _DEDUP_SQL_CTES + f"""
+, buckets AS (
+  SELECT b AS band_id, band_sig, COUNT(*) AS n
+  FROM bands GROUP BY 1, 2
+)
+SELECT CAST(band_id AS INT) AS band_id,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(CASE WHEN n > {LSH_ACCT_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hot_buckets,
+  CAST(SUM(CASE WHEN n > {LSH_ACCT_CAP} THEN n ELSE 0 END) AS BIGINT)
+    AS docs_in_hot,
+  CAST(SUM(CASE WHEN n > {LSH_ACCT_CAP} THEN n * (n - 1) // 2 ELSE 0 END)
+    AS BIGINT) AS pairs_in_hot,
+  CAST(SUM(CASE WHEN n > {LSH_ACCT_CAP}
+    THEN {LSH_ACCT_CAP * (LSH_ACCT_CAP - 1) // 2} ELSE 0 END) AS BIGINT)
+    AS pairs_kept_if_sampled
+FROM buckets GROUP BY 1 ORDER BY 1
+"""
+
+
+# ===========================================================================
 # Q: simhash_fingerprint — 32-bit SimHash per document
 # ===========================================================================
 
@@ -3407,6 +3456,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_minhash_calibration,
         SQL_MINHASH_CALIBRATION,
         "north-star:MinHash estimator audit",
+    ),
+    "lsh_bucket_accounting": (
+        q_lsh_bucket_accounting,
+        SQL_LSH_BUCKET_ACCOUNTING,
+        "north-star:hot-bucket cap drop accounting",
     ),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD, "north-star:dedup"),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY, "north-star:dedup"),

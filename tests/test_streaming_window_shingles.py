@@ -120,6 +120,66 @@ def test_lsh_bucket_cap_drops_adversarial_mass(spark):
     assert all(a >= 100 for a, _ in got)  # spam bucket dropped
 
 
+def test_lsh_bucket_cap_sample_policy(spark):
+    """cap_policy="sample" keeps a deterministic cap-doc wedge of each
+    hot bucket instead of dropping it: a mega-cluster still yields at
+    most cap*(cap-1)/2 pairs per band, the same subset on every run,
+    and normal near-dups are untouched."""
+    from dataengineering_spark.operators.dedup import minhash_lsh_pairs
+
+    spam = [(i, "buy cheap tokens now limited offer act fast") for i in range(40)]
+    real = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog tonight ok"),
+    ]
+    docs = spark.createDataFrame(spam + real, "doc_id long, text string")
+    cap = 5
+    sampled = minhash_lsh_pairs(docs, max_bucket_size=cap, cap_policy="sample")
+    got = {(r.doc_a, r.doc_b) for r in sampled.collect()}
+    spam_pairs = {(a, b) for a, b in got if b < 100}
+    assert (100, 101) in got  # real near-dup survives
+    # the spam cluster is represented, but bounded by the cap wedge
+    assert 0 < len(spam_pairs) <= cap * (cap - 1) // 2
+    # deterministic: a rerun keeps the identical subset
+    rerun = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, max_bucket_size=cap, cap_policy="sample"
+        ).collect()
+    }
+    assert rerun == got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, max_bucket_size=cap, cap_policy="keep_all")
+
+
+def test_lsh_bucket_stats_accounting(spark):
+    """lsh_bucket_stats reports exactly what the cap costs: hot-bucket
+    doc and pair counts per band sum to the adversarial cluster's
+    contribution, and pairs_kept_if_sampled is the cap wedge."""
+    from dataengineering_spark.operators.dedup import lsh_bucket_stats
+
+    spam = [(i, "buy cheap tokens now limited offer act fast") for i in range(12)]
+    real = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "completely different text with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(spam + real, "doc_id long, text string")
+    cap = 5
+    rows = lsh_bucket_stats(docs, max_bucket_size=cap).collect()
+    assert rows, "expected one row per band"
+    for r in rows:
+        # identical spam docs share every band signature: one hot
+        # bucket of 12 docs per band
+        assert r.n_hot_buckets == 1
+        assert r.docs_in_hot == 12
+        assert r.pairs_in_hot == 12 * 11 // 2
+        assert r.pairs_kept_if_sampled == cap * (cap - 1) // 2
+        assert r.n_buckets >= 2  # the two real docs bucket elsewhere
+
+
 def test_connected_components_multihop(spark):
     """Chain 1-2, 2-3, 3-4 is ONE component labeled by its min id even
     though 1 and 4 never share a pair; disjoint pair keeps its own."""
