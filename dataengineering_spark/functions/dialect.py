@@ -28,11 +28,16 @@ S2/S6 runners accept them unchanged:
 - nested same-name calls translate fully: the rewrite loops to a
   fixpoint (``toUInt64(coalesce(toUInt64(x), 0))`` both convert)
 
-Deliberately NOT translated (raise ``ValueError`` pointing at the
-native operator): ``replaceRegexpOne`` (Spark's ``regexp_replace``
-replaces ALL matches — the one reference use, the Ripple block parse
-at ``clickhouse/utils.py``, is implemented natively in
-``functions/scalars.py``).
+- ``replaceRegexpOne(x, pat, repl)`` → a first-occurrence splice:
+  Spark's ``regexp_replace`` replaces ALL matches, so the rewrite
+  stitches ``substr``-before-match + replacement + ``substr``-after
+  around ``regexp_instr``/``regexp_extract`` of the FIRST match.
+  Only plain string-literal replacements translate (no ``\\N``/``$N``
+  backreferences — RE2 vs Java backref syntax differs); anything else
+  raises with a pointer.  This covers the one reference use, the
+  Hedera block parse at ``clickhouse/utils.py:57-59`` (empty-string
+  replacement), whose math also lives natively in
+  ``functions/scalars.py``.
 
 This is a pragmatic word-boundary rewriter for the reference's query
 shapes, not a full SQL parser: function names inside string literals
@@ -81,12 +86,7 @@ _TRUNCS = {
     "toStartOfHour": "hour",
 }
 
-_UNSUPPORTED = {
-    "replaceRegexpOne": (
-        "Spark regexp_replace replaces ALL matches; the reference's one "
-        "use (Ripple block parse) is native — see functions/scalars.py"
-    ),
-}
+_UNSUPPORTED: dict[str, str] = {}
 
 _FORMAT_RE = re.compile(
     r"\s+FORMAT\s+(JSONEachRow|JSONCompactStrings|JSONCompact|JSON|"
@@ -194,6 +194,42 @@ def _render_to_start_of_week(args: str) -> str:
     return f"date_sub(date_trunc('week', date_add(to_date({d}), 1)), 1)"
 
 
+def _render_replace_regexp_one(args: str, lits: list[str]) -> str:
+    """replaceRegexpOne(x, pat, repl) → first-occurrence splice.
+
+    Spark's ``regexp_replace`` replaces every match, so build the
+    first-only semantics from primitives: everything before the first
+    match (``regexp_instr`` is 1-based; 0 = no match), the literal
+    replacement, then everything after the matched text
+    (``regexp_extract(..., 0)`` is the first match itself, so the two
+    agree on which occurrence is "first").  The replacement must be a
+    plain string literal with no ``\\N``/``$N`` backreferences —
+    ClickHouse (RE2) and Java disagree on backref syntax, and a
+    spliced literal sidesteps the question entirely."""
+    parts = _split_args(args)
+    if len(parts) != 3:
+        raise ValueError(
+            "replaceRegexpOne expects (haystack, pattern, replacement)"
+        )
+    x, pat, repl = parts
+    m = re.fullmatch(r"\x00(\d+)\x00", repl)
+    if not m or re.search(r"[\\$]", lits[int(m.group(1))][1:-1]):
+        raise ValueError(
+            "replaceRegexpOne(): only a plain string-literal replacement "
+            "(no \\N/$N backreferences) translates — rewrite natively "
+            "with regexp_instr/regexp_extract (see functions/scalars.py "
+            "for the Hedera block parse)"
+        )
+    first = f"regexp_instr({x}, {pat})"
+    matched = f"regexp_extract({x}, {pat}, 0)"
+    return (
+        f"CASE WHEN {first} > 0 THEN concat("
+        f"substr({x}, 1, {first} - 1), {repl}, "
+        f"substr({x}, {first} + length({matched}))) "
+        f"ELSE {x} END"
+    )
+
+
 def _render_uniq(args: str) -> str:
     """uniq(a) → approx_count_distinct(a); uniq(a, b, ...) estimates
     distinct TUPLES in ClickHouse, so multi-arg forms struct()-wrap —
@@ -279,8 +315,13 @@ def _rewrite_array_join(masked: str) -> str:
     return body[:insert_at].rstrip() + lv + body[insert_at:]
 
 
-def _translate_once(masked: str) -> str:
+def _translate_once(masked: str, lits: list[str]) -> str:
     """One pass of every function-level rewrite."""
+    masked = _rewrite_call(
+        masked,
+        "replaceRegexpOne",
+        lambda a: _render_replace_regexp_one(a, lits),
+    )
     for name, unit in _TRUNCS.items():
         masked = _rewrite_call(
             masked, name, lambda a, u=unit: f"date_trunc('{u}', {a})"
@@ -341,7 +382,7 @@ def translate_clickhouse_sql(sql: str) -> TranslatedSQL:
     # inner toUInt64 of toUInt64(coalesce(toUInt64(x), 0)) untouched.
     for _ in range(10):
         before = masked
-        masked = _translate_once(masked)
+        masked = _translate_once(masked, lits)
         if masked == before:
             break
     else:

@@ -101,11 +101,57 @@ def test_literals_are_left_alone():
     assert "to_date('2024-01-01')" in t.sql
 
 
-def test_unsupported_raises_with_pointer():
+def test_replace_regexp_one_first_occurrence(spark):
+    """replaceRegexpOne must replace only the FIRST match — a bare
+    regexp_replace rename would hit all of them."""
+    got = run_clickhouse_sql(
+        spark,
+        r"SELECT replaceRegexpOne('a1b2c3', '\\d', 'X') AS one,"
+        r" replaceRegexpOne('no digits', '\\d', 'X') AS none,"
+        r" replaceRegexpOne('a1b2', 'q+', 'X') AS miss",
+    ).collect()[0]
+    assert got.one == "aXb2c3"
+    assert got.none == "no digits"
+    assert got.miss == "a1b2"
+
+
+def test_replace_regexp_one_hedera_shape(spark, tmp_path):
+    """The reference's Hedera block parse (clickhouse/utils.py:57-59):
+    strip the shard.realm.num- prefix off transaction_id, then swap the
+    remaining '-' for '.' — routed through run_sql_file's clickhouse
+    dialect like a reference SQL file would be."""
+    from dataengineering_spark.sources.io import run_sql_file
+
+    spark.createDataFrame(
+        [
+            ("0.0.48-1700000000-123456789", "2024-01-02 03:04:05"),
+            ("0.0.7-1699999999-000000001", "2024-01-01 00:00:00"),
+        ],
+        "transaction_id string, block_date_time string",
+    ).createOrReplaceTempView("hedera_master")
+    p = tmp_path / "hedera.sql"
+    p.write_text(
+        r"SELECT replace(replaceRegexpOne(transaction_id,"
+        r" '\\d+\\.\\d+\\.\\d+-', ''), '-', '.') as block"
+        r" FROM hedera_master WHERE block_date_time >= toDate('2024-01-01')"
+        r" order by block desc limit 1 FORMAT JSON;"
+    )
+    [df] = run_sql_file(spark, str(p), dialect="clickhouse")
+    assert df.collect()[0].block == "1700000000.123456789"
+
+
+def test_replace_regexp_one_backref_raises():
     with pytest.raises(ValueError, match="replaceRegexpOne"):
         translate_clickhouse_sql(
-            r"SELECT replaceRegexpOne(transaction_id, '\d-', '') FROM t"
+            r"SELECT replaceRegexpOne(x, '(\d)-', '\\1') FROM t"
         )
+    with pytest.raises(ValueError, match="replaceRegexpOne"):
+        translate_clickhouse_sql(
+            "SELECT replaceRegexpOne(x, 'a', other_col) FROM t"
+        )
+
+
+def test_unsupported_raises_with_pointer():
     # multiple arrayJoins = ClickHouse cartesian semantics: still raises
     with pytest.raises(ValueError, match="arrayJoin"):
         translate_clickhouse_sql("SELECT arrayJoin(xs), arrayJoin(ys) FROM t")
