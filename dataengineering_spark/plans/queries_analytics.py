@@ -796,6 +796,43 @@ WINDOW w AS (PARTITION BY user_id
 
 
 # ===========================================================================
+# Q: rolling_24h_decomposed — the SAME trailing-24h semantics through
+# the bucketed decomposition (operators/windows.trailing_range_agg):
+# hourly partials + fixed 23-bucket explode + in-bucket running range
+# window + edge-bucket equi-join. Spark's sliding-frame WindowExec
+# re-materializes the frame per row, so the bare RANGE window above
+# costs O(rows x frame-size); the decomposition is O(rows x 24 +
+# rows x in-hour density) — the shape that survives dense keys at
+# 100 TB (SCALE.md sf100 A/B). Oracle: identical SQL to rolling_24h —
+# the decomposition must be indistinguishable from the window.
+# ===========================================================================
+
+
+def q_rolling_24h_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.windows import trailing_range_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    out = trailing_range_agg(
+        ev,
+        "user_id",
+        "_sec",
+        F.col("value").cast("decimal(18,6)"),
+        window_sec=86400,
+        bucket_sec=3600,
+        count_col="n_24h",
+        sum_col="_sum24",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_24h",
+        _dec_to_double(F.col("_sum24")).alias("sum_value_24h"),
+    )
+
+
+# ===========================================================================
 # Q: pagerank — iterative graph analytics over the supplier
 # co-occurrence graph (edge weight = number of orders in which both
 # suppliers appear; degrees vary with supplier activity, so ranks
@@ -2785,6 +2822,11 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE, "profiling:one-scan stats"),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY, "timeseries:gap-fill"),
     "rolling_24h": (q_rolling_24h, SQL_ROLLING_24H, "timeseries:RANGE window"),
+    "rolling_24h_decomposed": (
+        q_rolling_24h_decomposed,
+        SQL_ROLLING_24H,
+        "timeseries:bucketed trailing-window decomposition",
+    ),
     "histogram_merge": (
         q_histogram_merge,
         SQL_HISTOGRAM_MERGE,
