@@ -90,6 +90,9 @@ HEADLINE = (
     "prefix_dedup",
     "content_dedup",
     "embedding_norm_hist",
+    # round-7 additions
+    "lsh_bucket_accounting",
+    "rolling_24h_decomposed",
 )
 
 

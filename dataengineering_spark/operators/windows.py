@@ -57,11 +57,13 @@ def top1_by_order(
     return df.orderBy(*order_by).limit(1)
 
 
+
 def trailing_range_agg(
     df: DataFrame,
     partition_col: str,
     sec_col: str,
     value_col: Column | str,
+    id_cols: Sequence[str],
     window_sec: int = 86400,
     bucket_sec: int = 3600,
     count_col: str = "n_trailing",
@@ -69,63 +71,87 @@ def trailing_range_agg(
 ) -> DataFrame:
     """Per-row trailing ``window_sec`` count + sum over event time —
     the bucketed decomposition of ``RANGE BETWEEN window_sec-1
-    PRECEDING AND CURRENT ROW``.
+    PRECEDING AND CURRENT ROW``, for DENSE keys.
 
     Spark's sliding-frame WindowExec re-evaluates the aggregate
     buffer as the frame moves, so a bare RANGE window costs
-    O(rows x avg-frame-size) — the frame is re-materialized per row.
-    At dense frames (hundreds of events per key per day) that is the
-    dominant cost of the whole query (SCALE.md: 30.7 s at sf100).
-    This decomposition is the bounded-fanout alternative:
+    O(rows x avg-frame-size) — fine when frames are a handful of rows
+    (the plain window wins there; see SCALE.md A/B), quadratic pain
+    when a key sees hundreds of events per day.  This decomposition
+    replaces frame-size with FIXED fanout:
 
     1. bucket partials: one (key, bucket) row with count/sum —
        a plain hash aggregate;
     2. full-bucket contribution: each partial explodes to the
-       following ``window_sec/bucket_sec - 1`` buckets (FIXED fanout,
-       24 for a day of hours) and re-aggregates — every row in bucket
-       H inherits the sum over buckets [H-23, H-1] with one broadcast-
-       able join on (key, bucket);
+       following ``window_sec/bucket_sec - 1`` buckets (24 for a day
+       of hours) and re-aggregates — every row in bucket H inherits
+       the sum over buckets [H-23, H-1];
     3. current-bucket prefix: a RANGE running window WITHIN the
        bucket — partitions are (key, bucket), bounded by bucket
        density, never a day of events;
     4. edge bucket H-24: an equi-join on (key, bucket-24) filtered to
        ``sec >= t - window_sec + 1`` — fanout bounded by bucket
-       density, exactly the rows the day-window only partially covers.
+       density, exactly the rows the day-window only partially
+       covers.
+
+    ``id_cols`` must uniquely key rows: every intermediate runs on a
+    NARROW projection (ids + key + sec + value only) and the metrics
+    join back on ``id_cols`` at the end — the first version of this
+    operator carried the full row width through the edge join's
+    shuffle and group-by and spilled 50 GB at sf100; narrow frames
+    are the difference between a working decomposition and a
+    disk-filler.
+
+    Shuffle discipline (the second sf100 lesson — narrow frames
+    alone still filled the disk): every step between the in-bucket
+    window and the final metrics frame rides the SAME
+    ``(key, bucket)`` hash exchange.  The edge sources left-join
+    ONTO ``cur`` (already partitioned by (key, bucket) from the
+    window), and the per-row edge aggregate groups by
+    ``(key, bucket, *ids)`` — a hash partitioning on a SUBSET of
+    the grouping/join keys satisfies their clustering requirement,
+    so Catalyst inserts no new exchange.  Large shuffles in the
+    whole plan: the window exchange, the edge-source exchange, and
+    the final ids join back onto ``df`` — everything else is
+    aggregate-sized.
 
     Total work is O(rows x 24 + rows x bucket-density) instead of
-    O(rows x frame-size); the three shuffles all hash on (key,
-    bucket), so AQE coalesces them into the same exchange footprint
-    at scale.  The sum stays in DECIMAL end-to-end — decimal addition
-    is associative, so regrouping cannot drift vs the windowed form
-    (the float-vs-decimal story is the caller's, as with the plain
-    window).
+    O(rows x frame-size).  The sum stays in DECIMAL end-to-end —
+    decimal addition is associative, so regrouping cannot drift vs
+    the windowed form.
 
-    Exactness contract (oracle-checked via ``rolling_24h``): equals
-    the RANGE window INCLUDING peer rows (ties in ``sec_col`` all see
-    each other) because step 3 uses a range frame within the bucket.
-    ``window_sec`` must be a multiple of ``bucket_sec``.
+    Exactness contract (oracle-checked via ``rolling_24h_decomposed``):
+    equals the RANGE window INCLUDING peer rows (ties in ``sec_col``
+    all see each other) because step 3 uses a range frame within the
+    bucket.  ``window_sec`` must be a multiple of ``bucket_sec``.
     """
     if window_sec % bucket_sec:
         raise ValueError("window_sec must be a multiple of bucket_sec")
     n_full = window_sec // bucket_sec - 1
+    ids = list(id_cols)
     val = F.col(value_col) if isinstance(value_col, str) else value_col
-    key = F.col(partition_col)
-    ev = df.withColumn("_bkt", (F.col(sec_col) / bucket_sec).cast("long"))
+    ev = df.select(
+        *ids,
+        F.col(partition_col).alias("_key"),
+        F.col(sec_col).alias("_sec"),
+        val.alias("_val"),
+        (F.col(sec_col) / bucket_sec).cast("long").alias("_bkt"),
+    )
 
-    partials = ev.groupBy(partition_col, "_bkt").agg(
+    partials = ev.groupBy("_key", "_bkt").agg(
         F.count(F.lit(1)).alias("_cnt_b"),
-        F.sum(val).alias("_sum_b"),
+        F.sum("_val").alias("_sum_b"),
     )
     full = (
         partials.select(
-            partition_col,
+            "_key",
             F.explode(
                 F.sequence(F.col("_bkt") + 1, F.col("_bkt") + n_full)
             ).alias("_bkt"),
             "_cnt_b",
             "_sum_b",
         )
-        .groupBy(partition_col, "_bkt")
+        .groupBy("_key", "_bkt")
         .agg(
             F.sum("_cnt_b").alias("_cnt_full"),
             F.sum("_sum_b").alias("_sum_full"),
@@ -133,55 +159,56 @@ def trailing_range_agg(
     )
 
     w_cur = (
-        Window.partitionBy(partition_col, "_bkt")
-        .orderBy(F.col(sec_col))
+        Window.partitionBy("_key", "_bkt")
+        .orderBy("_sec")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    cur = ev.withColumn("_cnt_cur", F.count(F.lit(1)).over(w_cur)).withColumn(
-        "_sum_cur", F.sum(val).over(w_cur)
+    cur = ev.select(
+        *ids,
+        "_key",
+        "_bkt",
+        "_sec",
+        F.count(F.lit(1)).over(w_cur).alias("_cnt_cur"),
+        F.sum("_val").over(w_cur).alias("_sum_cur"),
     )
 
     edge_src = ev.select(
-        key.alias("_ekey"),
+        F.col("_key").alias("_ekey"),
         (F.col("_bkt") + window_sec // bucket_sec).alias("_tgt_bkt"),
-        F.col(sec_col).alias("_esec"),
-        val.alias("_eval"),
+        F.col("_sec").alias("_esec"),
+        F.col("_val").alias("_eval"),
     )
     edge = (
         cur.join(
             edge_src,
             on=[
-                key == F.col("_ekey"),
+                F.col("_key") == F.col("_ekey"),
                 F.col("_bkt") == F.col("_tgt_bkt"),
-                F.col("_esec") >= F.col(sec_col) - (window_sec - 1),
+                F.col("_esec") >= F.col("_sec") - (window_sec - 1),
             ],
             how="left",
         )
-        .groupBy(*[c for c in cur.columns])
+        .groupBy("_key", "_bkt", *ids)
         .agg(
+            F.first("_cnt_cur").alias("_cnt_cur"),
+            F.first("_sum_cur").alias("_sum_cur"),
             F.count("_esec").alias("_cnt_edge"),
             F.sum("_eval").alias("_sum_edge"),
         )
     )
 
     zero = F.lit(0)
-    out = (
-        edge.join(full, [partition_col, "_bkt"], "left")
-        .withColumn(
-            count_col,
+    metrics = edge.join(full, ["_key", "_bkt"], "left").select(
+        *ids,
+        (
             F.col("_cnt_cur")
             + F.coalesce("_cnt_full", zero)
-            + F.coalesce("_cnt_edge", zero),
-        )
-        .withColumn(
-            sum_col,
+            + F.col("_cnt_edge")
+        ).alias(count_col),
+        (
             F.col("_sum_cur")
             + F.coalesce(F.col("_sum_full"), zero)
-            + F.coalesce(F.col("_sum_edge"), zero),
-        )
+            + F.coalesce(F.col("_sum_edge"), zero)
+        ).alias(sum_col),
     )
-    drop = [
-        "_bkt", "_cnt_b", "_sum_b", "_cnt_full", "_sum_full",
-        "_cnt_cur", "_sum_cur", "_cnt_edge", "_sum_edge",
-    ]
-    return out.drop(*[c for c in drop if c in out.columns])
+    return df.join(metrics, ids)

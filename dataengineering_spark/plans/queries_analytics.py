@@ -819,6 +819,7 @@ def q_rolling_24h_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "_sec",
         F.col("value").cast("decimal(18,6)"),
+        id_cols=["event_id"],
         window_sec=86400,
         bucket_sec=3600,
         count_col="n_24h",

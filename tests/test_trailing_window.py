@@ -29,7 +29,7 @@ def _compare(spark, rows):
         r.event_id: (r.n, float(r.s))
         for r in trailing_range_agg(
             df, "user_id", "_sec", F.col("value").cast("decimal(18,6)"),
-            count_col="n", sum_col="s",
+            id_cols=["event_id"], count_col="n", sum_col="s",
         ).select("event_id", "n", "s").collect()
     }
     assert got == ref
@@ -68,4 +68,7 @@ def test_bucket_multiple_validation(spark):
 
     df = spark.createDataFrame([(1, 1, 0, 1.0)], "event_id long, user_id long, _sec long, value double")
     with pytest.raises(ValueError, match="multiple"):
-        trailing_range_agg(df, "user_id", "_sec", "value", window_sec=1000, bucket_sec=3600)
+        trailing_range_agg(
+            df, "user_id", "_sec", "value", id_cols=["event_id"],
+            window_sec=1000, bucket_sec=3600,
+        )
