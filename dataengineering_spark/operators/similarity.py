@@ -914,6 +914,14 @@ def ivfpq_topk(
     probe_luts = probes.join(F.broadcast(luts), on="query_id").select(
         "query_id", "cid", "lut"
     )
+    scored = adc_score_candidates(enc, probe_luts, m_sub)
+    return topk_per_query(scored, k, score_col="adc_d2", descending=False)
+
+
+def adc_score_col(m_sub: int) -> Column:
+    """The ADC distance expression over an encoded row joined with its
+    probe LUT: sum over sub-spaces of ``lut[m][codes[m]]`` — M array
+    reads per candidate, no vector math at serve time."""
     score = None
     for m in range(m_sub):
         term = F.element_at(
@@ -921,13 +929,48 @@ def ivfpq_topk(
             F.element_at("codes", m + 1) + 1,
         )
         score = term if score is None else score + term
-    scored = (
+    return score
+
+
+def adc_score_candidates(
+    enc: DataFrame, probe_luts: DataFrame, m_sub: int
+) -> DataFrame:
+    """Score encoded corpus rows against broadcast (query_id, cid, lut)
+    probes: equi-join on cid — only candidates in probed cells are ever
+    read — then the :func:`adc_score_col` lookup sum. Shared by the
+    batch path (:func:`ivfpq_topk`) and the streaming serve path
+    (``streaming/ann.py``) so both score bit-identically."""
+    return (
         enc.join(F.broadcast(probe_luts), on="cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            score.alias("adc_d2"),
+            adc_score_col(m_sub).alias("adc_d2"),
         )
     )
-    return topk_per_query(scored, k, score_col="adc_d2", descending=False)
+
+
+def encode_corpus(
+    corpus: DataFrame,
+    index: "tuple[list, dict]",
+    m_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes, cid) for the whole corpus under a trained
+    index — the SAME single narrow-map pass :func:`ivfpq_topk` builds
+    internally, surfaced so serve paths (notably ``streaming/ann.py``)
+    can materialize it ONCE and probe it forever instead of
+    re-encoding the corpus per query batch."""
+    cent_rows, by_m = index
+    e = _spread_for_training(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    return pq_encode(
+        ivf_assign(e, cent_rows), by_m, m_sub, dim // m_sub, keep=("cid",)
+    )

@@ -1,0 +1,186 @@
+"""Streaming ANN serve — the train-once / serve-many contract of the
+IVF-PQ tier (``operators/similarity.py``) extended to a query STREAM.
+
+Shape: the expensive artifacts are built exactly once, offline —
+
+1. the quantizers (coarse centroids + PQ codebooks), trained by
+   ``train_ivfpq`` and persisted by ``save_ivfpq_index``;
+2. the ENCODED CORPUS — (vec_id, codes, cid) from
+   ``operators.similarity.encode_corpus`` — written cid-PARTITIONED by
+   :func:`save_encoded_corpus`.
+
+Each micro-batch of query vectors then costs only:
+
+- a shuffle-free ``ivf_assign`` of the batch to its nprobe cells and
+  an in-plan LUT build (both |batch|-sized, broadcastable);
+- a PARTITION-PRUNED scan of the code table: the batch's distinct
+  probed cids (bounded by |batch| x nprobe — a driver collect of ints,
+  never vectors) become a ``cid IN (...)`` filter that prunes at the
+  directory level, so a 100 TB corpus serves a batch by reading only
+  the probed cells' 4-byte-code files;
+- the shared ADC scoring join (``adc_score_candidates`` — the SAME
+  expression the batch path compiles, so stream and batch score
+  bit-identically) and a per-query top-k.
+
+What this deliberately does NOT do: re-encode the corpus per batch
+(``ivfpq_topk`` called naively in foreachBatch would — the reason
+``encode_corpus`` exists), or hold any executor state-store state
+(the index is a parquet table; the stream is stateless, so replays
+of a failed epoch rewrite the same deterministic rows keyed by
+query_id + epoch).
+
+Reference scope note: the reference has no vector machinery; this is
+part of the LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dataengineering_spark.operators.similarity import (
+    adc_score_candidates,
+    ivf_assign,
+    pq_query_luts,
+    topk_per_query,
+)
+
+
+def save_encoded_corpus(enc: DataFrame, path: str) -> None:
+    """Materialize an ``encode_corpus`` frame cid-partitioned — the
+    layout under which a probe of n cells is a partition-pruned scan
+    (``PartitionFilters: cid IN ...`` in the serve plan, asserted in
+    ``tests/test_streaming_ann.py``)."""
+    enc.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def probe_luts_for(
+    batch: DataFrame,
+    index: "tuple[list, dict]",
+    nprobe: int,
+    m_sub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cid, lut) for one query batch: nprobe cell
+    assignments joined with the ADC lookup tables. |batch| x nprobe
+    rows — rides the broadcast into the scoring join."""
+    q = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent_rows, by_m = index
+    probes = ivf_assign(q, cent_rows, n=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    luts = pq_query_luts(
+        q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+        by_m,
+        m_sub,
+        dim // m_sub,
+    )
+    return probes.join(F.broadcast(luts), on="query_id").select(
+        "query_id", "cid", "lut"
+    )
+
+
+def ann_serve_batch(
+    batch: DataFrame,
+    enc_path: str,
+    index: "tuple[list, dict]",
+    k: int = 5,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer one query batch from the persisted encoded corpus.
+    Returns (query_id, neighbor_id, rank, adc_d2) — the
+    ``ivfpq_topk`` output contract."""
+    spark = batch.sparkSession
+    pl = probe_luts_for(
+        batch, index, nprobe, m_sub, dim, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        # Bounded driver collect: |batch| x nprobe ints, pruning only.
+        cids = sorted(
+            {r.cid for r in pl.select("cid").distinct().collect()}
+        )
+        enc = spark.read.parquet(enc_path).filter(F.col("cid").isin(cids))
+        scored = adc_score_candidates(enc, pl, m_sub)
+        return topk_per_query(scored, k, score_col="adc_d2", descending=False)
+    finally:
+        pl.unpersist()
+
+
+def ann_serve_batch_fn(
+    enc_path: str,
+    index: "tuple[list, dict]",
+    out_path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch hook: serve the epoch's queries and append results
+    (stamped with the epoch id) to ``out_path``. Results are a
+    deterministic function of (query vector, persisted index), so an
+    epoch replay after failure re-appends identical rows — consumers
+    key on query_id as they already must."""
+
+    def batch_fn(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        out = ann_serve_batch(
+            batch,
+            enc_path,
+            index,
+            k=k,
+            nprobe=nprobe,
+            m_sub=m_sub,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        out.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return batch_fn
+
+
+def ann_serve_stream(
+    stream: DataFrame,
+    enc_path: str,
+    index: "tuple[list, dict]",
+    out_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    **serve_kwargs,
+) -> StreamingQuery:
+    """Wire a query-vector stream into the serve loop. Returns the
+    started query; drain with ``awaitTermination`` and read accumulated
+    results (distinct on the result columns — epoch replays append
+    identical rows) from ``out_path``."""
+    batch_fn = ann_serve_batch_fn(enc_path, index, out_path, **serve_kwargs)
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accumulated_results(spark: SparkSession, out_path: str) -> DataFrame:
+    """Accumulated (query_id, neighbor_id, rank, adc_d2) from a drained
+    stream's sink, replay-deduplicated."""
+    return (
+        spark.read.parquet(out_path)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+        .distinct()
+    )
