@@ -2699,11 +2699,109 @@ GROUP BY e1.a
 """
 
 
+# ===========================================================================
+# Q: clustering_coefficient — per-node local clustering over the same
+# event graph as triangle_count: coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)).
+# tri(v) needs triangle MEMBERSHIP (each a<b<c triangle credits all
+# three corners), so the id-ordered triangle stream is unpivoted to
+# its three corners before the per-node count; degrees come from the
+# same distinct-oriented edge list unpivoted to both endpoints.  Same
+# three hash joins as triangle_count plus two fixed 3x/2x explodes —
+# no cartesian, no window.  The coefficient is exact-IEEE division of
+# two integers, so the oracle replays it bit-for-bit.
+# ===========================================================================
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 37).alias("x"),
+        (F.col("event_id") % 101).alias("y"),
+    )
+    edges = (
+        ev.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = edges.select(F.col("a").alias("w_b"), F.col("b").alias("t_c"))
+    wedges = e1.join(e2, F.col("t_b") == F.col("w_b")).drop("w_b")
+    e3 = edges.select(F.col("a").alias("c_a"), F.col("b").alias("c_c"))
+    tris = wedges.join(
+        e3, (F.col("t_a") == F.col("c_a")) & (F.col("t_c") == F.col("c_c"))
+    )
+    tri_per_node = (
+        tris.select(
+            F.explode(F.array("t_a", "t_b", "t_c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    degrees = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degrees.join(tri_per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("n_tri", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )
+
+
+SQL_CLUSTERING_COEFFICIENT = """
+WITH pts AS (
+  SELECT user_id % 37 AS x, event_id % 101 AS y FROM events
+),
+e AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM pts WHERE x <> y
+),
+tris AS (
+  SELECT e1.a AS t_a, e1.b AS t_b, e2.b AS t_c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tpn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT unnest([t_a, t_b, t_c]) AS node FROM tris
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT unnest([a, b]) AS node FROM e
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+  CASE WHEN d.degree >= 2
+       THEN CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
+            / (d.degree * (d.degree - 1))
+       ELSE CAST(0 AS DOUBLE) END AS coeff
+FROM deg d LEFT JOIN tpn t USING (node)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "triangle_count": (
         q_triangle_count,
         SQL_TRIANGLE_COUNT,
         "graph:triangle counting",
+    ),
+    "clustering_coefficient": (
+        q_clustering_coefficient,
+        SQL_CLUSTERING_COEFFICIENT,
+        "graph:local clustering coefficient",
     ),
     "rollup_cascade": (
         q_rollup_cascade,

@@ -3342,7 +3342,181 @@ FROM q GROUP BY 1
 """
 
 
+# ===========================================================================
+# Q: decontaminate_split — split-leakage removal: drop from the train
+# split every document sharing a verbatim 8-gram with any TEST-split
+# document, and account for the removal per source.  This is the
+# split-vs-split face of contamination hygiene: unlike
+# ``benchmark_overlap`` (fixed small benchmark → broadcast), BOTH
+# sides here are corpus-proportional, so the candidate meet is a plain
+# shuffle equi-join on the n-gram key — the shape that survives when
+# the "benchmark" is 10% of a 100 TB corpus and could never broadcast.
+# Only (doc, ngram) hits survive the join; accounting is a
+# per-source conditional count.
+# ===========================================================================
+
+DECON_NGRAM = 8
+
+
+def q_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.contamination import exploded_ngrams
+    from dataengineering_spark.operators.sampling import dataset_split
+
+    tagged = dataset_split(_docs(spark, sf_dir), "doc_id")
+    train = tagged.filter(F.col("split") == "train")
+    test = tagged.filter(F.col("split") == "test")
+    train_ng = exploded_ngrams(train, n=DECON_NGRAM).distinct()
+    test_ng = (
+        exploded_ngrams(test, n=DECON_NGRAM).select("ngram").distinct()
+    )
+    contaminated = (
+        train_ng.join(test_ng, "ngram").select("doc_id").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_dropped"),
+            (
+                F.count(F.lit(1)) - F.sum(F.coalesce("_hit", F.lit(0)))
+            ).alias("n_kept"),
+        )
+    )
+
+
+SQL_DECONTAMINATE_SPLIT = f"""
+WITH tagged AS (
+  SELECT doc_id, source, text,
+    CASE WHEN ({{h}}) < 80 THEN 'train'
+         WHEN ({{h}}) < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+),
+w AS (
+  SELECT doc_id, split, source,
+    CASE WHEN length({NORM_SQL}) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split({NORM_SQL}, ' ') END AS ws
+  FROM tagged
+),
+tn AS (
+  SELECT DISTINCT doc_id, ng FROM (
+    SELECT doc_id, unnest({{nglist}}) AS ng FROM w WHERE split = 'train'
+  )
+),
+sn AS (
+  SELECT DISTINCT ng FROM (
+    SELECT unnest({{nglist}}) AS ng FROM w WHERE split = 'test'
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM tn JOIN sn USING (ng)
+)
+SELECT t.source,
+  CAST(COUNT(*) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept
+FROM tagged t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+WHERE t.split = 'train'
+GROUP BY t.source
+"""
+
+
+def _sql_decontaminate_split() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    return SQL_DECONTAMINATE_SPLIT.format(
+        h=f"{sample_hash_sql('doc_id', salt='split')} % 100",
+        nglist=_ngram_list_sql("ws", DECON_NGRAM),
+    )
+
+
+SQL_DECONTAMINATE_SPLIT = _sql_decontaminate_split()
+
+
+# ===========================================================================
+# Q: zipf_curve — corpus-health check of the term frequency-rank law.
+# Zipf's law says rank x freq ~ constant; a corpus whose head departs
+# wildly (rank*freq collapsing or exploding down the ranks) is
+# boilerplate-heavy or template-generated.  Output: the top
+# ZIPF_TOPK global terms with rank, freq, the rank*freq product, and
+# freq relative to the top term — all integer or exact-IEEE-division
+# values, deliberately NO log-log regression (ln() is libm-dependent
+# and would make the oracle engine-sensitive).
+# Scale shape: one token explode → hash agg, then a driver-bounded
+# TakeOrderedAndProject top-k (never a partition-less window over the
+# vocabulary).
+# ===========================================================================
+
+ZIPF_TOPK = 50
+
+
+def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import word_array
+
+    freqs = (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_array("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("token")).limit(ZIPF_TOPK)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("freq")).alias("nf"), "token"))
+        ).alias("ts")
+    )
+    # The top term's freq is element 0 of the SAME packed array the
+    # ranks explode from — a projection, not a keyless scalar join
+    # (which would plan as BroadcastNestedLoopJoin).
+    ranked = packed.select(
+        (-F.element_at("ts", 1)["nf"]).alias("_f1"),
+        F.posexplode("ts").alias("rk0", "t"),
+    )
+    return ranked.select(
+        (F.col("rk0") + 1).cast("int").alias("rank"),
+        F.col("t.token").alias("token"),
+        (-F.col("t.nf")).alias("freq"),
+        ((F.col("rk0") + 1) * (-F.col("t.nf"))).alias("rank_x_freq"),
+        ((-F.col("t.nf")).cast("double") / F.col("_f1")).alias("rel_freq"),
+    )
+
+
+SQL_ZIPF_CURVE = f"""
+WITH t AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+f AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM t WHERE length(token) > 0 GROUP BY token
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+         token, freq
+  FROM f ORDER BY freq DESC, token LIMIT {ZIPF_TOPK}
+)
+SELECT rank, token, freq,
+  CAST(rank * freq AS BIGINT) AS rank_x_freq,
+  CAST(freq AS DOUBLE) / (SELECT freq FROM r WHERE rank = 1) AS rel_freq
+FROM r
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
+    "decontaminate_split": (
+        q_decontaminate_split,
+        SQL_DECONTAMINATE_SPLIT,
+        "north-star:split decontamination",
+    ),
+    "zipf_curve": (
+        q_zipf_curve,
+        SQL_ZIPF_CURVE,
+        "north-star:term frequency-rank law",
+    ),
     "span_dedup": (
         q_span_dedup,
         SQL_SPAN_DEDUP,
