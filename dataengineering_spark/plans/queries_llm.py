@@ -3365,12 +3365,18 @@ def q_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = dataset_split(_docs(spark, sf_dir), "doc_id")
     train = tagged.filter(F.col("split") == "train")
     test = tagged.filter(F.col("split") == "test")
-    train_ng = exploded_ngrams(train, n=DECON_NGRAM).distinct()
+    # left-semi on the ngram key: existence is all that matters, so a
+    # train doc sharing a boilerplate 8-gram with thousands of test
+    # docs emits one row, not thousands — and the raw occurrence
+    # stream needs no (doc, ngram) distinct shuffle first.
+    train_ng = exploded_ngrams(train, n=DECON_NGRAM)
     test_ng = (
         exploded_ngrams(test, n=DECON_NGRAM).select("ngram").distinct()
     )
     contaminated = (
-        train_ng.join(test_ng, "ngram").select("doc_id").distinct()
+        train_ng.join(test_ng, "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
         .withColumn("_hit", F.lit(1))
     )
     return (
