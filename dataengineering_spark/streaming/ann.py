@@ -176,6 +176,82 @@ def ann_serve_stream(
     return writer.start()
 
 
+def ann_ingest_batch_fn(
+    enc_path: str,
+    index: "tuple[list, dict]",
+    m_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_path: str | None = None,
+):
+    """foreachBatch hook for the CORPUS side of the stream: encode the
+    epoch's vectors under the FROZEN quantizers (one narrow map — the
+    same ``encode_corpus`` pass the offline build uses) and append
+    them cid-partitioned, so the next serve call's partition pruning
+    sees them with no index rebuild.
+
+    Freezing the quantizers is the deliberate trade: assignments stay
+    comparable forever (a vector's codes never change under replay —
+    appends are idempotent per epoch content), at the price of index
+    staleness as the distribution drifts.  ``stats_path`` makes that
+    drift measurable instead of silent: per epoch, (epoch_id, cid,
+    n_vectors) is appended — an O(#cells) frame whose growing skew
+    (new mass crowding few cells) is the retrain signal."""
+
+    def batch_fn(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        from dataengineering_spark.operators.similarity import encode_corpus
+
+        enc = encode_corpus(
+            batch, index, m_sub=m_sub, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ).persist()
+        try:
+            enc.write.mode("append").partitionBy("cid").parquet(enc_path)
+            if stats_path is not None:
+                (
+                    enc.groupBy("cid")
+                    .agg(F.count(F.lit(1)).alias("n_vectors"))
+                    .withColumn("epoch_id", F.lit(int(epoch_id)))
+                    .write.mode("append")
+                    .parquet(stats_path)
+                )
+        finally:
+            enc.unpersist()
+
+    return batch_fn
+
+
+def ann_ingest_stream(
+    stream: DataFrame,
+    enc_path: str,
+    index: "tuple[list, dict]",
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    **ingest_kwargs,
+) -> StreamingQuery:
+    """Wire a corpus-vector stream into the ingest loop — the
+    complement of :func:`ann_serve_stream`: together they are the full
+    train-once / ingest-forever / serve-forever contract."""
+    batch_fn = ann_ingest_batch_fn(enc_path, index, **ingest_kwargs)
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_cell_stats(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Per-cell ingest accounting accumulated by
+    :func:`ann_ingest_batch_fn`: (epoch_id, cid, n_vectors)."""
+    return spark.read.parquet(stats_path).select(
+        "epoch_id", "cid", "n_vectors"
+    )
+
+
 def accumulated_results(spark: SparkSession, out_path: str) -> DataFrame:
     """Accumulated (query_id, neighbor_id, rank, adc_d2) from a drained
     stream's sink, replay-deduplicated."""
