@@ -93,6 +93,9 @@ HEADLINE = (
     # round-7 additions
     "lsh_bucket_accounting",
     "rolling_24h_decomposed",
+    "decontaminate_split",
+    "zipf_curve",
+    "clustering_coefficient",
 )
 
 

@@ -70,15 +70,20 @@ def trailing_range_agg(
     sum_col: str = "sum_trailing",
 ) -> DataFrame:
     """Per-row trailing ``window_sec`` count + sum over event time —
-    the bucketed decomposition of ``RANGE BETWEEN window_sec-1
-    PRECEDING AND CURRENT ROW``, for DENSE keys.
+    the bucketed map-reduce decomposition of ``RANGE BETWEEN
+    window_sec-1 PRECEDING AND CURRENT ROW``.
 
-    Spark's sliding-frame WindowExec re-evaluates the aggregate
-    buffer as the frame moves, so a bare RANGE window costs
-    O(rows x avg-frame-size) — fine when frames are a handful of rows
-    (the plain window wins there; see SCALE.md A/B), quadratic pain
-    when a key sees hundreds of events per day.  This decomposition
-    replaces frame-size with FIXED fanout:
+    MEASURED VERDICT (SCALE.md round-7 sf100 A/B, 100M events): the
+    plain RANGE window BEAT this decomposition at every tested frame
+    density (avg frames 2 / 170 / 670 / 3300 rows: window 24-42 s,
+    essentially density-flat; decomposition 97-241 s, and disk-death
+    at sparse keys with 1h buckets).  Spark 4's sliding-frame
+    count/sum evidently costs O(rows), not O(rows x frame) — use the
+    plain window for count/sum trailing metrics.  The operator is
+    retained, oracle-checked (``rolling_24h_decomposed``), as the
+    composable decomposition pattern for engines/aggregates where
+    sliding re-evaluation IS per-frame, and as the bounded-shuffle
+    fallback shape.  Decomposition structure:
 
     1. bucket partials: one (key, bucket) row with count/sum —
        a plain hash aggregate;
@@ -115,10 +120,17 @@ def trailing_range_agg(
     the final ids join back onto ``df`` — everything else is
     aggregate-sized.
 
-    Total work is O(rows x 24 + rows x bucket-density) instead of
-    O(rows x frame-size).  The sum stays in DECIMAL end-to-end —
-    decimal addition is associative, so regrouping cannot drift vs
-    the windowed form.
+    Total work is O(rows + n_buckets x fanout + rows x bucket-density),
+    where fanout = ``window_sec/bucket_sec − 1``.  REGIME RULE
+    (measured, SCALE.md): the n_buckets x fanout term is the explode
+    in step 2, so on SPARSE keys n_buckets ≈ rows and the explode
+    manufactures fanout x rows shuffle volume (sf100 natural keys:
+    95.6M buckets x 23 ≈ 2.2B rows, >51 GB of shuffle → disk-death).
+    If using this operator at all, size ``bucket_sec`` so expected
+    rows per (key, bucket) exceeds the fanout — for sparse keys that
+    means ``window_sec/2`` (fanout 1, sf100: 97.2 s where 1h buckets
+    died).  The sum stays in DECIMAL end-to-end — decimal addition is
+    associative, so regrouping cannot drift vs the windowed form.
 
     Exactness contract (oracle-checked via ``rolling_24h_decomposed``):
     equals the RANGE window INCLUDING peer rows (ties in ``sec_col``

@@ -799,12 +799,14 @@ WINDOW w AS (PARTITION BY user_id
 # Q: rolling_24h_decomposed — the SAME trailing-24h semantics through
 # the bucketed decomposition (operators/windows.trailing_range_agg):
 # hourly partials + fixed 23-bucket explode + in-bucket running range
-# window + edge-bucket equi-join. Spark's sliding-frame WindowExec
-# re-materializes the frame per row, so the bare RANGE window above
-# costs O(rows x frame-size); the decomposition is O(rows x 24 +
-# rows x in-hour density) — the shape that survives dense keys at
-# 100 TB (SCALE.md sf100 A/B). Oracle: identical SQL to rolling_24h —
-# the decomposition must be indistinguishable from the window.
+# window + edge-bucket equi-join. The sf100 A/B (SCALE.md round 7)
+# measured the plain RANGE window FASTER at every tested density
+# (frames 2 → 3300 rows: 24-42 s, essentially flat) — Spark 4's
+# sliding-frame count/sum cost tracks rows, not rows x frame — so the
+# plain window (rolling_24h) is the recommended production shape and
+# this query exists as the oracle-checked equivalence proof of the
+# decomposition operator. Oracle: identical SQL to rolling_24h — the
+# decomposition must be indistinguishable from the window.
 # ===========================================================================
 
 
