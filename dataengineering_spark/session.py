@@ -69,3 +69,39 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executors via ``addPyFile`` so UDF
+    closures that reference ``dataengineering_spark`` unpickle on
+    workers that don't have the repo on their PYTHONPATH.
+
+    Why this exists: cloudpickle serializes module-level functions BY
+    REFERENCE — the worker re-imports ``dataengineering_spark.…`` at
+    deserialization time. On a laptop checkout the repo cwd is on the
+    path and this is invisible; on a real cluster (or any driver
+    launched from another directory — how this was caught: a
+    driver-emulation sweep run from /tmp failed every
+    mapInPandas/applyInPandas query with worker-side
+    ModuleNotFoundError while all 46 pure-DataFrame queries passed,
+    because only Python-worker lanes re-import) the package must
+    travel with the job. One zip + ``addPyFile`` covers every
+    executor, including ones that join later; Spark ships it with the
+    job's file server, so nothing is assumed about shared storage.
+
+    Returns the zip path (kept on disk for the session's lifetime —
+    executors fetch lazily)."""
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="dataengineering-spark-ship-")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "dataengineering_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
