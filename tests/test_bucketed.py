@@ -107,6 +107,22 @@ def test_layout_changes_plan_not_values(spark, bucketed_tables):
     assert got == ref
 
 
+def test_point_lookup_prunes_buckets(spark, bucketed_tables):
+    """An equality filter on the bucket column scans ONE bucket of 8 —
+    at 100 TB a key lookup reads 1/n_buckets of the table before any
+    row-group statistics even apply.  autoBucketedScan must be off
+    for a bare filter: the auto heuristic only keeps the bucketed
+    scan when a join/agg needs the distribution, and it disables
+    bucket pruning along with it."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table(bucketed_tables[0]).filter(F.col("o_orderkey") == 32)
+        plan = plan_of(df)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
 def test_colocated_join_refuses_unbucketed_side(spark, bucketed_tables):
     read_table(spark, "nation", SF).write.mode("overwrite").saveAsTable(
         "nation_plain"
