@@ -2794,11 +2794,247 @@ FROM deg d LEFT JOIN tpn t USING (node)
 """
 
 
+# ===========================================================================
+# Q: reciprocity — DIRECTED-graph mutuality over the event graph:
+# per source node, what fraction of its distinct out-edges have the
+# reverse edge present.  Same mod-folds as triangle_count but edges
+# keep their direction (src = user fold, dst = event fold).  The
+# reverse check is a LEFT-SEMI self-join on the swapped key pair —
+# existence only, no pair multiplicity.  ratio_ppm is integer-exact
+# (floor of an exact-IEEE division of two BIGINTs).
+# ===========================================================================
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 37).alias("src"),
+        (F.col("event_id") % 101).alias("dst"),
+    )
+    edges = ev.filter(F.col("src") != F.col("dst")).distinct()
+    rev = edges.select(
+        F.col("dst").alias("r_src"), F.col("src").alias("r_dst")
+    )
+    mutual = edges.join(
+        rev,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left_semi",
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_recip = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_recip"))
+    return out_deg.join(n_recip, "src", "left").select(
+        F.col("src").alias("node"),
+        "out_deg",
+        F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        F.floor(
+            F.coalesce("n_recip", F.lit(0))
+            * F.lit(1000000.0)
+            / F.col("out_deg")
+            + F.lit(0.5)
+        ).alias("recip_ppm"),
+    )
+
+
+SQL_RECIPROCITY = """
+WITH e AS (
+  SELECT DISTINCT user_id % 37 AS src, event_id % 101 AS dst
+  FROM events WHERE user_id % 37 <> event_id % 101
+),
+m AS (
+  SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_recip
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+  )
+  GROUP BY e.src
+),
+d AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src
+)
+SELECT d.src AS node, d.out_deg,
+  CAST(COALESCE(m.n_recip, 0) AS BIGINT) AS n_recip,
+  CAST(FLOOR(COALESCE(m.n_recip, 0) * 1000000.0 / d.out_deg + 0.5)
+    AS BIGINT) AS recip_ppm
+FROM d LEFT JOIN m ON d.src = m.src
+"""
+
+
+# ===========================================================================
+# Q: xcorr_lag — lead-lag analysis: Pearson correlation between the
+# click-value and purchase-value DAILY series at day offsets −3..+3
+# (does purchase volume follow click volume?).  The lag fanout is an
+# in-row explode of a 7-element sequence — never a cross join — and
+# the per-lag moments follow the value_correlation discipline: all
+# six sums in DECIMAL (order-independent, engine-identical), doubles
+# only in the final corr expression, emitted as floored ppm.
+# ===========================================================================
+
+XCORR_MAX_LAG = 3
+
+
+def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+    )
+    x = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("v").alias("x")
+    )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("y_day"), F.col("v").alias("y")
+    )
+    lagged = x.select(
+        "day",
+        "x",
+        F.explode(
+            F.sequence(F.lit(-XCORR_MAX_LAG), F.lit(XCORR_MAX_LAG))
+        ).alias("lag"),
+    )
+    j = lagged.join(
+        y, F.col("y_day") == F.date_add(F.col("day"), F.col("lag"))
+    )
+    agg = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n_days").cast("double")
+    dd = {c: _dec_to_double(F.col(c)) for c in ("sx", "sy", "sxy", "sx2", "sy2")}
+    num = n * dd["sxy"] - dd["sx"] * dd["sy"]
+    den = F.sqrt(
+        (n * dd["sx2"] - dd["sx"] * dd["sx"])
+        * (n * dd["sy2"] - dd["sy"] * dd["sy"])
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_days",
+        F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)).alias("corr_ppm"),
+    )
+
+
+SQL_XCORR_LAG = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+x AS (SELECT day, v AS x FROM daily WHERE event_type = 'click'),
+y AS (SELECT day AS y_day, v AS y FROM daily WHERE event_type = 'purchase'),
+lagged AS (
+  SELECT day, x, CAST(unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1}))
+    AS INT) AS lag
+  FROM x
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+    SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM lagged JOIN y ON y_day = day + lag
+  GROUP BY lag
+),
+d AS (
+  SELECT lag, n_days, CAST(n_days AS DOUBLE) AS nd,
+    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2,
+    CAST(CAST(sy2 AS VARCHAR) AS DOUBLE) AS sy2
+  FROM m
+)
+SELECT lag, n_days,
+  CAST(FLOOR((nd * sxy - sx * sy)
+      / sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy))
+      * 1000000.0 + 0.5) AS BIGINT) AS corr_ppm
+FROM d
+"""
+
+
+# ===========================================================================
+# Q: gini_by_source — per-source Gini coefficient of document length:
+# the inequality summary behind "is this source a few mega-docs or
+# many uniform snippets".  G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with x
+# ranked ascending (ties broken by doc_id so the rank is total and
+# engine-identical).  All sums are BIGINT (Σ i·x stays under 2^53 so
+# the final double conversion is exact); doubles only in the last
+# expression, emitted as floored ppm.
+# ===========================================================================
+
+def q_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sx").alias("total_chars"),
+        F.floor(
+            (
+                F.lit(2.0) * F.col("six") / (nd * F.col("sx"))
+                - (nd + F.lit(1.0)) / nd
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).alias("gini_ppm"),
+    )
+
+
+SQL_GINI_BY_SOURCE = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      AS BIGINT) AS i
+  FROM documents
+),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(i * x) AS BIGINT) AS six
+  FROM r GROUP BY source
+)
+SELECT source, n_docs, sx AS total_chars,
+  CAST(FLOOR(
+    (2.0 * six / (CAST(n_docs AS DOUBLE) * sx)
+     - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE))
+    * 1000000.0 + 0.5) AS BIGINT) AS gini_ppm
+FROM m
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "triangle_count": (
         q_triangle_count,
         SQL_TRIANGLE_COUNT,
         "graph:triangle counting",
+    ),
+    "reciprocity": (
+        q_reciprocity,
+        SQL_RECIPROCITY,
+        "graph:directed mutuality",
+    ),
+    "xcorr_lag": (
+        q_xcorr_lag,
+        SQL_XCORR_LAG,
+        "timeseries:lead-lag cross-correlation",
+    ),
+    "gini_by_source": (
+        q_gini_by_source,
+        SQL_GINI_BY_SOURCE,
+        "corpus:length inequality",
     ),
     "clustering_coefficient": (
         q_clustering_coefficient,
