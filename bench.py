@@ -96,6 +96,9 @@ HEADLINE = (
     "decontaminate_split",
     "zipf_curve",
     "clustering_coefficient",
+    "reciprocity",
+    "xcorr_lag",
+    "gini_by_source",
 )
 
 
