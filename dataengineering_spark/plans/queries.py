@@ -742,6 +742,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_lifecycle import LIFECYCLE_QUERIES
     from dataengineering_spark.plans.queries_growth import GROWTH_QUERIES
     from dataengineering_spark.plans.queries_audit import AUDIT_QUERIES
+    from dataengineering_spark.plans.queries_eval import EVAL_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -755,6 +756,7 @@ def _register_extra_queries() -> None:
         LIFECYCLE_QUERIES,
         GROWTH_QUERIES,
         AUDIT_QUERIES,
+        EVAL_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             # a repeated name would silently shadow the earlier query in

@@ -1,0 +1,469 @@
+"""Round-7 evaluation & curation-audit tier: the measurement queries a
+training-data pipeline runs *about* its own retrieval / dedup / testing
+machinery, each exact vs the DuckDB oracle:
+
+- ``ndcg_eval`` — retrieval quality: NDCG@10 of the exact-cosine
+  neighbor ranking against the embedding labels. The DCG weights
+  1/log2(rank+1) are Python-computed integer micro-unit LITERALS
+  embedded in both engines (libm log is engine-divergent — the house
+  rule since tfidf_terms), so every output column is integer-exact.
+- ``abtest_ztest`` — two-proportion z-test between the event_id%2
+  split on purchase rate. Runs entirely in +,-,*,/,sqrt doubles —
+  all IEEE-754 correctly-rounded operations, so identical expression
+  trees produce bit-identical doubles on both engines (unlike ln/pow,
+  which are libm-dependent and banned from compared values).
+- ``bpe_merge_candidates`` — one BPE-training iteration: the top-10
+  adjacent-symbol-pair counts over the normalized corpus, the pair a
+  tokenizer trainer would merge next. Exploded via sequence() +
+  substring (codegen lane — interpreted HOF lambdas are ~2 ms/element,
+  the ngram_novelty lesson), aggregated over a ≤(36²) pair alphabet
+  with map-side partial aggregation; top-10 via TakeOrderedAndProject,
+  never a SinglePartition window.
+- ``blocking_quality`` — record-linkage blocking audit: if near-dup
+  candidate generation used a cheap (lang, length-bucket) blocking key
+  instead of MinHash-LSH, what fraction of the pair space would it
+  prune (reduction ratio) and what fraction of the true near-dup
+  pairs would it keep (pair completeness)? Truth = the session-cached
+  LSH pairs (the same frame minhash_lsh / ngram_jaccard ride).
+  Block-size aggregation only — candidate pairs are counted as
+  Σ nb·(nb−1)/2 per block, never materialized.
+- ``dup_source_matrix`` — corpus-curation view of near-duplication:
+  the source×source matrix of LSH near-dup pairs (boilerplate shared
+  ACROSS sources is a different cleanup decision than dups within
+  one). Pairs joined to a source map that mirrors the dedup-corpus
+  construction; output folded to unordered source pairs.
+
+Reference surface: extends the reference's validation tier
+(``coinprice/pricing_checks.py``, ``clickhouse/v1/operator.py:440-499``)
+with the retrieval-eval / experiment-stats / linkage-audit screens the
+LLM-pipeline operators (operators/similarity.py, operators/dedup.py)
+need at 100 TB.
+
+Scale notes: ndcg_eval's query side is bounded (20 queries, broadcast)
+and corpus-linear like cosine_topk; abtest_ztest is one map-side-
+combined groupBy to a 2-row frame; bpe_merge_candidates aggregates to
+a bounded pair alphabet; blocking_quality / dup_source_matrix are
+equi-joins of the O(pairs) LSH frame against O(corpus) maps — no
+all-pairs shape anywhere. The doc_id+100000 mutated-corpus convention
+follows queries_llm._DEDUP_SQL_CTES (valid at driver scale factors;
+the synthetic-corpus offset, not a production pattern).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.operators.similarity import cosine_topk
+from dataengineering_spark.plans.queries_llm import (
+    _DEDUP_SQL_CTES,
+    _docs,
+    _lsh_pairs_cached,
+)
+from dataengineering_spark.streaming.dedup import normalize_text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, name, sf_dir)
+
+
+# ===========================================================================
+# Q: ndcg_eval — NDCG@10 of exact-cosine retrieval vs embedding labels
+# ===========================================================================
+
+_NDCG_K = 20  # queries: vec_id < 20
+_DCG_W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+_DCG_P = [sum(_DCG_W[: i + 1]) for i in range(10)]
+_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]"
+_P_SQL = "[" + ", ".join(str(p) for p in _DCG_P) + "]"
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NDCG_K)
+    nn = cosine_topk(emb, queries, k=10)
+
+    labels = emb.select("vec_id", "label")
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _DCG_W])
+    p_arr = F.array(*[F.lit(p).cast("long") for p in _DCG_P])
+
+    # nn is k×|queries| rows — broadcast it against the corpus-sized
+    # label map, then attach the (bounded) query labels.
+    hits = (
+        labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nlabel")
+        .join(F.broadcast(nn), "neighbor_id")
+        .join(F.broadcast(qlab), "query_id")
+    )
+    dcg = hits.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            F.when(
+                F.col("nlabel") == F.col("qlabel"),
+                F.element_at(w_arr, F.col("rank")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    # how many relevant docs exist per query (self excluded) — caps the
+    # ideal DCG. Equi-join on label, query side broadcast.
+    avail = (
+        labels.join(
+            F.broadcast(qlab),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    idcg = F.element_at(p_arr, F.least(F.col("n_rel"), F.lit(10)).cast("int"))
+    return (
+        dcg.join(avail, "query_id")
+        .filter(F.col("n_rel") >= 1)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "dcg_micro",
+            idcg.alias("idcg_micro"),
+            F.expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)").alias(
+                "ndcg_ppm"
+            ),
+        )
+        .withColumn("idcg_micro", F.col("idcg_micro").cast("long"))
+    )
+
+
+SQL_NDCG_EVAL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < {_NDCG_K}),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+    list_dot_product(qv, e.v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+),
+rel AS (
+  SELECT query_id, qlabel,
+    CAST(SUM(CASE WHEN nlabel = qlabel THEN ({_W_SQL})[rank] ELSE 0 END)
+         AS BIGINT) AS dcg_micro
+  FROM ranked WHERE rank <= 10 GROUP BY query_id, qlabel
+),
+avail AS (
+  SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM q JOIN e ON e.label = q.qlabel AND e.vec_id != q.query_id
+  GROUP BY q.query_id
+)
+SELECT r.query_id, r.qlabel AS label, r.dcg_micro,
+  CAST(({_P_SQL})[CAST(LEAST(a.n_rel, 10) AS INT)] AS BIGINT) AS idcg_micro,
+  CAST(r.dcg_micro * 1000000
+       // ({_P_SQL})[CAST(LEAST(a.n_rel, 10) AS INT)] AS BIGINT) AS ndcg_ppm
+FROM rel r JOIN avail a USING (query_id)
+WHERE a.n_rel >= 1
+"""
+
+
+# ===========================================================================
+# Q: abtest_ztest — two-proportion z-test on the event_id%2 split
+# ===========================================================================
+
+def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.groupBy((F.col("event_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).cast("long").alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).cast("long").alias("conv_b"),
+    )
+    # identical expression text on both engines: every operation below
+    # (+ - * / sqrt) is IEEE-754 correctly rounded, so the doubles —
+    # and their micro-unit floors — match bit-for-bit.
+    return wide.selectExpr(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "CAST(FLOOR(CAST(conv_a AS DOUBLE) / n_a * 1000000 + 0.5) AS BIGINT)"
+        " AS p_a_ppm",
+        "CAST(FLOOR(CAST(conv_b AS DOUBLE) / n_b * 1000000 + 0.5) AS BIGINT)"
+        " AS p_b_ppm",
+        "CAST(FLOOR("
+        " (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1.0 / n_a + 1.0 / n_b))"
+        " * 1000000 + 0.5) AS BIGINT) AS z_micro",
+    )
+
+
+SQL_ABTEST_ZTEST = """
+WITH v AS (
+  SELECT event_id % 2 AS variant, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY 1
+),
+wide AS (
+  SELECT
+    CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+    CAST(MAX(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS conv_a,
+    CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+    CAST(MAX(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS conv_b
+  FROM v
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  CAST(FLOOR(CAST(conv_a AS DOUBLE) / n_a * 1000000 + 0.5) AS BIGINT) AS p_a_ppm,
+  CAST(FLOOR(CAST(conv_b AS DOUBLE) / n_b * 1000000 + 0.5) AS BIGINT) AS p_b_ppm,
+  CAST(FLOOR(
+    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b))
+    * 1000000 + 0.5) AS BIGINT) AS z_micro
+FROM wide
+"""
+
+
+# ===========================================================================
+# Q: bpe_merge_candidates — top adjacent-pair counts (one BPE iteration)
+# ===========================================================================
+
+_BPE_TOPK = 10
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # bounded output (≤36² pairs) → TakeOrderedAndProject, no global
+    # window; boundary ties broken by pair text for determinism.
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
+
+
+SQL_BPE_MERGE_CANDIDATES = f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+              '\\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+words AS (SELECT unnest(string_split(nt, ' ')) AS w FROM norm),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words
+        WHERE length(w) >= 2)
+),
+counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+# ===========================================================================
+# Q: blocking_quality — reduction ratio + pair completeness of a cheap
+# (lang, length-bucket) blocking key, judged against the LSH pairs
+# ===========================================================================
+
+_BLOCK_BKT = 64  # length-bucket width in characters
+
+
+def _block_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bkt) for every dedup-corpus doc — mirrors the
+    queries_llm dedup-corpus construction, carrying lang through
+    instead of joining back by id arithmetic."""
+    docs = _docs(spark, sf_dir)
+    orig = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(length(text) AS BIGINT) DIV {_BLOCK_BKT}").alias("bkt"),
+    )
+    mut = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang",
+        F.expr(
+            f"CAST(length(text || ' zz zz zz') AS BIGINT) DIV {_BLOCK_BKT}"
+        ).alias("bkt"),
+    )
+    return orig.unionAll(mut)
+
+
+def _d38(c):
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(38,0)")
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _block_map(spark, sf_dir)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+
+    tot = blocks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = (
+        blocks.groupBy("lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(nb AS DECIMAL(38,0)) * (nb - 1) DIV 2")),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("cand_pairs")
+        )
+    )
+    truth = pairs.agg(F.count(F.lit(1)).cast("long").alias("truth_pairs"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("bkt").alias("bkt_a"),
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("bkt").alias("bkt_b"),
+    )
+    cap = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("bkt_a") == F.col("bkt_b"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("captured"))
+    )
+    # four 1-row frames → one audit row (BNLJ scalar attach, allowlisted)
+    return (
+        tot.crossJoin(cand)
+        .crossJoin(truth)
+        .crossJoin(cap)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 AS BIGINT)").alias(
+                "total_pairs"
+            ),
+            F.col("cand_pairs").cast("long").alias("candidate_pairs"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - cand_pairs)"
+                " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2)"
+                " AS BIGINT)"
+            ).alias("reduction_ppm"),
+            "truth_pairs",
+            "captured",
+            F.expr(
+                "CAST(captured * 1000000 DIV nullif(truth_pairs, 0) AS BIGINT)"
+            ).alias("completeness_ppm"),
+        )
+    )
+
+
+SQL_BLOCKING_QUALITY = _DEDUP_SQL_CTES + f""",
+blocks AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // {_BLOCK_BKT} AS bkt
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang,
+         CAST(length(text || ' zz zz zz') AS BIGINT) // {_BLOCK_BKT} AS bkt
+  FROM documents WHERE doc_id % 2 = 0
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM blocks),
+cand AS (
+  SELECT COALESCE(SUM(CAST(nb AS HUGEINT) * (nb - 1) // 2), 0) AS cand_pairs
+  FROM (SELECT COUNT(*) AS nb FROM blocks GROUP BY lang, bkt)
+),
+truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM pairs),
+cap AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS captured
+  FROM pairs p
+  JOIN blocks a ON a.doc_id = p.doc_a
+  JOIN blocks b ON b.doc_id = p.doc_b
+  WHERE a.lang = b.lang AND a.bkt = b.bkt
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+  CAST(cand_pairs AS BIGINT) AS candidate_pairs,
+  CAST((n * (n - 1) // 2 - cand_pairs) * 1000000
+       // (n * (n - 1) // 2) AS BIGINT) AS reduction_ppm,
+  truth_pairs,
+  captured,
+  CAST(captured * 1000000 // NULLIF(truth_pairs, 0) AS BIGINT)
+    AS completeness_ppm
+FROM tot, cand, truth, cap
+"""
+
+
+# ===========================================================================
+# Q: dup_source_matrix — source×source near-dup pair counts
+# ===========================================================================
+
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id", "source").unionAll(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source"
+        )
+    )
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+SQL_DUP_SOURCE_MATRIX = _DEDUP_SQL_CTES + """,
+src AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source FROM documents WHERE doc_id % 2 = 0
+)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.doc_a
+JOIN src sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+EVAL_QUERIES: dict[str, tuple] = {
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
+    "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
+    "bpe_merge_candidates": (
+        q_bpe_merge_candidates,
+        SQL_BPE_MERGE_CANDIDATES,
+        "tokenizer:BPE merge step",
+    ),
+    "blocking_quality": (
+        q_blocking_quality,
+        SQL_BLOCKING_QUALITY,
+        "linkage:blocking audit",
+    ),
+    "dup_source_matrix": (
+        q_dup_source_matrix,
+        SQL_DUP_SOURCE_MATRIX,
+        "curation:cross-source dup matrix",
+    ),
+}

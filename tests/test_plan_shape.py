@@ -69,6 +69,8 @@ def test_no_cartesian_products_anywhere(spark):
             "kmv_intersect",
             "hard_negatives",
             "cooccurrence_pairs",
+            "ndcg_eval",  # rides cosine_topk's query broadcast
+            "blocking_quality",  # four 1-row audit-scalar attaches
         ):
             # cosine_topk's / hard_negatives' query-broadcast
             # crossJoins, ivf_ann's centroid-assignment crossJoin,
