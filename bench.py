@@ -99,6 +99,12 @@ HEADLINE = (
     "reciprocity",
     "xcorr_lag",
     "gini_by_source",
+    # round-7 eval tier
+    "ndcg_eval",
+    "abtest_ztest",
+    "bpe_merge_candidates",
+    "blocking_quality",
+    "dup_source_matrix",
 )
 
 

@@ -27,6 +27,12 @@ machinery, each exact vs the DuckDB oracle:
   LSH pairs (the same frame minhash_lsh / ngram_jaccard ride).
   Block-size aggregation only — candidate pairs are counted as
   Σ nb·(nb−1)/2 per block, never materialized.
+- ``langid_confusion`` — confusion matrix of the lang_id heuristic
+  against the labeled lang column, with per-true-lang share in ppm.
+- ``kfold_assign`` — deterministic md5-hash k-fold assignment with a
+  per-fold language-balance audit (the stratification check a
+  training split needs); hash arithmetic shared with
+  operators/sampling so Spark and DuckDB agree bit-for-bit.
 - ``dup_source_matrix`` — corpus-curation view of near-duplication:
   the source×source matrix of LSH near-dup pairs (boilerplate shared
   ACROSS sources is a different cleanup decision than dups within
@@ -177,14 +183,21 @@ WHERE a.n_rel >= 1
 # Q: abtest_ztest — two-proportion z-test on the event_id%2 split
 # ===========================================================================
 
-def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    v = ev.groupBy((F.col("event_id") % 2).alias("variant")).agg(
+def variant_counts(ev: DataFrame) -> DataFrame:
+    """(variant, n, c) for the event_id%2 split — the mergeable partial
+    the streaming monitor (streaming/abtest.py) accumulates per epoch."""
+    return ev.groupBy((F.col("event_id") % 2).alias("variant")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("c"),
     )
+
+
+def ztest_output(v: DataFrame) -> DataFrame:
+    """z-test row from a (variant, n, c) frame. Shared verbatim by the
+    batch query and the streaming snapshot so stream == batch is
+    provable on the exact output doubles."""
     wide = v.agg(
         F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n_a"),
         F.max(F.when(F.col("variant") == 0, F.col("c"))).cast("long").alias("conv_a"),
@@ -210,6 +223,10 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        * (1.0 / n_a + 1.0 / n_b))"
         " * 1000000 + 0.5) AS BIGINT) AS z_micro",
     )
+
+
+def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ztest_output(variant_counts(_t(spark, sf_dir, "events")))
 
 
 SQL_ABTEST_ZTEST = """
@@ -448,6 +465,104 @@ GROUP BY 1, 2
 """
 
 
+# ===========================================================================
+# Q: langid_confusion — confusion matrix of the lang_id heuristic vs
+# the labeled lang column, with per-true-lang share in ppm
+# ===========================================================================
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.plans.queries_llm import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir)  # doc_id, lang, predicted_lang
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("lang_total")
+    )
+    # |langs| rows — broadcast the totals onto the |langs|² cells
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        "lang_total",
+        F.expr("CAST(n_docs * 1000000 DIV lang_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+def _langid_confusion_sql() -> str:
+    from dataengineering_spark.plans.queries_llm import SQL_LANG_ID
+
+    return f"""
+WITH pred AS ({SQL_LANG_ID}),
+cells AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total FROM pred GROUP BY 1
+)
+SELECT lang, predicted_lang, n_docs, lang_total,
+  CAST(n_docs * 1000000 // lang_total AS BIGINT) AS share_ppm
+FROM cells JOIN totals USING (lang)
+"""
+
+
+# ===========================================================================
+# Q: kfold_assign — deterministic hash k-fold split with per-fold
+# language-balance audit (the stratification check before training)
+# ===========================================================================
+
+_KFOLD = 5
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import sample_hash
+
+    docs = _docs(spark, sf_dir)
+    folded = docs.select(
+        (sample_hash("doc_id", salt="kfold") % _KFOLD).alias("fold"), "lang"
+    )
+    cells = folded.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = folded.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("fold_total")
+    )
+    return cells.join(F.broadcast(totals), "fold").select(
+        "fold",
+        "lang",
+        "n_docs",
+        "fold_total",
+        F.expr("CAST(n_docs * 1000000 DIV fold_total AS BIGINT)").alias(
+            "lang_ppm"
+        ),
+    )
+
+
+def _kfold_assign_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", salt="kfold")
+    return f"""
+WITH folded AS (
+  SELECT {h} % {_KFOLD} AS fold, lang FROM documents
+),
+cells AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM folded GROUP BY 1, 2
+),
+totals AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS fold_total FROM folded GROUP BY 1
+)
+SELECT fold, lang, n_docs, fold_total,
+  CAST(n_docs * 1000000 // fold_total AS BIGINT) AS lang_ppm
+FROM cells JOIN totals USING (fold)
+"""
+
+
 EVAL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
@@ -465,5 +580,15 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_dup_source_matrix,
         SQL_DUP_SOURCE_MATRIX,
         "curation:cross-source dup matrix",
+    ),
+    "langid_confusion": (
+        q_langid_confusion,
+        _langid_confusion_sql(),
+        "eval:lang-id confusion matrix",
+    ),
+    "kfold_assign": (
+        q_kfold_assign,
+        _kfold_assign_sql(),
+        "split:hash k-fold balance audit",
     ),
 }
