@@ -105,6 +105,9 @@ HEADLINE = (
     "bpe_merge_candidates",
     "blocking_quality",
     "dup_source_matrix",
+    "langid_confusion",
+    "kfold_assign",
+    "quality_band_dup_rate",
 )
 
 

@@ -66,6 +66,7 @@ from dataengineering_spark.catalog import read_table
 from dataengineering_spark.operators.similarity import cosine_topk
 from dataengineering_spark.plans.queries_llm import (
     _DEDUP_SQL_CTES,
+    _EN_PAT as _EN_PAT_SQL,
     _docs,
     _lsh_pairs_cached,
 )
@@ -563,6 +564,82 @@ FROM cells JOIN totals USING (fold)
 """
 
 
+# ===========================================================================
+# Q: quality_band_dup_rate — does low-quality text duplicate more?
+# Near-dup membership (LSH pairs) cross-tabulated against the
+# quality-score band, the audit that decides whether dedup should run
+# before or after quality filtering on a new corpus.
+# ===========================================================================
+
+def q_quality_band_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import quality_score
+    from dataengineering_spark.plans.queries_llm import _dedup_corpus
+
+    corpus = _dedup_corpus(_docs(spark, sf_dir))
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    members = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    banded = corpus.select(
+        "doc_id",
+        F.floor(quality_score("text") * 10).cast("int").alias("band"),
+    )
+    flagged = banded.join(members, "doc_id", "left").fillna(0, ["is_dup"])
+    return flagged.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.expr("CAST(sum(is_dup) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )
+
+
+# quality expression verbatim from SQL_QUALITY_SCORE (queries_llm), but
+# over the dedup corpus — same IEEE tree, hence identical doubles/bands.
+SQL_QUALITY_BAND_DUP_RATE = _DEDUP_SQL_CTES + f""",
+members AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  )
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+    END AS n_words,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+    CAST(len(regexp_extract_all(lower(text), '{_EN_PAT_SQL}')) AS INT)
+      AS n_stopwords,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM corpus
+),
+banded AS (
+  SELECT doc_id, CAST(FLOOR((
+    0.4 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
+    + 0.3 * least((CASE WHEN n_words > 0
+                   THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   ELSE 0.0 END) * 4.0, 1.0)
+    + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                          THEN CAST(n_punct AS DOUBLE) / n_chars
+                          ELSE 0.0 END) * 5.0, 1.0))
+  ) * 10) AS INT) AS band
+  FROM f
+),
+flagged AS (
+  SELECT band, CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM banded b LEFT JOIN members m USING (doc_id)
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+  CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+FROM flagged GROUP BY band
+"""
+
+
 EVAL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
@@ -590,5 +667,10 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_kfold_assign,
         _kfold_assign_sql(),
         "split:hash k-fold balance audit",
+    ),
+    "quality_band_dup_rate": (
+        q_quality_band_dup_rate,
+        SQL_QUALITY_BAND_DUP_RATE,
+        "curation:quality×dup cross-tab",
     ),
 }
