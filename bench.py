@@ -108,6 +108,7 @@ HEADLINE = (
     "langid_confusion",
     "kfold_assign",
     "quality_band_dup_rate",
+    "quantile_normalize",
 )
 
 

@@ -98,6 +98,53 @@ def discrete_pcts(
     )
 
 
+def keyed_ranks(
+    df: DataFrame,
+    key: str,
+    val: str,
+    tie: str,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Every input row plus its per-``key`` global rank under
+    ``ORDER BY val, tie`` — the full-rank sibling of
+    :func:`discrete_pcts` (which keeps only the percentile hits).
+
+    Same plan shape: (partition, key)-local row_numbers over a
+    ``repartitionByRange(key, val, tie)`` layout plus a broadcast
+    prefix-sum of per-(partition, key) counts. No Window partitions on
+    ``key`` alone, so a 5-key / billion-row frame still runs wide; the
+    broadcast offsets frame is O(#partitions × #keys) — fine for
+    grouping-dimension keys, not for near-unique ones.
+    """
+    from dataengineering_spark.caching import persist_tracked
+
+    # offsets branch and ranked branch must see identical sampled
+    # range bounds (same repo hazard as discrete_pcts)
+    data = persist_tracked(
+        df.repartitionByRange(key, val, tie).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        data.groupBy("_pid", key)
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .withColumn("_off", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)))
+        .select("_pid", key, "_off")
+    )
+    w_local = Window.partitionBy("_pid", key).orderBy(val, tie)
+    return (
+        data.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["_pid", key])
+        .withColumn(rank_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def global_discrete_pcts(
     df: DataFrame,
     val: str,

@@ -640,6 +640,79 @@ FROM flagged GROUP BY band
 """
 
 
+# ===========================================================================
+# Q: quantile_normalize — map each source's length distribution onto
+# the GLOBAL length distribution (quantile normalization, the standard
+# cross-source feature alignment). Per-source percentile via
+# keyed_ranks (never a key-only window); the 20 global grid cuts come
+# from global_discrete_pcts as driver literals (bounded O(#partitions)
+# collect, the house RangePartitioner pattern).
+# ===========================================================================
+
+_QN_GRID = 20
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.robust import (
+        global_discrete_pcts,
+        keyed_ranks,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    names = [f"g{k}" for k in range(_QN_GRID)]
+    cuts = global_discrete_pcts(
+        docs, "n_chars", "doc_id", [k / _QN_GRID for k in range(_QN_GRID)], names
+    )
+    grid = F.array(*[F.lit(int(cuts[nm])).cast("long") for nm in names])
+    ranked = keyed_ranks(docs, "source", "n_chars", "doc_id")
+    cnts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        ranked.join(F.broadcast(cnts), "source")
+        .withColumn(
+            "bucket", F.expr(f"CAST((rn - 1) * {_QN_GRID} DIV cnt AS INT)")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "bucket",
+            F.element_at(grid, F.col("bucket") + 1).alias("norm_chars"),
+        )
+    )
+
+
+SQL_QUANTILE_NORMALIZE = f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+  FROM documents
+),
+g AS (
+  SELECT n_chars,
+    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS grn,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents
+),
+tgt AS (
+  SELECT CAST(k AS INT) AS k,
+    MAX(CASE WHEN grn = CAST(FLOOR((CAST(k AS DOUBLE) / {_QN_GRID}.0) * (n - 1))
+                             AS BIGINT) + 1
+             THEN n_chars END) AS norm_val
+  FROM g, range(0, {_QN_GRID}) t(k) GROUP BY 1
+),
+b AS (
+  SELECT doc_id, source, n_chars,
+    CAST((rn - 1) * {_QN_GRID} // cnt AS INT) AS bucket
+  FROM r
+)
+SELECT b.doc_id, b.source, b.n_chars, b.bucket,
+  CAST(t.norm_val AS BIGINT) AS norm_chars
+FROM b JOIN tgt t ON t.k = b.bucket
+"""
+
+
 EVAL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
@@ -672,5 +745,10 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_quality_band_dup_rate,
         SQL_QUALITY_BAND_DUP_RATE,
         "curation:quality×dup cross-tab",
+    ),
+    "quantile_normalize": (
+        q_quantile_normalize,
+        SQL_QUANTILE_NORMALIZE,
+        "preprocess:quantile normalization",
     ),
 }
