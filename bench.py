@@ -109,6 +109,7 @@ HEADLINE = (
     "kfold_assign",
     "quality_band_dup_rate",
     "quantile_normalize",
+    "split_leakage",
 )
 
 

@@ -713,6 +713,70 @@ FROM b JOIN tgt t ON t.k = b.bucket
 """
 
 
+# ===========================================================================
+# Q: split_leakage — near-dup pairs straddling the train/val/test
+# hash split. A document's near-duplicate landing in a different
+# split is contamination the exact-key split guarantee cannot see;
+# this is the audit that catches it (run AFTER dataset_split, BEFORE
+# training). Pairs from the session-cached LSH frame; split from the
+# same md5 rule as operators/sampling.dataset_split.
+# ===========================================================================
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import dataset_split
+    from dataengineering_spark.plans.queries_llm import _dedup_corpus
+
+    corpus = _dedup_corpus(_docs(spark, sf_dir))
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    sp = dataset_split(corpus.select("doc_id"), "doc_id")
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("pa"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("pb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("pa", "pb").alias("split_a"),
+            F.greatest("pa", "pb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "is_leak",
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    h = f"({sample_hash_sql('doc_id', salt='split')} % 100)"
+    return (
+        _DEDUP_SQL_CTES
+        + f""",
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {h} < 80 THEN 'train'
+         WHEN {h} < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN LEAST(sa.split, sb.split)
+                      != GREATEST(sa.split, sb.split)
+                 THEN 1 ELSE 0 END AS INT) AS is_leak
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+    )
+
+
 EVAL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
@@ -750,5 +814,10 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_quantile_normalize,
         SQL_QUANTILE_NORMALIZE,
         "preprocess:quantile normalization",
+    ),
+    "split_leakage": (
+        q_split_leakage,
+        _split_leakage_sql(),
+        "hygiene:near-dup split leakage",
     ),
 }
