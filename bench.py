@@ -110,6 +110,7 @@ HEADLINE = (
     "quality_band_dup_rate",
     "quantile_normalize",
     "split_leakage",
+    "kcore_peel",
 )
 
 

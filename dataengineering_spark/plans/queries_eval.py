@@ -777,6 +777,95 @@ GROUP BY 1, 2
     )
 
 
+# ===========================================================================
+# Q: kcore_peel — k-core decomposition by iterative peel (bounded
+# supersteps, like pagerank's fixed PR_ITERS): drop nodes with degree
+# < k, recompute, repeat. Output = surviving nodes with their degree
+# inside the core subgraph. Same mod-folded event graph as
+# clustering_coefficient; the alive set is broadcast only because
+# that node space is mod-bounded — the peel joins themselves are
+# plain equi-joins that scale to any node count.
+# ===========================================================================
+
+_KCORE_K = 9
+_KCORE_ITERS = 4
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 37).alias("x"),
+        (F.col("event_id") % 101).alias("y"),
+    )
+    edges = (
+        ev.filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    from dataengineering_spark.caching import persist_tracked
+
+    # each round references the previous edge set THREE times (two
+    # degree reads + the join source); without a persist the lazy plan
+    # inlines it 3^iters ways — the connected-components plan-doubling
+    # lesson. One persist per round keeps the plan linear in iters.
+    e = persist_tracked(edges)
+    for _ in range(_KCORE_ITERS):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        # no explicit broadcast: an eager broadcast exchange per round
+        # costs a separate job; left lazy, AQE still picks broadcast
+        # for the tiny alive set and the whole peel runs as one job
+        e = persist_tracked(
+            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def _kcore_peel_sql() -> str:
+    ctes = [
+        "ev AS (SELECT user_id % 37 AS x, event_id % 101 AS y FROM events)",
+        """edges0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+  FROM ev WHERE x != y
+)""",
+    ]
+    prev = "edges0"
+    for i in range(_KCORE_ITERS):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"""edges{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN a{i} xa ON e.a = xa.node
+  JOIN a{i} yb ON e.b = yb.node
+)"""
+        )
+        prev = f"edges{i + 1}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+) GROUP BY 1
+"""
+
+
 EVAL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
@@ -819,5 +908,10 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_split_leakage,
         _split_leakage_sql(),
         "hygiene:near-dup split leakage",
+    ),
+    "kcore_peel": (
+        q_kcore_peel,
+        _kcore_peel_sql(),
+        "graph:k-core decomposition",
     ),
 }
