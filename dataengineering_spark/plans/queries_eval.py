@@ -377,7 +377,8 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cand_pairs").cast("long").alias("candidate_pairs"),
             F.expr(
                 "CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - cand_pairs)"
-                " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2)"
+                " * 1000000"
+                " DIV nullif(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2, 0)"
                 " AS BIGINT)"
             ).alias("reduction_ppm"),
             "truth_pairs",
@@ -415,7 +416,7 @@ SELECT CAST(n AS BIGINT) AS n_docs,
   CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
   CAST(cand_pairs AS BIGINT) AS candidate_pairs,
   CAST((n * (n - 1) // 2 - cand_pairs) * 1000000
-       // (n * (n - 1) // 2) AS BIGINT) AS reduction_ppm,
+       // NULLIF(n * (n - 1) // 2, 0) AS BIGINT) AS reduction_ppm,
   truth_pairs,
   captured,
   CAST(captured * 1000000 // NULLIF(truth_pairs, 0) AS BIGINT)
@@ -663,6 +664,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = global_discrete_pcts(
         docs, "n_chars", "doc_id", [k / _QN_GRID for k in range(_QN_GRID)], names
     )
+    if any(cuts[nm] is None for nm in names):  # empty corpus → empty result
+        return spark.createDataFrame(
+            [], "doc_id long, source string, n_chars long, bucket int, norm_chars long"
+        )
     grid = F.array(*[F.lit(int(cuts[nm])).cast("long") for nm in names])
     ranked = keyed_ranks(docs, "source", "n_chars", "doc_id")
     cnts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
