@@ -871,6 +871,106 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
 """
 
 
+# ===========================================================================
+# Q: bpe_train_merges — ACTUAL BPE training, 8 merge iterations: count
+# adjacent-token pairs over the spaced-character corpus, merge the top
+# pair everywhere, repeat. Unlike bpe_merge_candidates (one static
+# count), merged symbols feed back — by iteration 6-8 the winning
+# pairs contain earlier merges ("m er", "p ar"). Per iteration: one
+# distributed pair-count agg + a bounded 1-row top-pair collect (the
+# merge rule must be a literal in the next round's regex) + one
+# codegen regexp_replace over the persisted corpus. Driver state is
+# O(iterations); corpus work is linear per round. The \b-anchored
+# replace reproduces BPE's greedy leftmost non-overlapping merge on
+# both engines (zero-width boundaries, alnum-only tokens).
+# ===========================================================================
+
+_BPE_TRAIN_ITERS = 8
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+
+    docs = _docs(spark, sf_dir)
+    c = persist_tracked(
+        docs.select(F.explode(F.split(normalize_text("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("d")
+        )
+    )
+    rows: list[tuple] = []
+    for i in range(_BPE_TRAIN_ITERS):
+        # size<2 guard: Spark sequence(1, 0) DESCENDS ([1, 0]) instead
+        # of returning empty — single-token rows must not explode
+        toks = c.select(F.split("d", " ").alias("t")).filter(F.size("t") >= 2)
+        pairs = toks.select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("j"), "t"
+        ).select(
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("j")),
+                F.element_at("t", F.col("j") + 1),
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus exhausted / empty input
+            break
+        rows.append((i + 1, top[0]["pair"], int(top[0]["n"])))
+        pat = r"\b" + top[0]["pair"] + r"\b"
+        c = persist_tracked(
+            c.select(
+                F.regexp_replace("d", pat, top[0]["pair"].replace(" ", "")).alias("d")
+            )
+        )
+    return spark.createDataFrame(rows, "iter int, pair string, n long")
+
+
+def _bpe_train_sql() -> str:
+    from dataengineering_spark.plans.queries_llm import NORM_SQL
+
+    ctes = [
+        f"""c0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS d
+  FROM (SELECT unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents)
+  WHERE length(w) >= 1
+)"""
+    ]
+    prev = "c0"
+    for i in range(_BPE_TRAIN_ITERS):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT t[j] || ' ' || t[j+1] AS pair, COUNT(*) AS n
+  FROM (SELECT string_split(d, ' ') AS t FROM {prev}),
+       UNNEST(range(1, len(t))) u(j)
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED"
+            f" (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"""c{i + 1} AS MATERIALIZED (
+  SELECT regexp_replace(d, '\\b' || (SELECT pair FROM t{i}) || '\\b',
+                        (SELECT replace(pair, ' ', '') FROM t{i}), 'g') AS d
+  FROM {prev}
+)"""
+        )
+        prev = f"c{i + 1}"
+    sel = " UNION ALL ".join(
+        f"SELECT {i + 1} AS iter, pair, CAST(n AS BIGINT) AS n FROM t{i}"
+        for i in range(_BPE_TRAIN_ITERS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
 EVAL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
@@ -918,5 +1018,10 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_kcore_peel,
         _kcore_peel_sql(),
         "graph:k-core decomposition",
+    ),
+    "bpe_train_merges": (
+        q_bpe_train_merges,
+        _bpe_train_sql(),
+        "tokenizer:BPE training loop",
     ),
 }
