@@ -119,7 +119,13 @@ def main() -> None:
     from dataengineering_spark.session import get_spark
     from dataengineering_spark.plans.queries import QUERIES
 
-    spark = get_spark("dataengineering-spark-bench")
+    # keep stdout clean: the driver records only the LAST 2000 chars of
+    # bench output, so \r-progress-bar residue ahead of the JSON line
+    # eats into the budget that line must fit in.
+    spark = get_spark(
+        "dataengineering-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JIT, codegen cache, filesystem metadata
@@ -140,7 +146,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        timings[name] = round(statistics.median(samples), 2)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -148,6 +154,9 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
+    # ONE compact line (separators without spaces): the harness keeps only
+    # the tail of this process's output, so the line must stay well under
+    # 2000 chars even at 74+ headline queries.
     print(
         json.dumps(
             {
@@ -157,7 +166,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_num,
                 "runs": n_runs,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
