@@ -111,6 +111,9 @@ HEADLINE = (
     "quantile_normalize",
     "split_leakage",
     "kcore_peel",
+    # round-7 curation tier
+    "semantic_dedup",
+    "dsir_weights",
 )
 
 

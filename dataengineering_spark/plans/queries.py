@@ -743,6 +743,7 @@ def _register_extra_queries() -> None:
     from dataengineering_spark.plans.queries_growth import GROWTH_QUERIES
     from dataengineering_spark.plans.queries_audit import AUDIT_QUERIES
     from dataengineering_spark.plans.queries_eval import EVAL_QUERIES
+    from dataengineering_spark.plans.queries_curation import CURATION_QUERIES
 
     for extra in (
         LLM_QUERIES,
@@ -757,6 +758,7 @@ def _register_extra_queries() -> None:
         GROWTH_QUERIES,
         AUDIT_QUERIES,
         EVAL_QUERIES,
+        CURATION_QUERIES,
     ):
         for name, (fn, sql, ref) in extra.items():
             # a repeated name would silently shadow the earlier query in

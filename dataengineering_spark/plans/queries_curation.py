@@ -1,0 +1,354 @@
+"""Round-7 data-curation tier: the selection / semantic-dedup passes a
+pretraining pipeline runs between raw crawl and tokenizer, each exact
+vs the DuckDB oracle:
+
+- ``semantic_dedup`` — SemDeDup-style embedding dedup (Abbas et al.
+  2023, arXiv:2303.09540): k-means-partition the embedding space
+  (the IVF coarse quantizer — md5-ranked seeds, fixed Lloyd
+  iterations, 1e-6 fixed-point centroid sums, so training replays in
+  DuckDB bit-for-bit), generate candidate pairs only WITHIN a cell,
+  connect pairs with cosine >= threshold into clusters, and keep one
+  doc per cluster — the member with the LOWEST cosine to its cell
+  centroid (the paper's keep-rule: prefer the least prototypical
+  member). Within-cell pairing is the scale story: candidates are
+  cell-local (an equi-join on cid), never the all-pairs square; the
+  cluster step is the same bounded min-label propagation
+  ``dedup_clusters`` runs, and the oracle replays it as a recursive
+  transitive closure.
+- ``dsir_weights`` — Data Selection with Importance Resampling
+  (Xie et al. 2023, arXiv:2302.03169) weights over hashed bigram
+  features: bucket every word bigram into B hashed buckets (the
+  md5 sampling hash shared with operators/sampling, so both engines
+  agree bit-for-bit), estimate Laplace-smoothed bucket probabilities
+  for the target slice (lang='en' — language-targeted selection,
+  DSIR's own headline use) and for the raw corpus, and score each
+  document Σ_b cnt_b(doc) · (p_target(b) − p_raw(b)) on a 1e-9
+  fixed-point grid. The log-LR of the paper is libm ``ln`` — banned
+  from compared values since tfidf_terms — so the score is the
+  log-free linear surrogate with the same argmax behavior for
+  resampling: monotone in each bucket's probability gap. Both
+  probability terms are single correctly-rounded double divisions,
+  their difference/product IEEE-exact ops, and the per-doc sum is a
+  BIGINT fixed-point sum, so every output value is integer-exact.
+
+Reference surface: the reference stops at exact/near dedup
+(``clickhouse/v1/operator.py:440-499`` drives dedup maintenance);
+this tier adds the embedding-space and importance-sampling curation
+passes a 100 TB pretraining corpus needs on top.
+
+Scale notes: semantic_dedup's training collect is k-bounded
+(C × dim doubles), assignment is a narrow map against centroid
+literals (no Exchange before the cell id — see
+operators/similarity.ivf_assign), pair generation shuffles on cid
+only, and min-label propagation is bounded by cluster diameter.
+dsir_weights is two hash-agg passes (corpus bucket counts → B rows;
+per-doc bucket counts) plus one broadcast join of the B-row
+probability table — no shuffle wider than the per-(doc,bucket)
+aggregate, and B is a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineering_spark.plans.queries_llm import DIM, _docs, _emb
+from dataengineering_spark.operators.similarity import cosine
+
+# --- semantic_dedup knobs: C/iters mirror ivf_ann so the trained
+# quantizer is the one already proven oracle-exact; the threshold
+# matches embedding_neardup's (the corpus' high-similarity tail).
+SEM_C, SEM_ITERS, SEM_THRESHOLD = 8, 2, 0.35
+
+# --- dsir knobs: hashed-feature bucket count and the fixed-point grid
+# for the probability-gap score. B=64 keeps the probability table a
+# broadcast literal at any corpus size; 1e-9 resolves gaps between
+# Laplace-smoothed probabilities whose denominators are corpus-sized.
+DSIR_BUCKETS = 64
+DSIR_SCALE = 1_000_000_000
+DSIR_TARGET_LANG = "en"
+DSIR_SALT = "dsir"
+
+
+# ===========================================================================
+# Q: semantic_dedup — SemDeDup over the embeddings table
+# ===========================================================================
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import connected_components
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        ivf_assign,
+        ivf_train_rows,
+    )
+
+    emb = _emb(spark, sf_dir)
+    e = _spread_for_training(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    cent_rows = ivf_train_rows(e, SEM_C, SEM_ITERS, DIM)
+    # cells is read three times (both pair sides + the member join):
+    # persist so the narrow assign map runs once. Storage is the
+    # encoded corpus — the same persist content_dedup carries.
+    cells = ivf_assign(e, cent_rows).persist()
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    cos_c = cells.join(F.broadcast(cents), "cid").select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos_centroid")
+    )
+    a = cells.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cid")
+    b = cells.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    members = comp.select(
+        F.col("doc_id").alias("vec_id"), "component"
+    ).join(cos_c, "vec_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("cos_centroid").asc(), F.col("vec_id").asc()
+    )
+    return members.select(
+        "component",
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        "cos_centroid",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _semantic_dedup_sql(
+    n_centroids: int, n_iters: int, dim: int, threshold: float
+) -> str:
+    """The ivf_ann training CTE chain (seeds → fixed Lloyd rounds →
+    cells), then within-cell threshold pairs and a recursive
+    min-reachable-id closure — the same label ``dedup_clusters``
+    assigns, here over the cosine graph."""
+
+    def dd(a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    def dist2(v: str, c: str) -> str:
+        return f"({dd(v, v)} - 2*{dd(v, c)} + {dd(c, c)})"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dd(a, b)} / (sqrt({dd(a, a)}) * sqrt({dd(b, b)}))"
+
+    def assign_cte(name: str, src: str, cents: str, n: int) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {dist2('s.v', 'c.cv')}, c.cid) AS rn
+    FROM {src} s CROSS JOIN {cents} c) WHERE rn <= {n}
+)"""
+
+    def cent_cte(name: str, asg: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(comp ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(floor(v[pos] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / (1000000.0 * COUNT(*)) AS comp
+    FROM {asg}, range(1, {dim + 1}) t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seeds AS (
+  SELECT rn - 1 AS cid, v AS cv FROM (
+    SELECT v, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e) WHERE rn <= {n_centroids}
+)""",
+    ]
+    cents = "seeds"
+    for i in range(n_iters):
+        ctes.append(assign_cte(f"asg{i}", "e", cents, 1))
+        cents = f"cent{i + 1}"
+        ctes.append(cent_cte(cents, f"asg{i}"))
+    ctes.append(assign_cte("cells", "e", cents, 1))
+    joined = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {joined},
+cos_c AS (
+  SELECT a.vec_id, a.cid, {cos('a.v', 'c.cv')} AS cos_centroid
+  FROM cells a JOIN {cents} c ON a.cid = c.cid
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos('a.v', 'b.v')} >= {threshold}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+comp AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT comp.component, comp.vec_id, CAST(cos_c.cid AS INT) AS cid,
+  cos_c.cos_centroid,
+  (ROW_NUMBER() OVER (PARTITION BY comp.component
+                      ORDER BY cos_c.cos_centroid ASC, comp.vec_id ASC) = 1)
+    AS keep
+FROM comp JOIN cos_c ON comp.vec_id = cos_c.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql(SEM_C, SEM_ITERS, DIM, SEM_THRESHOLD)
+
+
+# ===========================================================================
+# Q: dsir_weights — hashed-bigram importance weights per document
+# ===========================================================================
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.sampling import sample_hash
+
+    docs = _docs(spark, sf_dir)
+    pairs = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
+        "transform(sequence(1, size(_w) - 1),"
+        " i -> concat(_w[i-1], ' ', _w[i])) "
+        "ELSE array() END"
+    )
+    bib = (
+        docs.select(
+            "doc_id", "lang", F.split(F.col("text"), " ").alias("_w")
+        )
+        .select("doc_id", "lang", F.explode(pairs).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(sample_hash(F.col("bg"), DSIR_SALT), F.lit(DSIR_BUCKETS)).alias(
+                "bucket"
+            ),
+        )
+        # three aggregation passes share one explode+hash scan
+        .persist()
+    )
+    raw_b = bib.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt_b = (
+        bib.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    totals = bib.agg(
+        F.count(F.lit(1)).alias("raw_tot"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("tgt_tot"),
+    )
+    probs = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tgt_tot") + DSIR_BUCKETS).cast("double")
+                    - (F.col("raw_cnt") + 1).cast("double")
+                    / (F.col("raw_tot") + DSIR_BUCKETS).cast("double")
+                )
+                * F.lit(float(DSIR_SCALE))
+            )
+            .cast("long")
+            .alias("diff_fp"),
+        )
+    )
+    doc_b = bib.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        doc_b.join(F.broadcast(probs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("diff_fp")).alias("score_fp"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("score_fp"), F.lit(0)).cast("long").alias("score_fp"),
+    )
+
+
+def _dsir_weights_sql() -> str:
+    from dataengineering_spark.operators.sampling import sample_hash_sql
+
+    bucket = f"{sample_hash_sql('bg', DSIR_SALT)} % {DSIR_BUCKETS}"
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+bib AS (
+  SELECT doc_id, lang,
+    CAST({bucket} AS BIGINT) AS bucket
+  FROM (
+    SELECT doc_id, lang, ws[t.i] || ' ' || ws[t.i + 1] AS bg
+    FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i))
+),
+raw_b AS (SELECT bucket, COUNT(*) AS raw_cnt FROM bib GROUP BY bucket),
+tgt_b AS (
+  SELECT bucket, COUNT(*) AS tgt_cnt FROM bib
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+),
+tot AS (
+  SELECT COUNT(*) AS raw_tot,
+    SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_tot
+  FROM bib
+),
+probs AS (
+  SELECT r.bucket,
+    CAST(floor(
+      (CAST(COALESCE(t.tgt_cnt, 0) + 1 AS DOUBLE)
+         / CAST(tot.tgt_tot + {DSIR_BUCKETS} AS DOUBLE)
+       - CAST(r.raw_cnt + 1 AS DOUBLE)
+         / CAST(tot.raw_tot + {DSIR_BUCKETS} AS DOUBLE))
+      * {float(DSIR_SCALE)}) AS BIGINT) AS diff_fp
+  FROM raw_b r LEFT JOIN tgt_b t ON r.bucket = t.bucket CROSS JOIN tot
+),
+doc_b AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM bib GROUP BY doc_id, bucket
+),
+scored AS (
+  SELECT doc_id, SUM(cnt) AS n_bigrams, SUM(cnt * diff_fp) AS score_fp
+  FROM doc_b JOIN probs ON doc_b.bucket = probs.bucket
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(s.score_fp, 0) AS BIGINT) AS score_fp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_DSIR_WEIGHTS = _dsir_weights_sql()
+
+
+CURATION_QUERIES = {
+    "semantic_dedup": (
+        q_semantic_dedup,
+        SQL_SEMANTIC_DEDUP,
+        "curation:SemDeDup embedding dedup",
+    ),
+    "dsir_weights": (
+        q_dsir_weights,
+        SQL_DSIR_WEIGHTS,
+        "curation:DSIR importance weights",
+    ),
+}

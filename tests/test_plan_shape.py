@@ -71,6 +71,7 @@ def test_no_cartesian_products_anywhere(spark):
             "cooccurrence_pairs",
             "ndcg_eval",  # rides cosine_topk's query broadcast
             "blocking_quality",  # four 1-row audit-scalar attaches
+            "dsir_weights",  # 1-row corpus-totals attach onto the B-row prob table
         ):
             # cosine_topk's / hard_negatives' query-broadcast
             # crossJoins, ivf_ann's centroid-assignment crossJoin,
