@@ -778,3 +778,85 @@ def span_dedup(
             F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         )
     )
+
+
+def semantic_dedup_members(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate clusters. K-means-partition the corpus (the IVF
+    coarse quantizer from operators/similarity — deterministic
+    md5-ranked seeds, fixed Lloyd rounds, fixed-point centroid sums),
+    generate candidate pairs only WITHIN a cell, connect pairs with
+    cosine >= threshold into components, and mark one keeper per
+    cluster: the member with the LOWEST cosine to its cell centroid
+    (the paper's keep-rule — prefer the least prototypical member).
+
+    Returns one row per clustered vector: (component, vec_id, cid,
+    cos_centroid, keep). Unclustered vectors are implicitly all-keep
+    and not returned (anti-join the dropped set, as dedup_survivors
+    does).
+
+    SIZE ``n_centroids`` WITH THE CORPUS: within-cell pairing is
+    O(N²/C) — the whole point of the cell partition is that C grows
+    with N so the expected cell stays bounded (C ≈ N/1000 keeps cells
+    ~1000 and pair work ~500·N, linear). A fixed C at growing N
+    silently re-creates the all-pairs square; the sf1→sf10 probe in
+    SCALE.md measures exactly this knob. Training cost is k-bounded
+    (the driver collect is C × dim doubles); assignment stays a
+    narrow map against centroid literals.
+    """
+    from pyspark.sql import Window
+
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        cosine,
+        ivf_assign,
+        ivf_train_rows,
+    )
+
+    e = _spread_for_training(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    cent_rows = ivf_train_rows(e, n_centroids, n_iters, dim)
+    # read three times (both pair sides + the member join): persist so
+    # the narrow assign map runs once — the content_dedup pattern.
+    cells = ivf_assign(e, cent_rows).persist()
+    cents = emb.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    cos_c = cells.join(F.broadcast(cents), "cid").select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos_centroid")
+    )
+    a = cells.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cid")
+    b = cells.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    members = comp.select(
+        F.col("doc_id").alias("vec_id"), "component"
+    ).join(cos_c, "vec_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("cos_centroid").asc(), F.col("vec_id").asc()
+    )
+    return members.select(
+        "component",
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        "cos_centroid",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -49,11 +49,10 @@ aggregate, and B is a constant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineering_spark.plans.queries_llm import DIM, _docs, _emb
-from dataengineering_spark.operators.similarity import cosine
 
 # --- semantic_dedup knobs: C/iters mirror ivf_ann so the trained
 # quantizer is the one already proven oracle-exact; the threshold
@@ -75,52 +74,17 @@ DSIR_SALT = "dsir"
 # ===========================================================================
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataengineering_spark.operators.dedup import connected_components
-    from dataengineering_spark.operators.similarity import (
-        _spread_for_training,
-        ivf_assign,
-        ivf_train_rows,
-    )
+    from dataengineering_spark.operators.dedup import semantic_dedup_members
 
-    emb = _emb(spark, sf_dir)
-    e = _spread_for_training(
-        emb.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-    )
-    cent_rows = ivf_train_rows(e, SEM_C, SEM_ITERS, DIM)
-    # cells is read three times (both pair sides + the member join):
-    # persist so the narrow assign map runs once. Storage is the
-    # encoded corpus — the same persist content_dedup carries.
-    cells = ivf_assign(e, cent_rows).persist()
-    cents = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],
-        "cid INT, cv ARRAY<DOUBLE>",
-    )
-    cos_c = cells.join(F.broadcast(cents), "cid").select(
-        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos_centroid")
-    )
-    a = cells.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cid")
-    b = cells.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cid")
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_THRESHOLD)
-        .select("vec_a", "vec_b")
-    )
-    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
-    members = comp.select(
-        F.col("doc_id").alias("vec_id"), "component"
-    ).join(cos_c, "vec_id")
-    w = Window.partitionBy("component").orderBy(
-        F.col("cos_centroid").asc(), F.col("vec_id").asc()
-    )
-    return members.select(
-        "component",
-        "vec_id",
-        F.col("cid").cast("int").alias("cid"),
-        "cos_centroid",
-        (F.row_number().over(w) == 1).alias("keep"),
+    # C pinned at ivf_ann's 8 so the oracle replays the proven
+    # quantizer; real corpora size C with N (see the operator's
+    # docstring — within-cell pair work is O(N²/C)).
+    return semantic_dedup_members(
+        _emb(spark, sf_dir),
+        n_centroids=SEM_C,
+        n_iters=SEM_ITERS,
+        dim=DIM,
+        threshold=SEM_THRESHOLD,
     )
 
 

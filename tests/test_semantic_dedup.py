@@ -1,0 +1,87 @@
+"""semantic_dedup_members (SemDeDup) semantics on synthetic corpora:
+the keep-rule, cluster membership, and the C-scaling contract the
+registry query can't pin (its oracle fixes C=8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineering_spark.operators.dedup import semantic_dedup_members
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+
+
+DIM = 8
+
+
+def _basis(i, scale=1.0):
+    v = [0.0] * DIM
+    v[i % DIM] = scale
+    return v
+
+
+def test_identical_vectors_cluster_and_keep_one(spark):
+    # three copies of e0, two copies of e1, one lone e2
+    vecs = [_basis(0), _basis(0), _basis(0), _basis(1), _basis(1), _basis(2)]
+    out = semantic_dedup_members(
+        _emb_frame(spark, vecs), n_centroids=2, n_iters=1, dim=DIM, threshold=0.9
+    ).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    # the lone vector never appears (unclustered => implicitly kept)
+    assert all(r.vec_id != 5 for r in out)
+    # identical vectors land in one component with exactly one keeper
+    assert sorted(len(v) for v in by_comp.values()) == [2, 3]
+    for members in by_comp.values():
+        assert sum(r.keep for r in members) == 1
+        # component label is the min member id
+        assert min(r.vec_id for r in members) == members[0].component
+
+
+def test_keep_rule_prefers_lowest_centroid_cosine(spark):
+    # one tight cluster around e0 plus enough spread mass that the
+    # trained centroid sits between them: the member pointing furthest
+    # from the centroid must be the keeper
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [1.0, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [1.0, 0.4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    ]
+    out = semantic_dedup_members(
+        _emb_frame(spark, vecs), n_centroids=1, n_iters=1, dim=DIM, threshold=0.9
+    ).collect()
+    assert len(out) == 3
+    keeper = [r for r in out if r.keep]
+    assert len(keeper) == 1
+    # lowest cosine-to-centroid wins
+    assert keeper[0].cos_centroid == min(r.cos_centroid for r in out)
+
+
+def test_larger_c_still_pairs_identical_vectors(spark):
+    # the C-scaling contract: identical vectors share a cell at ANY C,
+    # so raising C (the knob that bounds within-cell pair work) never
+    # loses exact-duplicate clusters
+    vecs = [_basis(i % 4, 1.0 + (i // 8) * 0.0) for i in range(16)]
+    for c in (2, 4, 8):
+        out = semantic_dedup_members(
+            _emb_frame(spark, vecs), n_centroids=c, n_iters=1, dim=DIM, threshold=0.999
+        ).collect()
+        comps = {}
+        for r in out:
+            comps.setdefault(r.component, set()).add(r.vec_id)
+        # all 4 copies of each basis vector stay one cluster
+        assert sorted(len(s) for s in comps.values()) == [4, 4, 4, 4], c
+        for members in comps.values():
+            assert len({i % 4 for i in members}) == 1
+
+
+def test_empty_corpus_raises_value_error(spark):
+    empty = _emb_frame(spark, []).limit(0)
+    with pytest.raises(ValueError):
+        semantic_dedup_members(empty, n_centroids=2, n_iters=1, dim=DIM).collect()
