@@ -440,20 +440,27 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iterations: int = 50,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(doc_id, component) labels for the near-duplicate pair graph:
     component = min doc id reachable from the doc. This is the final
     dedup step — keep the row where doc_id == component, drop the rest.
 
-    Iterative min-label propagation (the scalable classic): each round
-    every node takes the min of its own label and its neighbors', and
-    the loop stops at fixpoint — rounds ≤ graph diameter, and near-dup
-    clusters are short-diameter by construction. Per round: one join +
-    one groupBy-min, both partitioned on doc id; frames are persisted
-    per round and the previous round unpersisted (the driver-loop
-    anti-pattern this module otherwise avoids is fine here: the loop
-    is over *rounds*, not rows, and each round is fully distributed).
+    Iterative min-label propagation with POINTER JUMPING: each round
+    every node takes the min of its own label, its neighbors' labels,
+    and its label's label (the path-halving shortcut of
+    hash-to-min-family CC algorithms — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). The invariant
+    "label(v) is reachable from v" is preserved by both steps, so the
+    fixpoint is the same min-reachable-id the plain propagation finds
+    — but a diameter-D chain converges in O(log D) rounds instead of
+    D. Measured on the sf1 replica corpus (20k nodes / 219k edges,
+    diameter ~22): 23 rounds / 155 s plain → 6 rounds / ~25 s with the
+    jump. Per round: two joins + one groupBy-min, all partitioned on
+    doc id; frames are persisted per round and the previous round
+    unpersisted (the driver-loop anti-pattern this module otherwise
+    avoids is fine here: the loop is over *rounds*, not rows, and each
+    round is fully distributed).
 
     persist() caches execution but does NOT truncate the logical
     plan — each round's plan embeds every prior round's, doubling per
@@ -461,7 +468,9 @@ def connected_components(
     driver on plan analysis alone (caught by the union-find fuzz
     test). ``localCheckpoint`` every ``checkpoint_every`` rounds cuts
     the lineage; integer labels make truncation result-invariant,
-    exactly as in ``pagerank_ranks``.
+    exactly as in ``pagerank_ranks``. The same sf1 probe showed
+    per-round *analysis* time climbing 1 → 14 s across a 5-round
+    checkpoint window, so the default cadence is every 2 rounds.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -482,12 +491,28 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component := min(component, label(component)).
+        # label(component) is reachable from component, which is
+        # reachable from doc_id — the invariant that makes the
+        # shortcut safe — and it halves pointer chains each round.
+        jump = stepped.select(
+            F.col("doc_id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(jump, stepped.component == jump._jid, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("_jcomp"), F.col("component")),
                 ).alias("component"),
             )
             .persist()
@@ -788,6 +813,7 @@ def semantic_dedup_members(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate clusters. K-means-partition the corpus (the IVF
@@ -808,15 +834,26 @@ def semantic_dedup_members(
     with N so the expected cell stays bounded (C ≈ N/1000 keeps cells
     ~1000 and pair work ~500·N, linear). A fixed C at growing N
     silently re-creates the all-pairs square; the sf1→sf10 probe in
-    SCALE.md measures exactly this knob. Training cost is k-bounded
-    (the driver collect is C × dim doubles); assignment stays a
-    narrow map against centroid literals.
+    SCALE.md measures exactly this knob. The driver collect stays
+    k-bounded (C × dim doubles); assignment stays a narrow map against
+    centroid literals.
+
+    ``train_rows_cap``: train the quantizer on the ``cap`` vectors
+    ranked first by the md5 sampling hash instead of the full corpus
+    (the FAISS convention — a few dozen samples per centroid train as
+    well as all of them). Lloyd training costs O(rows · C · dim) per
+    iteration; at sf10/C=256 the full-corpus train was 59 s of the
+    whole 557 s run for zero quality gain. The subset is
+    deterministic (hash-ranked, TakeOrdered — no full sort), but a
+    capped train changes the centroids, so the registry query pins
+    cap=None to stay oracle-replayable.
     """
     from pyspark.sql import Window
 
+    from dataengineering_spark.caching import persist_tracked
     from dataengineering_spark.operators.similarity import (
         _spread_for_training,
-        cosine,
+        dot,
         ivf_assign,
         ivf_train_rows,
     )
@@ -827,24 +864,57 @@ def semantic_dedup_members(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    cent_rows = ivf_train_rows(e, n_centroids, n_iters, dim)
+    train_e = e
+    if train_rows_cap is not None and train_rows_cap > 0:
+        from dataengineering_spark.operators.sampling import sample_hash
+
+        train_e = e.orderBy(
+            sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
+        ).limit(train_rows_cap)
+    cent_rows = ivf_train_rows(train_e, n_centroids, n_iters, dim)
     # read three times (both pair sides + the member join): persist so
-    # the narrow assign map runs once — the content_dedup pattern.
-    cells = ivf_assign(e, cent_rows).persist()
+    # the narrow assign map runs once — the content_dedup pattern. The
+    # per-row self-dot rides the cached frame, so each candidate pair
+    # costs ONE dot fold instead of cosine's three (measured 23 s →
+    # 8.5 s over 25M sf1 candidates; see SCALE.md).
+    cells = persist_tracked(
+        ivf_assign(e, cent_rows).withColumn(
+            "dd", dot(F.col("v"), F.col("v"))
+        )
+    )
     cents = emb.sparkSession.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],
         "cid INT, cv ARRAY<DOUBLE>",
     )
     cos_c = cells.join(F.broadcast(cents), "cid").select(
-        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos_centroid")
+        "vec_id",
+        "cid",
+        (
+            dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(F.col("dd")) * F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        ).alias("cos_centroid"),
     )
-    a = cells.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cid")
-    b = cells.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cid")
-    pairs = (
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("dd").alias("dda"), "cid"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("dd").alias("ddb"), "cid"
+    )
+    # dot >= t*sqrt(dda*ddb)  ≡  cosine >= t for positive norms, but
+    # ONE dot per pair; the oracle mirrors this exact expression tree
+    # (sqrt of the product — NOT sqrt·sqrt — so borderline doubles
+    # round identically on both engines).
+    pairs = persist_tracked(
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            dot(F.col("va"), F.col("vb"))
+            >= F.lit(threshold) * F.sqrt(F.col("dda") * F.col("ddb"))
+        )
         .select("vec_a", "vec_b")
+        # persist: connected_components materializes this frame twice
+        # (edge build + convergence loop lineage) — re-deriving it
+        # re-runs the whole within-cell scoring scan (45 s at sf10)
     )
     comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
     members = comp.select(

@@ -30,6 +30,15 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# Measured dead end (sf1, 25M candidate pairs): unrolling the dot fold
+# into a flat 64-term element_at sum was 3x SLOWER than the
+# interpreted aggregate/zip_with fold (62 s vs 23 s for the same
+# count) — the giant expression falls out of whole-stage codegen and
+# per-element array access loses to the fold's single traversal. Keep
+# the fold; cut pair cost by precomputing self-dots and comparing
+# dot >= t*sqrt(dd_a*dd_b) instead (one fold per pair, not three).
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -150,7 +150,8 @@ cos_c AS (
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {cos('a.v', 'b.v')} >= {threshold}
+  WHERE {dd('a.v', 'b.v')}
+    >= {threshold} * sqrt({dd('a.v', 'a.v')} * {dd('b.v', 'b.v')})
 ),
 edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
