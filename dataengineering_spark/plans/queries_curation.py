@@ -183,20 +183,22 @@ SQL_SEMANTIC_DEDUP = _semantic_dedup_sql(SEM_C, SEM_ITERS, DIM, SEM_THRESHOLD)
 # Q: dsir_weights — hashed-bigram importance weights per document
 # ===========================================================================
 
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_bucket_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per word-bigram occurrence,
+    bucketed by the engine-portable md5 sampling hash. The single
+    feature-extraction expression both the batch query and the
+    streaming partials (streaming/dsir.py) run, so stream == batch is
+    provable on exact integers."""
     from dataengineering_spark.operators.sampling import sample_hash
 
-    docs = _docs(spark, sf_dir)
     pairs = F.expr(
         "CASE WHEN size(_w) >= 2 THEN "
         "transform(sequence(1, size(_w) - 1),"
         " i -> concat(_w[i-1], ' ', _w[i])) "
         "ELSE array() END"
     )
-    bib = (
-        docs.select(
-            "doc_id", "lang", F.split(F.col("text"), " ").alias("_w")
-        )
+    return (
+        docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("_w"))
         .select("doc_id", "lang", F.explode(pairs).alias("bg"))
         .select(
             "doc_id",
@@ -205,36 +207,42 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket"
             ),
         )
-        # three aggregation passes share one explode+hash scan
-        .persist()
     )
-    raw_b = bib.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_cnt"))
-    tgt_b = (
-        bib.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+
+
+def dsir_bucket_counts(bib: DataFrame) -> DataFrame:
+    """(bucket, raw_cnt, tgt_cnt) — the mergeable sufficient statistic
+    of the DSIR model: summing these per bucket across any partition
+    of the corpus (micro-batch epochs included) reproduces the
+    full-corpus counts exactly."""
+    return bib.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("tgt_cnt"),
     )
-    totals = bib.agg(
-        F.count(F.lit(1)).alias("raw_tot"),
-        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("tgt_tot"),
+
+
+def dsir_scores(docs: DataFrame, bib: DataFrame, counts: DataFrame) -> DataFrame:
+    """Score every document against bucket counts: Laplace-smoothed
+    target-vs-raw probability gap per bucket on the 1e-9 fixed-point
+    grid, per-doc score = Σ cnt·gap (BIGINT-exact). ``counts`` may
+    come straight from :func:`dsir_bucket_counts` or from folded
+    streaming partials — identical integers either way."""
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
     )
-    probs = (
-        raw_b.join(tgt_b, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.floor(
-                (
-                    (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tgt_tot") + DSIR_BUCKETS).cast("double")
-                    - (F.col("raw_cnt") + 1).cast("double")
-                    / (F.col("raw_tot") + DSIR_BUCKETS).cast("double")
-                )
-                * F.lit(float(DSIR_SCALE))
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (
+                (F.col("tgt_cnt") + 1).cast("double")
+                / (F.col("tgt_tot") + DSIR_BUCKETS).cast("double")
+                - (F.col("raw_cnt") + 1).cast("double")
+                / (F.col("raw_tot") + DSIR_BUCKETS).cast("double")
             )
-            .cast("long")
-            .alias("diff_fp"),
+            * F.lit(float(DSIR_SCALE))
         )
+        .cast("long")
+        .alias("diff_fp"),
     )
     doc_b = bib.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     scored = (
@@ -250,6 +258,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce(F.col("score_fp"), F.lit(0)).cast("long").alias("score_fp"),
     )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+
+    docs = _docs(spark, sf_dir)
+    # two aggregation passes (counts + per-doc) share one explode+hash
+    # scan
+    bib = persist_tracked(dsir_bucket_frame(docs))
+    return dsir_scores(docs, bib, dsir_bucket_counts(bib))
 
 
 def _dsir_weights_sql() -> str:
