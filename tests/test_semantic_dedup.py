@@ -85,3 +85,22 @@ def test_empty_corpus_raises_value_error(spark):
     empty = _emb_frame(spark, []).limit(0)
     with pytest.raises(ValueError):
         semantic_dedup_members(empty, n_centroids=2, n_iters=1, dim=DIM).collect()
+
+
+def test_connected_components_converges_logarithmically(spark):
+    # pointer jumping makes a diameter-D chain converge in O(log D)
+    # rounds; plain propagation needs D. A 500-edge chain under
+    # max_iterations=12 (log2(500) ~ 9) must reach fixpoint with no
+    # over-split warning — the regression guard for the r7 rewrite.
+    import warnings
+
+    from dataengineering_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "doc_a LONG, doc_b LONG"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = connected_components(chain, max_iterations=12).collect()
+    assert len(labels) == 501
+    assert {r.component for r in labels} == {0}
