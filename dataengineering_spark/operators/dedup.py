@@ -805,6 +805,86 @@ def span_dedup(
     )
 
 
+def semantic_cells(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows_cap: int | None = None,
+):
+    """Train the SemDeDup coarse quantizer and assign every vector to
+    its cell. Returns ``(cells, cent_rows)``: a lazy (vec_id, v, cid)
+    frame and the collected C × dim centroid rows (k-bounded driver
+    state). Shared by :func:`semantic_dedup_members` (pairing) and
+    :func:`semantic_cell_stats` (cap accounting) so both see the SAME
+    partition of the corpus."""
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        ivf_assign,
+        ivf_train_rows,
+    )
+
+    e = _spread_for_training(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    train_e = e
+    if train_rows_cap is not None and train_rows_cap > 0:
+        from dataengineering_spark.operators.sampling import sample_hash
+
+        train_e = e.orderBy(
+            sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
+        ).limit(train_rows_cap)
+    cent_rows = ivf_train_rows(train_e, n_centroids, n_iters, dim)
+    return ivf_assign(e, cent_rows), cent_rows
+
+
+def semantic_cell_stats(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    max_cell_size: int = 80,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows_cap: int | None = None,
+) -> DataFrame:
+    """Per-cell accounting for the ``max_cell_size`` hot-cell cap —
+    the no-silent-caps companion to :func:`semantic_dedup_members`,
+    mirroring ``lsh_bucket_stats``: before anyone runs a capped
+    semantic dedup, this reports exactly what the cap would cost.
+
+    One row per cell: size, the n·(n−1)/2 candidate pairs the cell
+    generates, whether the cap drops it, and the pairs a per-cell
+    ``cap``-sample policy would keep instead. The aggregate is
+    O(#cells) — no pair is ever materialized."""
+    cells, _ = semantic_cells(
+        emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap
+    )
+    hot = F.col("n_vecs") > max_cell_size
+    kept_per_hot = max_cell_size * (max_cell_size - 1) // 2
+    return (
+        cells.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_vecs",
+            (F.col("n_vecs") * (F.col("n_vecs") - 1) / 2)
+            .cast("long")
+            .alias("cand_pairs"),
+            hot.alias("over_cap"),
+            F.when(hot, F.lit(kept_per_hot))
+            .otherwise(F.col("n_vecs") * (F.col("n_vecs") - 1) / 2)
+            .cast("long")
+            .alias("pairs_kept_if_sampled"),
+        )
+    )
+
+
 def semantic_dedup_members(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -814,6 +894,7 @@ def semantic_dedup_members(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_rows_cap: int | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate clusters. K-means-partition the corpus (the IVF
@@ -847,40 +928,41 @@ def semantic_dedup_members(
     deterministic (hash-ranked, TakeOrdered — no full sort), but a
     capped train changes the centroids, so the registry query pins
     cap=None to stay oracle-replayable.
+
+    ``max_cell_size``: drop policy for hot cells — cells with more
+    vectors than the cap contribute no candidate pairs (their members
+    are implicitly all-keep). Real corpora concentrate boilerplate in
+    a few embedding regions; a hot cell is the semantic twin of
+    MinHash-LSH's hot bucket, and the cap bounds the O(n²) cell the
+    same way. NEVER silent: :func:`semantic_cell_stats` reports each
+    cell's size and exactly how many candidate pairs a cap forfeits.
     """
     from pyspark.sql import Window
 
     from dataengineering_spark.caching import persist_tracked
-    from dataengineering_spark.operators.similarity import (
-        _spread_for_training,
-        dot,
-        ivf_assign,
-        ivf_train_rows,
-    )
+    from dataengineering_spark.operators.similarity import dot
 
-    e = _spread_for_training(
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+    cells_raw, cent_rows = semantic_cells(
+        emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap
+    )
+    if max_cell_size is not None:
+        # drop policy for hot cells (boilerplate-dense embedding
+        # regions): cells over the cap contribute NO candidate pairs —
+        # never a silent truncation, because semantic_cell_stats
+        # reports exactly what the cap forfeits per cell.
+        sizes = cells_raw.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+        cells_raw = (
+            cells_raw.join(sizes, "cid")
+            .filter(F.col("_n") <= max_cell_size)
+            .drop("_n")
         )
-    )
-    train_e = e
-    if train_rows_cap is not None and train_rows_cap > 0:
-        from dataengineering_spark.operators.sampling import sample_hash
-
-        train_e = e.orderBy(
-            sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
-        ).limit(train_rows_cap)
-    cent_rows = ivf_train_rows(train_e, n_centroids, n_iters, dim)
     # read three times (both pair sides + the member join): persist so
     # the narrow assign map runs once — the content_dedup pattern. The
     # per-row self-dot rides the cached frame, so each candidate pair
     # costs ONE dot fold instead of cosine's three (measured 23 s →
     # 8.5 s over 25M sf1 candidates; see SCALE.md).
     cells = persist_tracked(
-        ivf_assign(e, cent_rows).withColumn(
-            "dd", dot(F.col("v"), F.col("v"))
-        )
+        cells_raw.withColumn("dd", dot(F.col("v"), F.col("v")))
     )
     cents = emb.sparkSession.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],

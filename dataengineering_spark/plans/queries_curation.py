@@ -88,22 +88,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_sql(
-    n_centroids: int, n_iters: int, dim: int, threshold: float
-) -> str:
-    """The ivf_ann training CTE chain (seeds → fixed Lloyd rounds →
-    cells), then within-cell threshold pairs and a recursive
-    min-reachable-id closure — the same label ``dedup_clusters``
-    assigns, here over the cosine graph."""
+def _dd(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
 
-    def dd(a: str, b: str) -> str:
-        return f"list_dot_product({a}, {b})"
+
+def _cells_cte_chain(n_centroids: int, n_iters: int, dim: int) -> tuple[str, str]:
+    """(joined CTE text, final-centroid CTE name): the ivf_ann training
+    chain (md5-ranked seeds → fixed Lloyd rounds → cell assignment) —
+    shared by every oracle that replays the quantizer."""
 
     def dist2(v: str, c: str) -> str:
-        return f"({dd(v, v)} - 2*{dd(v, c)} + {dd(c, c)})"
-
-    def cos(a: str, b: str) -> str:
-        return f"{dd(a, b)} / (sqrt({dd(a, a)}) * sqrt({dd(b, b)}))"
+        return f"({_dd(v, v)} - 2*{_dd(v, c)} + {_dd(c, c)})"
 
     def assign_cte(name: str, src: str, cents: str, n: int) -> str:
         return f"""{name} AS (
@@ -140,7 +135,22 @@ def _semantic_dedup_sql(
         cents = f"cent{i + 1}"
         ctes.append(cent_cte(cents, f"asg{i}"))
     ctes.append(assign_cte("cells", "e", cents, 1))
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes), cents
+
+
+def _semantic_dedup_sql(
+    n_centroids: int, n_iters: int, dim: int, threshold: float
+) -> str:
+    """The ivf_ann training CTE chain (seeds → fixed Lloyd rounds →
+    cells), then within-cell threshold pairs and a recursive
+    min-reachable-id closure — the same label ``dedup_clusters``
+    assigns, here over the cosine graph."""
+    dd = _dd
+
+    def cos(a: str, b: str) -> str:
+        return f"{dd(a, b)} / (sqrt({dd(a, a)}) * sqrt({dd(b, b)}))"
+
+    joined, cents = _cells_cte_chain(n_centroids, n_iters, dim)
     return f"""
 WITH RECURSIVE {joined},
 cos_c AS (
@@ -177,6 +187,47 @@ FROM comp JOIN cos_c ON comp.vec_id = cos_c.vec_id
 
 
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql(SEM_C, SEM_ITERS, DIM, SEM_THRESHOLD)
+
+
+# ===========================================================================
+# Q: semantic_cell_stats — hot-cell cap accounting (no-silent-caps)
+# ===========================================================================
+
+SEM_CELL_CAP = 60
+
+
+def q_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import semantic_cell_stats
+
+    return semantic_cell_stats(
+        _emb(spark, sf_dir),
+        n_centroids=SEM_C,
+        n_iters=SEM_ITERS,
+        dim=DIM,
+        max_cell_size=SEM_CELL_CAP,
+    )
+
+
+def _semantic_cell_stats_sql(
+    n_centroids: int, n_iters: int, dim: int, cap: int
+) -> str:
+    joined, _cents = _cells_cte_chain(n_centroids, n_iters, dim)
+    kept_per_hot = cap * (cap - 1) // 2
+    return f"""
+WITH {joined},
+sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cells GROUP BY cid)
+SELECT CAST(cid AS INT) AS cid, n_vecs,
+  CAST(n_vecs * (n_vecs - 1) // 2 AS BIGINT) AS cand_pairs,
+  (n_vecs > {cap}) AS over_cap,
+  CAST(CASE WHEN n_vecs > {cap} THEN {kept_per_hot}
+       ELSE n_vecs * (n_vecs - 1) // 2 END AS BIGINT) AS pairs_kept_if_sampled
+FROM sizes
+"""
+
+
+SQL_SEMANTIC_CELL_STATS = _semantic_cell_stats_sql(
+    SEM_C, SEM_ITERS, DIM, SEM_CELL_CAP
+)
 
 
 # ===========================================================================
@@ -333,5 +384,10 @@ CURATION_QUERIES = {
         q_dsir_weights,
         SQL_DSIR_WEIGHTS,
         "curation:DSIR importance weights",
+    ),
+    "semantic_cell_stats": (
+        q_semantic_cell_stats,
+        SQL_SEMANTIC_CELL_STATS,
+        "curation:SemDeDup hot-cell cap accounting",
     ),
 }

@@ -104,3 +104,32 @@ def test_connected_components_converges_logarithmically(spark):
         labels = connected_components(chain, max_iterations=12).collect()
     assert len(labels) == 501
     assert {r.component for r in labels} == {0}
+
+
+def test_hot_cell_cap_drops_cells_with_accounting(spark):
+    from dataengineering_spark.operators.dedup import semantic_cell_stats
+
+    # one cell (C=1) holding two orthogonal duplicate groups
+    vecs = [_basis(0)] * 12 + [_basis(1)] * 3
+    emb = _emb_frame(spark, vecs)
+    cap = 5
+    stats = semantic_cell_stats(
+        emb, n_centroids=1, n_iters=1, dim=DIM, max_cell_size=cap
+    ).collect()
+    assert len(stats) == 1
+    (row,) = stats
+    assert row.n_vecs == 15 and row.over_cap
+    assert row.cand_pairs == 105 and row.pairs_kept_if_sampled == 10
+
+    # uncapped: both duplicate groups cluster (threshold separates
+    # the orthogonal groups), two keepers
+    full = semantic_dedup_members(
+        emb, n_centroids=1, n_iters=1, dim=DIM, threshold=0.9
+    ).collect()
+    assert len(full) == 15 and sum(r.keep for r in full) == 2
+
+    # capped: the single hot cell contributes no pairs at all
+    capped = semantic_dedup_members(
+        emb, n_centroids=1, n_iters=1, dim=DIM, threshold=0.9, max_cell_size=cap
+    ).collect()
+    assert capped == []
