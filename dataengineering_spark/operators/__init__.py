@@ -26,6 +26,9 @@ from dataengineering_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    semantic_cell_stats,
+    semantic_cells,
+    semantic_dedup_members,
     simhash,
     simhash_neardup_pairs,
 )
@@ -76,6 +79,9 @@ __all__ = [
     "ivfpq_topk",
     "lsh_cosine_topk",
     "simhash_neardup_pairs",
+    "semantic_cells",
+    "semantic_cell_stats",
+    "semantic_dedup_members",
     "salted_join",
     "salted_collect",
     "explain_skew",
