@@ -885,6 +885,62 @@ def semantic_cell_stats(
     )
 
 
+def semantic_candidate_pairs(
+    cells: DataFrame,
+    index_cells: DataFrame | None = None,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """(vec_a, vec_b) pairs with cosine >= threshold, cell-local.
+    ``cells`` must carry (vec_id, v, dd, cid) — dd the precomputed
+    self-dot, so each candidate costs ONE dot fold; the comparison
+    ``dot >= t·sqrt(dd_a·dd_b)`` is the exact tree the DuckDB oracle
+    replays (sqrt of the product, not sqrt·sqrt).
+
+    With ``index_cells`` None: the within-frame self-join
+    (vec_a < vec_b) batch semantic_dedup runs. With an index frame:
+    index vs BROADCAST batch cells — the streaming cross-epoch shape
+    (streaming/semdedup.py); the index side is filtered map-side on
+    cid and never shuffles. Pairs are (least, greatest)-ordered so
+    stream-accumulated output matches the batch self-join regardless
+    of arrival order."""
+    from dataengineering_spark.operators.similarity import dot
+
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("dd").alias("dda"),
+        "cid",
+    )
+    if index_cells is None:
+        b = cells.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("dd").alias("ddb"),
+            "cid",
+        )
+        base = a.join(b, "cid").filter(F.col("vec_a") < F.col("vec_b"))
+        lo, hi = F.col("vec_a"), F.col("vec_b")
+    else:
+        i = index_cells.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("dd").alias("ddb"),
+            "cid",
+        )
+        base = i.join(F.broadcast(a), "cid").filter(
+            F.col("vec_a") != F.col("vec_b")
+        )
+        lo = F.least(F.col("vec_a"), F.col("vec_b"))
+        hi = F.greatest(F.col("vec_a"), F.col("vec_b"))
+    return (
+        base.filter(
+            dot(F.col("va"), F.col("vb"))
+            >= F.lit(threshold) * F.sqrt(F.col("dda") * F.col("ddb"))
+        )
+        .select(lo.alias("vec_a"), hi.alias("vec_b"))
+    )
+
+
 def semantic_dedup_members(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -976,27 +1032,11 @@ def semantic_dedup_members(
             / (F.sqrt(F.col("dd")) * F.sqrt(dot(F.col("cv"), F.col("cv"))))
         ).alias("cos_centroid"),
     )
-    a = cells.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("dd").alias("dda"), "cid"
-    )
-    b = cells.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("dd").alias("ddb"), "cid"
-    )
-    # dot >= t*sqrt(dda*ddb)  ≡  cosine >= t for positive norms, but
-    # ONE dot per pair; the oracle mirrors this exact expression tree
-    # (sqrt of the product — NOT sqrt·sqrt — so borderline doubles
-    # round identically on both engines).
+    # persist: connected_components materializes the pair frame twice
+    # (edge build + convergence loop lineage) — re-deriving it re-runs
+    # the whole within-cell scoring scan (45 s at sf10)
     pairs = persist_tracked(
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            dot(F.col("va"), F.col("vb"))
-            >= F.lit(threshold) * F.sqrt(F.col("dda") * F.col("ddb"))
-        )
-        .select("vec_a", "vec_b")
-        # persist: connected_components materializes this frame twice
-        # (edge build + convergence loop lineage) — re-deriving it
-        # re-runs the whole within-cell scoring scan (45 s at sf10)
+        semantic_candidate_pairs(cells, threshold=threshold)
     )
     comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
     members = comp.select(
