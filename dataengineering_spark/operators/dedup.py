@@ -441,6 +441,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_iterations: int = 50,
     checkpoint_every: int = 2,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(doc_id, component) labels for the near-duplicate pair graph:
     component = min doc id reachable from the doc. This is the final
@@ -471,7 +472,47 @@ def connected_components(
     exactly as in ``pagerank_ranks``. The same sf1 probe showed
     per-round *analysis* time climbing 1 → 14 s across a 5-round
     checkpoint window, so the default cadence is every 2 rounds.
+
+    ``driver_threshold``: pair graphs at or below this edge count run
+    union-find ON THE DRIVER instead (path-compressed, then each set
+    labeled with its min member — the identical fixpoint). Every
+    distributed round costs ~1 s of scheduling overhead regardless of
+    data size, so a 1.2k-edge graph was paying 16 rounds of it (~30 s)
+    for microseconds of actual work. The gate is an explicit, counted
+    bound — 500k edges ≈ 8 MB on the driver — NOT an unbounded
+    collect: above it the distributed loop runs exactly as before (the
+    sf10 probe's 18M-pair graph stays distributed). Pass 0 to force
+    the distributed path (the fuzz suite does, to keep it covered).
     """
+    if driver_threshold and pairs.count() <= driver_threshold:
+        rows = pairs.select(id_a, id_b).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a_val, b_val in rows:
+            for n in (a_val, b_val):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a_val), find(b_val)
+            if ra != rb:
+                parent[ra] = rb
+        set_min: dict[int, int] = {}
+        for n in parent:
+            r = find(n)
+            if r not in set_min or n < set_min[r]:
+                set_min[r] = n
+        return pairs.sparkSession.createDataFrame(
+            [(n, set_min[find(n)]) for n in sorted(parent)],
+            "doc_id long, component long",
+        )
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -813,13 +854,17 @@ def semantic_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_rows_cap: int | None = None,
+    cent_rows: list | None = None,
 ):
     """Train the SemDeDup coarse quantizer and assign every vector to
     its cell. Returns ``(cells, cent_rows)``: a lazy (vec_id, v, cid)
     frame and the collected C × dim centroid rows (k-bounded driver
     state). Shared by :func:`semantic_dedup_members` (pairing) and
     :func:`semantic_cell_stats` (cap accounting) so both see the SAME
-    partition of the corpus."""
+    partition of the corpus. Pass pre-trained ``cent_rows`` to skip
+    training entirely (the train-once/serve-many contract — the
+    session memo in plans/queries_curation.py and the frozen streaming
+    quantizer both ride this)."""
     from dataengineering_spark.operators.similarity import (
         _spread_for_training,
         ivf_assign,
@@ -832,14 +877,15 @@ def semantic_cells(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    train_e = e
-    if train_rows_cap is not None and train_rows_cap > 0:
-        from dataengineering_spark.operators.sampling import sample_hash
+    if cent_rows is None:
+        train_e = e
+        if train_rows_cap is not None and train_rows_cap > 0:
+            from dataengineering_spark.operators.sampling import sample_hash
 
-        train_e = e.orderBy(
-            sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
-        ).limit(train_rows_cap)
-    cent_rows = ivf_train_rows(train_e, n_centroids, n_iters, dim)
+            train_e = e.orderBy(
+                sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
+            ).limit(train_rows_cap)
+        cent_rows = ivf_train_rows(train_e, n_centroids, n_iters, dim)
     return ivf_assign(e, cent_rows), cent_rows
 
 
@@ -852,6 +898,7 @@ def semantic_cell_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_rows_cap: int | None = None,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Per-cell accounting for the ``max_cell_size`` hot-cell cap —
     the no-silent-caps companion to :func:`semantic_dedup_members`,
@@ -863,7 +910,8 @@ def semantic_cell_stats(
     ``cap``-sample policy would keep instead. The aggregate is
     O(#cells) — no pair is ever materialized."""
     cells, _ = semantic_cells(
-        emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap
+        emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap,
+        cent_rows=cent_rows,
     )
     hot = F.col("n_vecs") > max_cell_size
     kept_per_hot = max_cell_size * (max_cell_size - 1) // 2
@@ -951,6 +999,7 @@ def semantic_dedup_members(
     vec_col: str = "embedding",
     train_rows_cap: int | None = None,
     max_cell_size: int | None = None,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate clusters. K-means-partition the corpus (the IVF
@@ -999,7 +1048,8 @@ def semantic_dedup_members(
     from dataengineering_spark.operators.similarity import dot
 
     cells_raw, cent_rows = semantic_cells(
-        emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap
+        emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap,
+        cent_rows=cent_rows,
     )
     if max_cell_size is not None:
         # drop policy for hot cells (boilerplate-dense embedding

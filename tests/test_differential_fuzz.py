@@ -197,9 +197,15 @@ def test_connected_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges], "doc_a long, doc_b long"
     )
+    # driver_threshold=0 forces the distributed min-label loop — the
+    # path this fuzz exists to cover; the size-gated driver fallback
+    # is checked against the same reference below.
     got = {
         (r[0], r[1])
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    got_driver = {
+        (r[0], r[1]) for r in connected_components(pairs).collect()
     }
 
     parent: dict[int, int] = {}
@@ -221,6 +227,7 @@ def test_connected_components_match_union_find(spark, edges):
     nodes = {n for e in edges for n in e}
     want = {(n, find(n)) for n in nodes}
     assert got == want
+    assert got_driver == want
 
 
 @settings(

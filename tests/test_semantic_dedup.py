@@ -101,7 +101,11 @@ def test_connected_components_converges_logarithmically(spark):
     )
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        labels = connected_components(chain, max_iterations=12).collect()
+        # driver_threshold=0: this guard is about the DISTRIBUTED
+        # loop's round count, so bypass the small-graph driver path
+        labels = connected_components(
+            chain, max_iterations=12, driver_threshold=0
+        ).collect()
     assert len(labels) == 501
     assert {r.component for r in labels} == {0}
 
