@@ -114,6 +114,7 @@ HEADLINE = (
     # round-7 curation tier
     "semantic_dedup",
     "dsir_weights",
+    "semantic_cell_stats",
 )
 
 
