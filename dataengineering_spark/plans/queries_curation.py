@@ -167,13 +167,13 @@ def _cells_cte_chain(n_centroids: int, n_iters: int, dim: int) -> tuple[str, str
     return ",\n".join(ctes), cents
 
 
-def _semantic_dedup_sql(
+def _semantic_graph_ctes(
     n_centroids: int, n_iters: int, dim: int, threshold: float
 ) -> str:
-    """The ivf_ann training CTE chain (seeds → fixed Lloyd rounds →
-    cells), then within-cell threshold pairs and a recursive
-    min-reachable-id closure — the same label ``dedup_clusters``
-    assigns, here over the cosine graph."""
+    """Everything before the final SELECT: the cells chain, the
+    per-vector centroid cosine, within-cell threshold pairs, the
+    recursive closure, and component labels — shared by
+    semantic_dedup and semantic_survivors."""
     dd = _dd
 
     def cos(a: str, b: str) -> str:
@@ -205,7 +205,17 @@ reach AS (
 comp AS (
   SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
   FROM reach GROUP BY src
-)
+)"""
+
+
+def _semantic_dedup_sql(
+    n_centroids: int, n_iters: int, dim: int, threshold: float
+) -> str:
+    """The ivf_ann training CTE chain (seeds → fixed Lloyd rounds →
+    cells), then within-cell threshold pairs and a recursive
+    min-reachable-id closure — the same label ``dedup_clusters``
+    assigns, here over the cosine graph."""
+    return _semantic_graph_ctes(n_centroids, n_iters, dim, threshold) + """
 SELECT comp.component, comp.vec_id, CAST(cos_c.cid AS INT) AS cid,
   cos_c.cos_centroid,
   (ROW_NUMBER() OVER (PARTITION BY comp.component
@@ -216,6 +226,51 @@ FROM comp JOIN cos_c ON comp.vec_id = cos_c.vec_id
 
 
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql(SEM_C, SEM_ITERS, DIM, SEM_THRESHOLD)
+
+
+# ===========================================================================
+# Q: semantic_survivors — the corpus that ships after SemDeDup
+# ===========================================================================
+
+def q_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import semantic_dedup_members
+
+    emb = _emb(spark, sf_dir)
+    members = semantic_dedup_members(
+        emb,
+        n_centroids=SEM_C,
+        n_iters=SEM_ITERS,
+        dim=DIM,
+        threshold=SEM_THRESHOLD,
+        cent_rows=_sem_cent_rows(spark, sf_dir),
+    )
+    dropped = members.filter(~F.col("keep")).select("vec_id")
+    # left-anti: the surviving side (cluster keepers + every
+    # never-clustered vector) never shuffles by cluster — the
+    # dedup_survivors shape
+    return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+def _semantic_survivors_sql(
+    n_centroids: int, n_iters: int, dim: int, threshold: float
+) -> str:
+    return _semantic_graph_ctes(n_centroids, n_iters, dim, threshold) + """,
+dropped AS (
+  SELECT vec_id FROM (
+    SELECT comp.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY comp.component
+                         ORDER BY cos_c.cos_centroid ASC, comp.vec_id ASC)
+        AS rn
+    FROM comp JOIN cos_c ON comp.vec_id = cos_c.vec_id) WHERE rn > 1
+)
+SELECT e.vec_id FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+SQL_SEMANTIC_SURVIVORS = _semantic_survivors_sql(
+    SEM_C, SEM_ITERS, DIM, SEM_THRESHOLD
+)
 
 
 # ===========================================================================
@@ -419,5 +474,10 @@ CURATION_QUERIES = {
         q_semantic_cell_stats,
         SQL_SEMANTIC_CELL_STATS,
         "curation:SemDeDup hot-cell cap accounting",
+    ),
+    "semantic_survivors": (
+        q_semantic_survivors,
+        SQL_SEMANTIC_SURVIVORS,
+        "curation:SemDeDup surviving corpus",
     ),
 }
