@@ -855,6 +855,7 @@ def semantic_cells(
     vec_col: str = "embedding",
     train_rows_cap: int | None = None,
     cent_rows: list | None = None,
+    two_level: "tuple[int, int] | None" = None,
 ):
     """Train the SemDeDup coarse quantizer and assign every vector to
     its cell. Returns ``(cells, cent_rows)``: a lazy (vec_id, v, cid)
@@ -864,11 +865,20 @@ def semantic_cells(
     partition of the corpus. Pass pre-trained ``cent_rows`` to skip
     training entirely (the train-once/serve-many contract — the
     session memo in plans/queries_curation.py and the frozen streaming
-    quantizer both ride this)."""
+    quantizer both ride this).
+
+    ``two_level=(c1, c2)`` switches to the hierarchical quantizer
+    (``similarity.two_level_train_rows`` / ``two_level_assign``):
+    c1·c2 effective cells for O(c1+c2) per-row assignment work — the
+    path past flat literal assignment's C ≈ few-hundred ceiling; here
+    ``n_centroids`` is ignored and the second return value is the
+    (super_rows, sub_by_super) pair instead."""
     from dataengineering_spark.operators.similarity import (
         _spread_for_training,
         ivf_assign,
         ivf_train_rows,
+        two_level_assign,
+        two_level_train_rows,
     )
 
     e = _spread_for_training(
@@ -877,14 +887,20 @@ def semantic_cells(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    if cent_rows is None:
-        train_e = e
-        if train_rows_cap is not None and train_rows_cap > 0:
-            from dataengineering_spark.operators.sampling import sample_hash
+    train_e = e
+    if train_rows_cap is not None and train_rows_cap > 0:
+        from dataengineering_spark.operators.sampling import sample_hash
 
-            train_e = e.orderBy(
-                sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
-            ).limit(train_rows_cap)
+        train_e = e.orderBy(
+            sample_hash(F.col("vec_id"), "semdedup-train"), F.col("vec_id")
+        ).limit(train_rows_cap)
+    if two_level is not None:
+        c1, c2 = two_level
+        if cent_rows is None:
+            cent_rows = two_level_train_rows(train_e, c1, c2, n_iters, dim)
+        super_rows, sub_by_super = cent_rows
+        return two_level_assign(e, super_rows, sub_by_super, c2), cent_rows
+    if cent_rows is None:
         cent_rows = ivf_train_rows(train_e, n_centroids, n_iters, dim)
     return ivf_assign(e, cent_rows), cent_rows
 
@@ -1000,6 +1016,7 @@ def semantic_dedup_members(
     train_rows_cap: int | None = None,
     max_cell_size: int | None = None,
     cent_rows: list | None = None,
+    two_level: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate clusters. K-means-partition the corpus (the IVF
@@ -1049,8 +1066,19 @@ def semantic_dedup_members(
 
     cells_raw, cent_rows = semantic_cells(
         emb, n_centroids, n_iters, dim, id_col, vec_col, train_rows_cap,
-        cent_rows=cent_rows,
+        cent_rows=cent_rows, two_level=two_level,
     )
+    if two_level is not None:
+        # effective centroids keyed by the composite cid = super*c2+sub
+        _super_rows, _sub_by_super = cent_rows
+        c2 = two_level[1]
+        flat_rows = [
+            (scid * c2 + sub, cv)
+            for scid, subs in _sub_by_super.items()
+            for sub, cv in subs
+        ]
+    else:
+        flat_rows = cent_rows
     if max_cell_size is not None:
         # drop policy for hot cells (boilerplate-dense embedding
         # regions): cells over the cap contribute NO candidate pairs —
@@ -1071,7 +1099,7 @@ def semantic_dedup_members(
         cells_raw.withColumn("dd", dot(F.col("v"), F.col("v")))
     )
     cents = emb.sparkSession.createDataFrame(
-        [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],
+        [(int(cid), [float(x) for x in cv]) for cid, cv in flat_rows],
         "cid INT, cv ARRAY<DOUBLE>",
     )
     cos_c = cells.join(F.broadcast(cents), "cid").select(

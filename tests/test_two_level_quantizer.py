@@ -1,0 +1,89 @@
+"""Two-level coarse quantizer: assignment validity, determinism, and
+composition with the SemDeDup pipeline — the scale path past flat
+literal assignment (O(c1+c2) per-row work for c1*c2 cells)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineering_spark.operators.similarity import (
+    two_level_assign,
+    two_level_train_rows,
+)
+
+DIM = 8
+
+
+def _frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, v ARRAY<DOUBLE>",
+    )
+
+
+def _basis(i, scale=1.0):
+    v = [0.0] * DIM
+    v[i % DIM] = scale
+    return v
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # four orthogonal groups of 8 IDENTICAL vectors — identical points
+    # co-assign at any (c1, c2); perturbed scales may legitimately
+    # split a direction across sub-cells (k-means is L2-metric)
+    vecs = [_basis(g) for g in range(4) for _ in range(8)]
+    return _frame(spark, vecs)
+
+
+def test_assignment_valid_and_deterministic(spark, corpus):
+    c1, c2 = 2, 2
+    sr, sbs = two_level_train_rows(corpus, c1, c2, n_iters=1, dim=DIM)
+    assert len(sr) == c1
+    assert set(sbs) <= {cid for cid, _ in sr}
+    out1 = two_level_assign(corpus, sr, sbs, c2).collect()
+    out2 = two_level_assign(corpus, sr, sbs, c2).collect()
+    assert sorted((r.vec_id, r.cid) for r in out1) == sorted(
+        (r.vec_id, r.cid) for r in out2
+    )
+    for r in out1:
+        scid, sub = divmod(r.cid, c2)
+        assert any(scid == cid for cid, _ in sr)
+        assert sub < c2
+    # identical-direction vectors always share a composite cell
+    by_group = {}
+    for r in out1:
+        by_group.setdefault(r.vec_id // 8, set()).add(r.cid)
+    assert all(len(cells) == 1 for cells in by_group.values())
+
+
+def test_missing_sub_quantizer_falls_back(spark, corpus):
+    sr, sbs = two_level_train_rows(corpus, 2, 2, n_iters=1, dim=DIM)
+    # simulate a super cell whose sub-quantizer never trained
+    dropped = {k: v for k, v in list(sbs.items())[:1]}
+    out = two_level_assign(corpus, sr, dropped, 2).collect()
+    assert all(r.cid is not None for r in out)
+
+
+def test_composes_with_semantic_dedup(spark, corpus):
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.operators.dedup import semantic_dedup_members
+
+    members = semantic_dedup_members(
+        corpus,
+        n_iters=1,
+        dim=DIM,
+        threshold=0.999,
+        vec_col="v",
+        two_level=(2, 2),
+    ).collect()
+    release_tracked()
+    # each orthogonal group forms one cluster with one keeper
+    comps = {}
+    for r in members:
+        comps.setdefault(r.component, []).append(r)
+    assert len(comps) == 4
+    for rows in comps.values():
+        assert len(rows) == 8
+        assert sum(r.keep for r in rows) == 1
