@@ -459,6 +459,75 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 SQL_DSIR_WEIGHTS = _dsir_weights_sql()
 
 
+# ===========================================================================
+# Q: dsir_resample — the selection step of DSIR: keep the docs whose
+# importance weight clears the global top-quartile cutoff, with
+# per-source accounting (which sources the target distribution
+# up-weights — the report a mixture designer reads). The cutoff is an
+# EXACT global discrete percentile via the RangePartitioner pattern
+# (operators/robust.global_discrete_pcts — a bounded driver pull of
+# one value, never a SinglePartition window); the oracle replays the
+# same floor(p·(n−1))+1 rank under (score_fp, doc_id) order.
+# ===========================================================================
+
+DSIR_SELECT_PCT = 0.75  # keep score_fp >= the p75 cutoff (top quartile)
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+    from dataengineering_spark.operators.robust import global_discrete_pcts
+
+    docs = _docs(spark, sf_dir)
+    bib = persist_tracked(dsir_bucket_frame(docs))
+    weights = persist_tracked(
+        dsir_scores(docs, bib, dsir_bucket_counts(bib))
+    )
+    cut = global_discrete_pcts(
+        weights, "score_fp", "doc_id", [DSIR_SELECT_PCT], ["cut"]
+    )["cut"]
+    sel = F.col("score_fp") >= cut
+    return (
+        weights.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sel.cast("long")).alias("n_selected"),
+            F.sum(F.when(sel, F.col("score_fp")).otherwise(0)).alias(
+                "sel_score_sum"
+            ),
+        )
+        .withColumn("cutoff_fp", F.lit(int(cut)).cast("long"))
+    )
+
+
+def _dsir_resample_sql() -> str:
+    return f"""
+WITH w AS ({SQL_DSIR_WEIGHTS}),
+ranked AS (
+  SELECT doc_id, score_fp,
+    ROW_NUMBER() OVER (ORDER BY score_fp, doc_id) AS rn,
+    COUNT(*) OVER () AS n
+  FROM w
+),
+cut AS (
+  SELECT score_fp AS cutoff_fp FROM ranked
+  WHERE rn = floor({DSIR_SELECT_PCT} * (n - 1)) + 1
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN w.score_fp >= cut.cutoff_fp THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_selected,
+  CAST(SUM(CASE WHEN w.score_fp >= cut.cutoff_fp THEN w.score_fp ELSE 0 END)
+    AS BIGINT) AS sel_score_sum,
+  CAST(cut.cutoff_fp AS BIGINT) AS cutoff_fp
+FROM w JOIN documents d ON w.doc_id = d.doc_id CROSS JOIN cut
+GROUP BY d.source, cut.cutoff_fp
+"""
+
+
+SQL_DSIR_RESAMPLE = _dsir_resample_sql()
+
+
 CURATION_QUERIES = {
     "semantic_dedup": (
         q_semantic_dedup,
@@ -479,5 +548,10 @@ CURATION_QUERIES = {
         q_semantic_survivors,
         SQL_SEMANTIC_SURVIVORS,
         "curation:SemDeDup surviving corpus",
+    ),
+    "dsir_resample": (
+        q_dsir_resample,
+        SQL_DSIR_RESAMPLE,
+        "curation:DSIR top-quartile selection",
     ),
 }
