@@ -22,6 +22,7 @@ from dataengineering_spark.operators.transforms import (
 )
 from dataengineering_spark.operators.dedup import (
     connected_components,
+    semantic_candidate_pairs,
     exploded_shingles,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -38,6 +39,8 @@ from dataengineering_spark.operators.similarity import (
     ivf_topk,
     ivfpq_topk,
     lsh_cosine_topk,
+    two_level_assign,
+    two_level_train_rows,
 )
 from dataengineering_spark.operators.skew import (
     salted_join,
@@ -78,8 +81,11 @@ __all__ = [
     "ivf_topk",
     "ivfpq_topk",
     "lsh_cosine_topk",
+    "two_level_assign",
+    "two_level_train_rows",
     "simhash_neardup_pairs",
     "semantic_cells",
+    "semantic_candidate_pairs",
     "semantic_cell_stats",
     "semantic_dedup_members",
     "salted_join",
