@@ -485,6 +485,10 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = global_discrete_pcts(
         weights, "score_fp", "doc_id", [DSIR_SELECT_PCT], ["cut"]
     )["cut"]
+    if cut is None:
+        # empty corpus: no percentile exists; the grouped output below
+        # is empty regardless, so any literal cutoff is unreachable
+        cut = 0
     sel = F.col("score_fp") >= cut
     return (
         weights.join(docs.select("doc_id", "source"), "doc_id")
