@@ -888,19 +888,31 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
 _BPE_TRAIN_ITERS = 8
 
 
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_spaced_words(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """One row per word: the spaced-character representation BPE
+    trains on, plus any carried grouping columns (e.g. lang for the
+    token-stats view — carrying them does not perturb the global pair
+    counts the merges derive from)."""
+    return (
+        docs.select(
+            *extra_cols,
+            F.explode(F.split(normalize_text("text"), " ")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+        .select(*extra_cols, F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("d"))
+    )
+
+
+def _bpe_merge_chain(c: DataFrame, n_iters: int):
+    """Run ``n_iters`` BPE merge rounds over the spaced frame ``c``
+    (column ``d``; other columns ride along). Returns
+    ``(merge_rows, final_c)`` — the (iter, pair, n) training log and
+    the corpus in its final merged representation."""
     from dataengineering_spark.caching import persist_tracked
 
-    docs = _docs(spark, sf_dir)
-    c = persist_tracked(
-        docs.select(F.explode(F.split(normalize_text("text"), " ")).alias("w"))
-        .filter(F.length("w") >= 1)
-        .select(
-            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("d")
-        )
-    )
+    c = persist_tracked(c)
     rows: list[tuple] = []
-    for i in range(_BPE_TRAIN_ITERS):
+    for i in range(n_iters):
         # size<2 guard: Spark sequence(1, 0) DESCENDS ([1, 0]) instead
         # of returning empty — single-token rows must not explode
         toks = c.select(F.split("d", " ").alias("t")).filter(F.size("t") >= 2)
@@ -925,20 +937,70 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i + 1, top[0]["pair"], int(top[0]["n"])))
         pat = r"\b" + top[0]["pair"] + r"\b"
         c = persist_tracked(
-            c.select(
-                F.regexp_replace("d", pat, top[0]["pair"].replace(" ", "")).alias("d")
+            c.withColumn(
+                "d",
+                F.regexp_replace("d", pat, top[0]["pair"].replace(" ", "")),
             )
         )
+    return rows, c
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, _c = _bpe_merge_chain(
+        _bpe_spaced_words(_docs(spark, sf_dir)), _BPE_TRAIN_ITERS
+    )
     return spark.createDataFrame(rows, "iter int, pair string, n long")
 
 
-def _bpe_train_sql() -> str:
+# ===========================================================================
+# Q: bpe_token_stats — APPLYING the trained tokenizer: run the same 8
+# merge rounds, then account the final representation per language —
+# words, characters, post-merge token count, and how many merge
+# applications landed (chars − tokens). The compression a tokenizer
+# buys per language is the number a mixture designer actually reads
+# (CJK text, stripped by the a-z normalizer, shows up as zero rows —
+# honest accounting of the toy alphabet, mirrored by the oracle).
+# All outputs are integers; the chain's merges are identical to
+# bpe_train_merges' because pair counts ignore the carried lang.
+# ===========================================================================
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rows, c = _bpe_merge_chain(
+        _bpe_spaced_words(_docs(spark, sf_dir), "lang"), _BPE_TRAIN_ITERS
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length(F.regexp_replace("d", " ", ""))).alias("n_chars"),
+        F.sum(F.size(F.split("d", " "))).alias("n_tokens"),
+    )
+
+
+def _bpe_token_stats_sql() -> str:
+    ctes, prev = _bpe_chain_ctes(carry="lang, ")
+    return (
+        "WITH "
+        + ctes
+        + f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(length(replace(d, ' ', ''))) AS BIGINT) AS n_chars,
+  CAST(SUM(len(string_split(d, ' '))) AS BIGINT) AS n_tokens
+FROM {prev} GROUP BY lang
+"""
+    )
+
+
+def _bpe_chain_ctes(carry: str = "") -> tuple[str, str]:
+    """(joined CTEs, final corpus CTE name) for the unrolled BPE merge
+    chain. ``carry``: extra column list (e.g. ``"lang, "``) threaded
+    through every corpus CTE — pair counts ignore it, so the merges
+    are identical with or without it."""
     from dataengineering_spark.plans.queries_llm import NORM_SQL
 
     ctes = [
         f"""c0 AS MATERIALIZED (
-  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS d
-  FROM (SELECT unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents)
+  SELECT {carry}trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS d
+  FROM (SELECT {carry}unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents)
   WHERE length(w) >= 1
 )"""
     ]
@@ -958,17 +1020,22 @@ def _bpe_train_sql() -> str:
         )
         ctes.append(
             f"""c{i + 1} AS MATERIALIZED (
-  SELECT regexp_replace(d, '\\b' || (SELECT pair FROM t{i}) || '\\b',
+  SELECT {carry}regexp_replace(d, '\\b' || (SELECT pair FROM t{i}) || '\\b',
                         (SELECT replace(pair, ' ', '') FROM t{i}), 'g') AS d
   FROM {prev}
 )"""
         )
         prev = f"c{i + 1}"
+    return ",\n".join(ctes), prev
+
+
+def _bpe_train_sql() -> str:
+    ctes, _prev = _bpe_chain_ctes()
     sel = " UNION ALL ".join(
         f"SELECT {i + 1} AS iter, pair, CAST(n AS BIGINT) AS n FROM t{i}"
         for i in range(_BPE_TRAIN_ITERS)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return "WITH " + ctes + "\n" + sel
 
 
 EVAL_QUERIES: dict[str, tuple] = {
@@ -1023,5 +1090,10 @@ EVAL_QUERIES: dict[str, tuple] = {
         q_bpe_train_merges,
         _bpe_train_sql(),
         "tokenizer:BPE training loop",
+    ),
+    "bpe_token_stats": (
+        q_bpe_token_stats,
+        _bpe_token_stats_sql(),
+        "tokenizer:BPE apply + per-lang accounting",
     ),
 }
