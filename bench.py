@@ -92,6 +92,10 @@ HEADLINE = (
     "embedding_norm_hist",
     # round-7 additions
     "lsh_bucket_accounting",
+    # the trailing-window A/B pair: the plain RANGE window (winner —
+    # SCALE.md "density-flat" result) next to the bucketed
+    # decomposition kept as the documented negative result
+    "rolling_24h",
     "rolling_24h_decomposed",
     "decontaminate_split",
     "zipf_curve",
