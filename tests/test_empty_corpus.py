@@ -145,7 +145,7 @@ def unicode_sf(tmp_path_factory):
 _DOC_QUERY_MARKERS = (
     "token", "lang", "quality", "char", "html", "doc_", "dedup", "simhash",
     "minhash", "ngram", "fuzzy", "redact", "tfidf", "repetition", "chunk",
-    "fingerprint", "mixture", "dataset", "benchmark", "rarity",
+    "fingerprint", "mixture", "dataset", "benchmark", "rarity", "dsir",
 )
 
 
