@@ -87,3 +87,33 @@ def test_composes_with_semantic_dedup(spark, corpus):
     for rows in comps.values():
         assert len(rows) == 8
         assert sum(r.keep for r in rows) == 1
+
+
+def test_degenerate_two_level_equals_flat(spark):
+    """c1=1 collapses the hierarchy: one super cell holding the whole
+    corpus, so the grouped sub-training IS flat Lloyd (same md5-ranked
+    seeds, same (d2, id) tie rule, same 1e-6 fixed-point updates) and
+    two_level_assign's composite cid (0*c2 + sub) must match
+    ivf_assign's cid exactly. This differentially pins the grouped
+    trainer against the oracle-proven flat recipe."""
+    from dataengineering_spark.operators.similarity import ivf_assign, ivf_train_rows
+
+    # irregular but deterministic vectors — not cluster-friendly on
+    # purpose, so ties and odd cells exercise the tie rules
+    vecs = [
+        [float((i * 7 + j * 3) % 11) / 11.0 for j in range(DIM)]
+        for i in range(40)
+    ]
+    e = _frame(spark, vecs)
+    c = 4
+    flat_rows = ivf_train_rows(e, c, n_iters=2, dim=DIM)
+    sr, sbs = two_level_train_rows(e, 1, c, n_iters=2, dim=DIM)
+    got = {
+        (r.vec_id, r.cid)
+        for r in two_level_assign(e, sr, sbs, c).collect()
+    }
+    want = {(r.vec_id, r.cid) for r in ivf_assign(e, flat_rows).collect()}
+    assert got == want
+    # the trained centroids themselves match
+    (super_cid,) = [cid for cid, _cv in sr]
+    assert [(cid, cv) for cid, cv in flat_rows] == sbs[super_cid]
