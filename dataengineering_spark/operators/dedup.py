@@ -1077,6 +1077,16 @@ def semantic_dedup_members(
             for scid, subs in _sub_by_super.items()
             for sub, cv in subs
         ]
+        # two_level_assign falls back to cid = super·c2 for super cells
+        # that trained zero sub-centroids (possible under
+        # train_rows_cap); cover those cids with the SUPER centroid so
+        # the inner joins below never drop an assigned vector.
+        covered = {cid for cid, _ in flat_rows}
+        flat_rows += [
+            (scid * c2, cv)
+            for scid, cv in _super_rows
+            if scid * c2 not in covered
+        ]
     else:
         flat_rows = cent_rows
     if max_cell_size is not None:

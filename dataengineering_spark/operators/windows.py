@@ -147,7 +147,15 @@ def trailing_range_agg(
         F.col(partition_col).alias("_key"),
         F.col(sec_col).alias("_sec"),
         val.alias("_val"),
-        (F.col(sec_col) / bucket_sec).cast("long").alias("_bkt"),
+        # exact integer FLOOR division, NOT (sec/bucket).cast(long):
+        # double division truncates toward zero (mis-buckets negative
+        # epochs) and loses exactness past 2^53. DIV alone also
+        # truncates toward zero, so subtract the pmod first — pmod is
+        # in [0, bucket), making the numerator the exact floor multiple.
+        F.expr(
+            f"(CAST({sec_col} AS BIGINT) - pmod(CAST({sec_col} AS BIGINT),"
+            f" {bucket_sec})) DIV {bucket_sec}"
+        ).alias("_bkt"),
     )
 
     partials = ev.groupBy("_key", "_bkt").agg(

@@ -35,7 +35,10 @@ _PARTIAL_SCHEMA = "epoch_id long, variant long, n long, c long"
 
 def _epoch_partial(batch: DataFrame, epoch_id: int) -> DataFrame:
     return variant_counts(batch).select(
-        F.lit(int(epoch_id)).alias("epoch_id"),
+        # cast: an uncast int lit writes parquet INT32, but the
+        # schema'd read + compaction declare long — Spark 4 widens on
+        # read, the pyspark>=3.5 floor throws. Keep every partial INT64.
+        F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
         F.col("variant").cast("long"),
         F.col("n").cast("long"),
         F.col("c").cast("long"),

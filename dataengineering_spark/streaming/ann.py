@@ -100,20 +100,25 @@ def ann_serve_batch(
     """Answer one query batch from the persisted encoded corpus.
     Returns (query_id, neighbor_id, rank, adc_d2) — the
     ``ivfpq_topk`` output contract."""
+    from dataengineering_spark.caching import persist_tracked
+
     spark = batch.sparkSession
-    pl = probe_luts_for(
-        batch, index, nprobe, m_sub, dim, id_col=id_col, vec_col=vec_col
-    ).persist()
-    try:
-        # Bounded driver collect: |batch| x nprobe ints, pruning only.
-        cids = sorted(
-            {r.cid for r in pl.select("cid").distinct().collect()}
+    # Tracked, NOT unpersisted here: the returned top-k frame is lazy
+    # and still references pl — an eager unpersist would recompute the
+    # probe/LUT frame during the caller's consuming action, so the
+    # epoch persist would only ever serve the cid collect. Callers
+    # release after the write/collect (tracking_scope in the
+    # foreachBatch hook; release_tracked in batch pipelines).
+    pl = persist_tracked(
+        probe_luts_for(
+            batch, index, nprobe, m_sub, dim, id_col=id_col, vec_col=vec_col
         )
-        enc = spark.read.parquet(enc_path).filter(F.col("cid").isin(cids))
-        scored = adc_score_candidates(enc, pl, m_sub)
-        return topk_per_query(scored, k, score_col="adc_d2", descending=False)
-    finally:
-        pl.unpersist()
+    )
+    # Bounded driver collect: |batch| x nprobe ints, pruning only.
+    cids = sorted({r.cid for r in pl.select("cid").distinct().collect()})
+    enc = spark.read.parquet(enc_path).filter(F.col("cid").isin(cids))
+    scored = adc_score_candidates(enc, pl, m_sub)
+    return topk_per_query(scored, k, score_col="adc_d2", descending=False)
 
 
 def ann_serve_batch_fn(
@@ -136,20 +141,23 @@ def ann_serve_batch_fn(
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
             return
-        out = ann_serve_batch(
-            batch,
-            enc_path,
-            index,
-            k=k,
-            nprobe=nprobe,
-            m_sub=m_sub,
-            dim=dim,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        out.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(out_path)
+        from dataengineering_spark.caching import tracking_scope
+
+        with tracking_scope():  # releases the epoch's probe/LUT persist
+            out = ann_serve_batch(
+                batch,
+                enc_path,
+                index,
+                k=k,
+                nprobe=nprobe,
+                m_sub=m_sub,
+                dim=dim,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            out.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(out_path)
 
     return batch_fn
 

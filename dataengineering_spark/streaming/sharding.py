@@ -92,20 +92,24 @@ def token_shards_batch_fn(
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
             return
-        from dataengineering_spark.caching import release_tracked
+        from dataengineering_spark.caching import tracking_scope
 
         base = _read_base(state_root, int(epoch_id))
-        local = token_budget_shards(batch, size_col, order_col, budget)
-        shifted = (
-            local.withColumn(
-                "cum_before", (F.col("cum_before") + F.lit(int(base))).cast("long")
+        # scope, not release_tracked(): the global release would
+        # unpersist every session-tracked frame, including OTHER
+        # pipelines' RangePartitioner-stability persists mid-query
+        with tracking_scope():
+            local = token_budget_shards(batch, size_col, order_col, budget)
+            shifted = (
+                local.withColumn(
+                    "cum_before",
+                    (F.col("cum_before") + F.lit(int(base))).cast("long"),
+                )
+                .withColumn("seq_id", F.expr(f"cum_before DIV {budget}"))
+                .withColumn("offset_in_seq", F.col("cum_before") % budget)
             )
-            .withColumn("seq_id", F.expr(f"cum_before DIV {budget}"))
-            .withColumn("offset_in_seq", F.col("cum_before") % budget)
-        )
-        shifted.write.mode("append").parquet(out_dir)
-        total = batch.agg(F.sum(size_col)).collect()[0][0] or 0
-        release_tracked()  # the operator's correctness persist, job done
+            shifted.write.mode("append").parquet(out_dir)
+            total = batch.agg(F.sum(size_col)).collect()[0][0] or 0
         _commit(state_root, int(epoch_id), int(base), int(total))
 
     return batch_fn

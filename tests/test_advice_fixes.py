@@ -25,6 +25,57 @@ def test_token_budget_shards_cache_is_released(spark):
     assert tracked_count() == 0
 
 
+def test_tracking_scope_releases_only_its_own(spark):
+    """Round-8 ADVICE: a foreachBatch hook calling the GLOBAL
+    release_tracked() would unpersist other pipelines' correctness
+    persists mid-query; tracking_scope must capture only the persists
+    issued inside it and leave the global list untouched."""
+    from dataengineering_spark.caching import (
+        persist_tracked,
+        release_tracked,
+        tracked_count,
+        tracking_scope,
+    )
+
+    release_tracked()
+    outer = persist_tracked(spark.range(10))
+    assert outer.count() == 10
+    assert tracked_count() == 1
+    with tracking_scope():
+        inner = persist_tracked(spark.range(5))
+        assert inner.count() == 5
+        assert tracked_count() == 1  # inner went to the scope, not global
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # scope exit released inner
+    assert outer.storageLevel.useMemory  # outer survived the scope
+    assert tracked_count() == 1
+    assert release_tracked() == 1
+
+
+def test_trailing_bucket_id_floors_negative_seconds(spark):
+    """Round-8 ADVICE: (sec/bucket).cast(long) truncates toward zero —
+    rows at negative epochs landed in the wrong bucket. The bucket id
+    must be exact floor division."""
+    from dataengineering_spark.operators.windows import trailing_range_agg
+
+    rows = [(1, -7201), (2, -3601), (3, -1), (4, 0), (5, 3600)]
+    df = spark.createDataFrame(rows, "id INT, sec LONG").withColumn(
+        "k", F.lit("a")
+    ).withColumn("v", F.lit(1).cast("decimal(18,6)"))
+    out = trailing_range_agg(
+        df, "k", "sec", "v", ["id"], window_sec=7200, bucket_sec=3600
+    )
+    got = {r.id: (r.n_trailing, int(r.sum_trailing)) for r in out.collect()}
+    # oracle: plain trailing [t-7199, t] count over the 5 rows
+    secs = dict(rows)
+    want = {
+        i: sum(1 for j, s in rows if secs[i] - 7199 <= s <= secs[i])
+        for i, _ in rows
+    }
+    assert {i: g[0] for i, g in got.items()} == want
+    assert {i: g[1] for i, g in got.items()} == want
+
+
 def test_email_redaction_is_case_insensitive(spark, duck):
     from dataengineering_spark.functions.text import (
         EMAIL_PATTERN,

@@ -89,6 +89,41 @@ def test_composes_with_semantic_dedup(spark, corpus):
         assert sum(r.keep for r in rows) == 1
 
 
+def test_semantic_dedup_covers_fallback_cells(spark, corpus):
+    """Vectors landing in a super cell with NO trained sub-quantizer
+    get the fallback cid super*c2; semantic_dedup_members must still
+    score them against a centroid (the super's) instead of silently
+    dropping them in the inner cells->centroids join — a dropped
+    cluster means the wrong doc gets deduplicated."""
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.operators.dedup import semantic_dedup_members
+
+    sr, sbs = two_level_train_rows(corpus, 2, 2, n_iters=1, dim=DIM)
+    # simulate a super whose sub-quantizer never trained (train cap)
+    dropped = {k: v for k, v in list(sbs.items())[:1]}
+    assert len(dropped) < len(sbs)
+    members = semantic_dedup_members(
+        corpus,
+        n_iters=1,
+        dim=DIM,
+        threshold=0.999,
+        vec_col="v",
+        two_level=(2, 2),
+        cent_rows=(sr, dropped),
+    ).collect()
+    release_tracked()
+    # all four identical groups must still surface as full clusters —
+    # including the ones assigned to the fallback cid
+    comps = {}
+    for r in members:
+        comps.setdefault(r.component, []).append(r)
+    assert len(comps) == 4
+    for rows in comps.values():
+        assert len(rows) == 8
+        assert sum(r.keep for r in rows) == 1
+    assert all(r.cos_centroid is not None for r in members)
+
+
 def test_degenerate_two_level_equals_flat(spark):
     """c1=1 collapses the hierarchy: one super cell holding the whole
     corpus, so the grouped sub-training IS flat Lloyd (same md5-ranked
