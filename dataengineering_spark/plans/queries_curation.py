@@ -532,7 +532,118 @@ GROUP BY d.source, cut.cutoff_fp
 SQL_DSIR_RESAMPLE = _dsir_resample_sql()
 
 
+# ===========================================================================
+# Q: two_level_assign — the hierarchical coarse quantizer, driver-
+# checkable. C1 super cells (flat Lloyd: the ivf_ann recipe) then C2
+# sub-centroids per super cell via ONE grouped distributed Lloyd loop
+# (operators/similarity._grouped_sub_train), composite cid =
+# super·C2 + sub. This is SemDeDup's scale path: C ≈ N/1000 at N≥10M
+# makes flat literal assignment architecturally dead (O(C) per-row
+# work); the hierarchy gets C1·C2 effective cells for O(C1+C2).
+# Every training step is deterministic (md5-ranked seeds, (d2, id)
+# tie rule, 1e-6 fixed-point centroid sums), so the oracle unrolls
+# both Lloyd loops as a CTE chain — the ivf_ann pattern, one level
+# deeper.
+# ===========================================================================
+
+TL_C1, TL_C2, TL_ITERS = 4, 4, 2
+
+# train-once/serve-many memo, same contract as _SEM_QUANTIZER_CACHE
+_TL_QUANTIZER_CACHE: dict[tuple, tuple] = {}
+
+
+def _tl_quantizer(spark: SparkSession, sf_dir: str) -> tuple:
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        two_level_train_rows,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, TL_C1, TL_C2, TL_ITERS)
+    rows = _TL_QUANTIZER_CACHE.get(key)
+    if rows is None:
+        e = _spread_for_training(
+            _emb(spark, sf_dir).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
+        rows = two_level_train_rows(e, TL_C1, TL_C2, TL_ITERS, DIM)
+        _TL_QUANTIZER_CACHE[key] = rows
+    return rows
+
+
+def q_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.similarity import two_level_assign
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    super_rows, sub_by_super = _tl_quantizer(spark, sf_dir)
+    return two_level_assign(emb, super_rows, sub_by_super, TL_C2).select(
+        "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
+def _two_level_assign_sql(c1: int, c2: int, n_iters: int, dim: int) -> str:
+    def dist2(v: str, c: str) -> str:
+        return f"({_dd(v, v)} - 2*{_dd(v, c)} + {_dd(c, c)})"
+
+    # super training + final super assignment ("cells") — the proven
+    # flat chain
+    joined, _cents = _cells_cte_chain(c1, n_iters, dim)
+    ctes = [joined]
+    # sub seeds: first c2 vectors per super cell by md5 rank
+    ctes.append(f"""ssub0 AS (
+  SELECT scid, rn - 1 AS sub, cv FROM (
+    SELECT cid AS scid, v AS cv,
+      ROW_NUMBER() OVER (PARTITION BY cid
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM cells) WHERE rn <= {c2}
+)""")
+    # grouped Lloyd: assign each training row within its OWN cell
+    # (min by (d2, sub)), update on the 1e-6 fixed-point grid
+    for i in range(n_iters):
+        ctes.append(f"""sasg{i} AS (
+  SELECT vec_id, cid, v, sub FROM (
+    SELECT a.vec_id, a.cid, a.v, s.sub,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY {dist2('a.v', 's.cv')}, s.sub) AS rn
+    FROM cells a JOIN ssub{i} s ON a.cid = s.scid) WHERE rn = 1
+)""")
+        ctes.append(f"""ssub{i + 1} AS (
+  SELECT scid, sub, list(comp ORDER BY pos) AS cv FROM (
+    SELECT cid AS scid, sub, pos,
+      CAST(SUM(CAST(floor(v[pos] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / (1000000.0 * COUNT(*)) AS comp
+    FROM sasg{i}, range(1, {dim + 1}) t(pos)
+    GROUP BY cid, sub, pos)
+  GROUP BY scid, sub
+)""")
+    ctes.append(f"""final_sub AS (
+  SELECT vec_id, sub FROM (
+    SELECT a.vec_id, s.sub,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY {dist2('a.v', 's.cv')}, s.sub) AS rn
+    FROM cells a JOIN ssub{n_iters} s ON a.cid = s.scid) WHERE rn = 1
+)""")
+    joined_ctes = ",\n".join(ctes)
+    # LEFT JOIN + COALESCE: super cells with zero trained sub-centroids
+    # fall back to sub 0, mirroring two_level_assign's otherwise()
+    return f"""
+WITH {joined_ctes}
+SELECT a.vec_id, CAST(a.cid * {c2} + COALESCE(f.sub, 0) AS INT) AS cid
+FROM cells a LEFT JOIN final_sub f ON a.vec_id = f.vec_id
+"""
+
+
+SQL_TWO_LEVEL_ASSIGN = _two_level_assign_sql(TL_C1, TL_C2, TL_ITERS, DIM)
+
+
 CURATION_QUERIES = {
+    "two_level_assign": (
+        q_two_level_assign,
+        SQL_TWO_LEVEL_ASSIGN,
+        "curation:two-level coarse quantizer assignment",
+    ),
     "semantic_dedup": (
         q_semantic_dedup,
         SQL_SEMANTIC_DEDUP,
