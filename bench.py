@@ -92,11 +92,13 @@ HEADLINE = (
     "embedding_norm_hist",
     # round-7 additions
     "lsh_bucket_accounting",
-    # the trailing-window A/B pair: the plain RANGE window (winner —
-    # SCALE.md "density-flat" result) next to the bucketed
-    # decomposition kept as the documented negative result
+    # trailing-window: the plain RANGE window — the A/B WINNER
+    # (SCALE.md "density-flat"). The losing bucketed decomposition
+    # (rolling_24h_decomposed) was demoted from the headline suite in
+    # round 8: it is the shape users should NOT deploy for count/sum,
+    # kept oracle-checked as a pattern (tests/test_trailing_window.py +
+    # oracle parity still cover it every round).
     "rolling_24h",
-    "rolling_24h_decomposed",
     "decontaminate_split",
     "zipf_curve",
     "clustering_coefficient",
@@ -119,6 +121,12 @@ HEADLINE = (
     "semantic_dedup",
     "dsir_weights",
     "semantic_cell_stats",
+    # round-8 additions: the curation lines users actually deploy
+    # (survivor corpus + top-quartile selection) and the two-level
+    # quantizer assignment
+    "semantic_survivors",
+    "dsir_resample",
+    "two_level_assign",
 )
 
 
