@@ -1,0 +1,251 @@
+"""Composed streaming curation pipeline — the four individually-proven
+streaming faces run TOGETHER, the way a training-data ingest actually
+deploys them:
+
+    raw epochs
+      → decontamination gate        (streaming/contamination shape)
+      → streaming SemDeDup          (streaming/semdedup shape, over the
+                                     CLEAN slice only)
+      → DSIR count partials         (streaming/dsir hook, clean slice)
+    ... drain ...
+      → survivors from accumulated pairs (SemDeDup keep-rule)
+      → DSIR top-quantile selection over survivors
+      → token-budget shards of the selection
+
+Per-epoch work is one foreachBatch hook that chains the stages on the
+SAME micro-batch frame: the gate splits the epoch, and only the clean
+slice feeds the dedup index, the pair sink, and the DSIR partials —
+quarantined documents never contaminate the corpus model or the
+dedup index, which is the point of running the gate FIRST (a nightly
+batch sweep would have already let them into both).
+
+The drain-time finishers are shared batch code (connected components +
+keep-rule, ``dsir_scores`` against the folded snapshot, the global
+discrete-percentile cut, ``token_budget_shards``), so the composed
+stream is provably equal to the composed BATCH plan over the same raw
+corpus — asserted end-to-end in
+``tests/test_streaming_curation_pipeline.py``, stream==batch on the
+final shard assignment rows, not just per-stage.
+
+Replay contract: every per-epoch write is an append of rows that are a
+deterministic function of (epoch content, frozen quantizer, static
+benchmark), so foreachBatch replays re-append byte-identical rows and
+every accumulation reader applies ``distinct()`` — the same contract
+as each face proves individually.
+
+Scale posture: unchanged from the faces — the gate broadcasts the
+static benchmark n-grams, the cell index lives in parquet (never
+executor state), per-epoch DSIR state is O(B) rows, and the finishers
+are the batch operators with their documented 100 TB shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dataengineering_spark.operators.contamination import benchmark_overlap
+from dataengineering_spark.operators.dedup import (
+    connected_components,
+    semantic_candidate_pairs,
+)
+from dataengineering_spark.streaming.dsir import (
+    dsir_partials_batch_fn,
+    dsir_score_against_snapshot,
+)
+from dataengineering_spark.streaming.lsh import _path_exists
+from dataengineering_spark.streaming.semdedup import (
+    CELL_INDEX_SCHEMA,
+    _batch_cells,
+    accumulated_semantic_pairs,
+)
+
+
+def curation_pipeline_batch_fn(
+    benchmark: DataFrame,
+    cent_rows: list,
+    quarantine_dir: str,
+    clean_dir: str,
+    pairs_dir: str,
+    index_dir: str,
+    dsir_partials_dir: str,
+    n: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+):
+    """Build the composed foreachBatch hook. ``batch`` rows must carry
+    the document columns (``id_col``, ``text_col``, ``lang``) AND the
+    document's embedding in ``vec_col`` — the pre-joined ingest shape a
+    multimodal pipeline lands."""
+    dsir_fn = dsir_partials_batch_fn(dsir_partials_dir)
+
+    def batch_fn(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        hits = benchmark_overlap(
+            batch, benchmark, n=n, id_col=id_col, text_col=text_col
+        ).persist()
+        clean = batch.join(hits.select(id_col), id_col, "left_anti").persist()
+        try:
+            hits.write.mode("append").parquet(quarantine_dir)
+            clean.drop(vec_col).write.mode("append").parquet(clean_dir)
+            # SemDeDup leg — clean slice only
+            cells = _batch_cells(clean, cent_rows, id_col, vec_col).persist()
+            try:
+                pairs = semantic_candidate_pairs(cells, threshold=threshold)
+                if _path_exists(spark, index_dir):
+                    index_cells = spark.read.schema(CELL_INDEX_SCHEMA).parquet(
+                        index_dir
+                    )
+                    pairs = pairs.unionByName(
+                        semantic_candidate_pairs(
+                            cells, index_cells=index_cells, threshold=threshold
+                        )
+                    )
+                pairs.distinct().write.mode("append").parquet(pairs_dir)
+                cells.select("vec_id", "cid", "v", "dd").write.mode(
+                    "append"
+                ).parquet(index_dir)
+            finally:
+                cells.unpersist()
+            # DSIR leg — model the clean corpus only
+            dsir_fn(clean, epoch_id)
+        finally:
+            clean.unpersist()
+            hits.unpersist()
+
+    return batch_fn
+
+
+def curation_pipeline_stream(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    cent_rows: list,
+    quarantine_dir: str,
+    clean_dir: str,
+    pairs_dir: str,
+    index_dir: str,
+    dsir_partials_dir: str,
+    checkpoint_dir: str,
+    n: int = 8,
+    threshold: float = 0.35,
+    trigger_once: bool = True,
+    **col_kwargs,
+) -> StreamingQuery:
+    """Wire a pre-joined (documents ⋈ embeddings) stream through the
+    composed per-epoch pipeline."""
+    batch_fn = curation_pipeline_batch_fn(
+        benchmark,
+        cent_rows,
+        quarantine_dir,
+        clean_dir,
+        pairs_dir,
+        index_dir,
+        dsir_partials_dir,
+        n=n,
+        threshold=threshold,
+        **col_kwargs,
+    )
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def semantic_survivor_ids(
+    cells: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """(vec_id) surviving SemDeDup given assigned ``cells`` (vec_id,
+    v, dd, cid, cv — cv the frozen centroid vector joined per cell)
+    and the candidate ``pairs`` frame: connect pairs into
+    components, keep the member with the LOWEST cosine to its cell
+    centroid per component (the arXiv:2303.09540 keep-rule exactly as
+    ``semantic_dedup_members`` applies it), plus every never-clustered
+    vector. Shared by the drained-stream finisher and any batch caller
+    that already has pairs in hand."""
+    from dataengineering_spark.operators.similarity import dot
+
+    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    # cos-to-centroid for clustered members only (centroid = the cell
+    # mean is not needed — cells already carry cid; recompute cosine
+    # against the frozen centroid the caller used for assignment)
+    w = Window.partitionBy("component").orderBy(
+        F.col("cos_centroid").asc(), F.col("vec_id").asc()
+    )
+    dropped = (
+        comp.join(cells, "vec_id")
+        .withColumn(
+            "cos_centroid",
+            dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(F.col("dd")) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("vec_id")
+    )
+    return cells.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+def curation_finish(
+    spark: SparkSession,
+    cent_rows: list,
+    clean_dir: str,
+    pairs_dir: str,
+    index_dir: str,
+    dsir_partials_dir: str,
+    select_pct: float,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drain-time finisher: survivors → DSIR selection → token shards.
+    Returns the final shard assignment (doc_id, n_chars, cum_before,
+    seq_id, offset_in_seq) of the selected corpus — what the tokenizer
+    consumes. All steps are the batch tier's own operators, so this
+    frame equals the composed batch plan over the same raw corpus.
+    The clean corpus's cell assignments come from the persisted cell
+    INDEX (the streaming system's own record — exactly the clean
+    vectors, assigned under the frozen quantizer)."""
+    from dataengineering_spark.caching import persist_tracked
+    from dataengineering_spark.operators.chunking import token_budget_shards
+    from dataengineering_spark.operators.robust import global_discrete_pcts
+
+    clean = spark.read.parquet(clean_dir).distinct()
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cent_rows],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    cells = persist_tracked(
+        spark.read.schema(CELL_INDEX_SCHEMA)
+        .parquet(index_dir)
+        .distinct()  # absorb epoch replays
+        .join(F.broadcast(cents), "cid")
+    )
+    pairs = accumulated_semantic_pairs(spark, pairs_dir)
+    surv_ids = semantic_survivor_ids(cells, pairs)
+    survivors = persist_tracked(
+        clean.join(
+            surv_ids.select(F.col("vec_id").alias(id_col)), id_col
+        )
+    )
+    weights = persist_tracked(
+        dsir_score_against_snapshot(spark, survivors, dsir_partials_dir)
+    )
+    cut = global_discrete_pcts(
+        weights, "score_fp", id_col, [select_pct], ["cut"]
+    )["cut"]
+    if cut is None:
+        cut = 0
+    selected = weights.filter(F.col("score_fp") >= cut).join(
+        survivors.select(id_col, "n_chars"), id_col
+    )
+    return token_budget_shards(selected, "n_chars", id_col, budget).select(
+        id_col, "n_chars", "cum_before", "seq_id", "offset_in_seq"
+    )

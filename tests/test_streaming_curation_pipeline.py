@@ -1,0 +1,180 @@
+"""End-to-end composed streaming curation pipeline: raw epochs →
+decontamination gate → streaming SemDeDup → DSIR partials, then the
+drain-time finisher (survivors → top-quantile selection → token-budget
+shards) must equal the composed BATCH plan over the same raw corpus —
+asserted on the final shard assignment rows, not per-stage."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from dataengineering_spark.caching import release_tracked
+from dataengineering_spark.catalog import read_table
+from dataengineering_spark.functions.text import word_array
+from dataengineering_spark.operators.chunking import token_budget_shards
+from dataengineering_spark.operators.contamination import benchmark_overlap
+from dataengineering_spark.operators.dedup import semantic_dedup_members
+from dataengineering_spark.operators.robust import global_discrete_pcts
+from dataengineering_spark.operators.similarity import (
+    _spread_for_training,
+    ivf_train_rows,
+)
+from dataengineering_spark.plans.queries_curation import (
+    dsir_bucket_counts,
+    dsir_bucket_frame,
+    dsir_scores,
+)
+from dataengineering_spark.streaming.contamination import quarantined
+from dataengineering_spark.streaming.curation import (
+    curation_finish,
+    curation_pipeline_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+EPOCH_MOD = 3
+N_GRAM = 8
+THRESHOLD = 0.35
+C, ITERS, DIM = 8, 2, 64
+SELECT_PCT = 0.75
+BUDGET = 7_000
+
+
+def _corpus(spark):
+    docs = read_table(spark, "documents", SF)
+    emb = read_table(spark, "embeddings", SF).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs, docs.join(emb, "doc_id")
+
+
+def _benchmark(docs):
+    # verbatim 15-word excerpts of every 50th doc — the
+    # q_benchmark_overlap construction
+    return docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("item_id"),
+        F.concat_ws(" ", F.slice(word_array("text"), 6, 15)).alias("text"),
+    )
+
+
+def _frozen_quantizer(spark):
+    emb = read_table(spark, "embeddings", SF)
+    e = _spread_for_training(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    return ivf_train_rows(e, C, ITERS, DIM)
+
+
+def _drain(spark, tmp_path, cent_rows):
+    docs, joined = _corpus(spark)
+    src = str(tmp_path / "arrivals")
+    for ep in range(EPOCH_MOD):
+        (
+            joined.filter(F.col("doc_id") % EPOCH_MOD == ep)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = curation_pipeline_stream(
+        stream,
+        _benchmark(docs),
+        cent_rows,
+        quarantine_dir=str(tmp_path / "quarantine"),
+        clean_dir=str(tmp_path / "clean"),
+        pairs_dir=str(tmp_path / "pairs"),
+        index_dir=str(tmp_path / "index"),
+        dsir_partials_dir=str(tmp_path / "dsir"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n=N_GRAM,
+        threshold=THRESHOLD,
+    )
+    q.awaitTermination(180)
+    return docs
+
+
+def _batch_reference(spark, docs):
+    """The composed batch plan: gate → SemDeDup survivors → DSIR
+    selection (corpus model from the CLEAN set, like the stream) →
+    token shards."""
+    cent_rows = _frozen_quantizer(spark)
+    hits = benchmark_overlap(docs, _benchmark(docs), n=N_GRAM)
+    clean = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    emb = read_table(spark, "embeddings", SF).join(
+        clean.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    members = semantic_dedup_members(
+        emb,
+        n_centroids=C,
+        n_iters=ITERS,
+        dim=DIM,
+        threshold=THRESHOLD,
+        cent_rows=cent_rows,
+    )
+    dropped = members.filter(~F.col("keep")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = clean.join(dropped, "doc_id", "left_anti")
+    counts = dsir_bucket_counts(dsir_bucket_frame(clean))
+    weights = dsir_scores(survivors, dsir_bucket_frame(survivors), counts)
+    cut = global_discrete_pcts(
+        weights, "score_fp", "doc_id", [SELECT_PCT], ["cut"]
+    )["cut"]
+    selected = weights.filter(F.col("score_fp") >= cut).join(
+        survivors.select("doc_id", "n_chars"), "doc_id"
+    )
+    shards = token_budget_shards(selected, "n_chars", "doc_id", BUDGET)
+    return hits, dropped, shards.select(
+        "doc_id", "n_chars", "cum_before", "seq_id", "offset_in_seq"
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_composed_stream_equals_composed_batch(spark, tmp_path):
+    cent_rows = _frozen_quantizer(spark)
+    docs = _drain(spark, tmp_path, cent_rows)
+
+    got_shards = _rows(
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+        )
+    )
+    got_quarantine = _rows(quarantined(spark, str(tmp_path / "quarantine")))
+    release_tracked()
+
+    ref_hits, ref_dropped, ref_shards = _batch_reference(spark, docs)
+    ref_shard_rows = _rows(ref_shards)
+    release_tracked()
+
+    assert got_quarantine == _rows(ref_hits)
+    assert got_shards == ref_shard_rows
+    # the pipeline is non-trivial end-to-end: every stage removed docs
+    n_docs = docs.count()
+    n_hit = len(got_quarantine)
+    n_dropped = ref_dropped.count()
+    n_sharded = len(got_shards)
+    assert n_hit > 0 and n_dropped > 0
+    assert n_sharded < n_docs - n_hit - n_dropped  # selection cut some
+    assert n_sharded > 0
+    # shards are contiguous: offsets cover [0, total) without gaps
+    total = sum(n for _, n, _, _, _ in got_shards)
+    assert max(c + n for _, n, c, _, _ in got_shards) == total
