@@ -1,14 +1,29 @@
 """Differential tests: every registry query vs its DuckDB oracle at
-sf0.01 — the same gate the driver's CORRECTNESS check applies."""
+sf0.01 — the same gate the driver's CORRECTNESS check applies.
+
+Tiering: the 50 queries in the CURRENT driver window (the exact set
+the external driver will hard-check this round — red/never-checked/
+stalest-green first, from plans/driver_rounds) carry the ``fast``
+marker, so local iteration can run ``pytest -m fast`` (~50 queries)
+instead of the full ~20-minute registry sweep. CI and the pre-commit
+gate still run everything — the marker adds a fast path, it never
+removes coverage."""
 
 from __future__ import annotations
 
 import pytest
 
-from dataengineering_spark.plans.queries import QUERIES
+from dataengineering_spark.plans.queries import QUERIES, _ordered_names
 from tests.conftest import SF_ORACLE, assert_frames_match
 
-SQL_BACKED = [name for name, spec in QUERIES.items() if spec.sql is not None]
+DRIVER_WINDOW = frozenset(_ordered_names()[:50])
+SQL_BACKED = [
+    pytest.param(name, marks=pytest.mark.fast)
+    if name in DRIVER_WINDOW
+    else name
+    for name, spec in QUERIES.items()
+    if spec.sql is not None
+]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
