@@ -638,7 +638,135 @@ FROM cells a LEFT JOIN final_sub f ON a.vec_id = f.vec_id
 SQL_TWO_LEVEL_ASSIGN = _two_level_assign_sql(TL_C1, TL_C2, TL_ITERS, DIM)
 
 
+# ===========================================================================
+# Q: gopher_rules — rule-based document quality gate (Rae et al. 2021,
+# arXiv:2112.11446 "Gopher" §A1.1, the filter suite C4/MassiveText-
+# style pipelines run before any model-based scoring). Five rules,
+# each INTEGER-EXACT so both engines agree bit-for-bit: ratio
+# thresholds are restated as cross-multiplications (5·n_alpha ≥
+# 4·n_words instead of n_alpha/n_words ≥ 0.8 — no division, no
+# float). Complements quality_score (a continuous score) with the
+# pass/fail gate a 100 TB pipeline actually filters on.
+#
+# Scale shape: one narrow map over documents (array ops on the word
+# list) plus one explode→two-level aggregate for the top-word count —
+# corpus-linear, no join wider than doc_id.
+# ===========================================================================
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id",
+        F.when(
+            F.length(F.trim(F.col("text"))) == 0,
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.split(F.trim(F.col("text")), " "))
+        .alias("_w"),
+    )
+    base = w.select(
+        "doc_id",
+        F.size("_w").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform("_w", lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).alias("sum_wlen"),
+        F.size(F.filter("_w", lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("_w"),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).alias("n_stop"),
+    )
+    top = (
+        w.select("doc_id", F.explode("_w").alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_word_cnt"))
+    )
+    j = base.join(top, "doc_id", "left").na.fill(0, ["max_word_cnt"])
+    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_mwl = (3 * F.col("n_words") <= F.col("sum_wlen")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop") >= 2
+    r_rep = 5 * F.col("max_word_cnt") <= F.col("n_words")
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_rep).alias("keep"),
+    )
+
+
+def _gopher_rules_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split(trim(text), ' ') END AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+      AS sum_wlen,
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS INT)
+      AS n_alpha,
+    CAST(len(list_intersect(list_distinct(ws), [{stop}])) AS INT) AS n_stop
+  FROM w
+),
+top AS (
+  SELECT doc_id, MAX(c) AS max_word_cnt FROM (
+    SELECT doc_id, wd, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(ws) AS wd FROM w) GROUP BY doc_id, wd)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+  (b.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+    AS r_word_count,
+  (3 * b.n_words <= b.sum_wlen AND b.sum_wlen <= 10 * b.n_words)
+    AS r_mean_word_len,
+  (5 * b.n_alpha >= 4 * b.n_words) AS r_alpha_ratio,
+  (b.n_stop >= 2) AS r_stopwords,
+  (5 * COALESCE(t.max_word_cnt, 0) <= b.n_words) AS r_repetition,
+  ((b.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+   AND (3 * b.n_words <= b.sum_wlen AND b.sum_wlen <= 10 * b.n_words)
+   AND (5 * b.n_alpha >= 4 * b.n_words)
+   AND (b.n_stop >= 2)
+   AND (5 * COALESCE(t.max_word_cnt, 0) <= b.n_words)) AS keep
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+SQL_GOPHER_RULES = _gopher_rules_sql()
+
+
 CURATION_QUERIES = {
+    "gopher_rules": (
+        q_gopher_rules,
+        SQL_GOPHER_RULES,
+        "curation:Gopher rule-based quality gate",
+    ),
     "two_level_assign": (
         q_two_level_assign,
         SQL_TWO_LEVEL_ASSIGN,

@@ -1038,7 +1038,80 @@ def _bpe_train_sql() -> str:
     return "WITH " + ctes + "\n" + sel
 
 
+# ===========================================================================
+# Q: ann_recall — recall@k audit of the IVF approximate index against
+# the brute-force exact neighbors, per query. THE number an ANN
+# deployment is judged on: approximate indexes are a recall/cost
+# trade, and a pipeline that never measures recall is flying blind
+# (the same no-silent-caps discipline as lsh_bucket_accounting /
+# semantic_cell_stats, applied to the similarity tier). Output is
+# integer-exact: (query_id, n_true, n_hit) — recall is n_hit/n_true,
+# left to the reader so no float division crosses engines.
+#
+# Both sides reuse the proven chains verbatim: the Spark side runs
+# cosine_topk (exact) and ivf_topk (the ivf_ann plan); the oracle
+# nests SQL_COSINE_TOPK and SQL_IVF_ANN as subqueries and joins them.
+# Scale: the exact side is the O(N·Q) baseline — at 100 TB this audit
+# runs on a SAMPLED query set (Q bounded), which is exactly how
+# production recall monitoring works; the IVF side is the partition-
+# pruned serving plan.
+# ===========================================================================
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.similarity import ivf_topk
+    from dataengineering_spark.plans.queries_llm import (
+        DIM,
+        IVF_C,
+        IVF_ITERS,
+        IVF_NPROBE,
+        _emb,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = (
+        ivf_topk(
+            emb, q, k=5, n_centroids=IVF_C, nprobe=IVF_NPROBE,
+            n_iters=IVF_ITERS, dim=DIM,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    from dataengineering_spark.plans.queries_llm import (
+        SQL_COSINE_TOPK,
+        SQL_IVF_ANN,
+    )
+
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({SQL_COSINE_TOPK})),
+ivf AS (SELECT query_id, neighbor_id, 1 AS _hit FROM ({SQL_IVF_ANN}))
+SELECT bf.query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_true,
+  CAST(COALESCE(SUM(ivf._hit), 0) AS BIGINT) AS n_hit
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+SQL_ANN_RECALL = _ann_recall_sql()
+
+
 EVAL_QUERIES: dict[str, tuple] = {
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL, "eval:ANN recall@5 audit"),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
     "bpe_merge_candidates": (
