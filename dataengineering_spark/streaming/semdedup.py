@@ -54,17 +54,30 @@ CELL_INDEX_SCHEMA = "vec_id long, cid int, v array<double>, dd double"
 
 
 def _batch_cells(
-    batch: DataFrame, cent_rows: list, id_col: str, vec_col: str
+    batch: DataFrame, cent_rows, id_col: str, vec_col: str
 ) -> DataFrame:
-    from dataengineering_spark.operators.similarity import dot, ivf_assign
+    """Assign the epoch's vectors under the frozen quantizer.
+    ``cent_rows`` is either the flat ``ivf_train_rows`` list or the
+    two-level ``(super_rows, sub_by_super, c2)`` triple — the scale
+    shape for C in the thousands, where flat literal assignment is
+    architecturally dead (see operators/similarity.two_level_assign);
+    the composite cid plays the cell role identically downstream."""
+    from dataengineering_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        two_level_assign,
+    )
 
     e = batch.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    return ivf_assign(e, cent_rows).withColumn(
-        "dd", dot(F.col("v"), F.col("v"))
-    )
+    if isinstance(cent_rows, tuple) and len(cent_rows) == 3:
+        super_rows, sub_by_super, c2 = cent_rows
+        cells = two_level_assign(e, super_rows, sub_by_super, c2)
+    else:
+        cells = ivf_assign(e, cent_rows)
+    return cells.withColumn("dd", dot(F.col("v"), F.col("v")))
 
 
 def semantic_neardup_batch_fn(
@@ -123,7 +136,9 @@ def semantic_neardup_stream(
 ) -> StreamingQuery:
     """Wire an embedding stream into the incremental semantic-dedup
     loop (see module docstring). ``cent_rows`` is the frozen quantizer
-    — ``operators/similarity.ivf_train_rows`` output, trained offline.
+    — ``operators/similarity.ivf_train_rows`` output, or the
+    ``(super_rows, sub_by_super, c2)`` two-level triple for C in the
+    thousands — trained offline.
     Drain with ``awaitTermination`` and read accumulated pairs from
     ``pairs_dir`` (apply ``distinct()``)."""
     batch_fn = semantic_neardup_batch_fn(
