@@ -127,6 +127,8 @@ HEADLINE = (
     "semantic_survivors",
     "dsir_resample",
     "two_level_assign",
+    "gopher_rules",
+    "ann_recall",
 )
 
 

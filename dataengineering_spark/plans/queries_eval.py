@@ -1079,8 +1079,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
+    # both sides are Q·k rows (Q bounded by design); broadcast the IVF
+    # side so the audit join never shuffles the exact side's lineage
     return (
-        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_true"),
