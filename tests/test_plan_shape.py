@@ -70,6 +70,7 @@ def test_no_cartesian_products_anywhere(spark):
             "hard_negatives",
             "cooccurrence_pairs",
             "ndcg_eval",  # rides cosine_topk's query broadcast
+            "ann_recall",  # rides cosine_topk's query broadcast (exact arm)
             "blocking_quality",  # four 1-row audit-scalar attaches
             "dsir_weights",  # 1-row corpus-totals attach onto the B-row prob table
             "dsir_resample",  # rides dsir_scores' same 1-row totals attach
