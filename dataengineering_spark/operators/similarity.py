@@ -397,16 +397,20 @@ def ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: brute-force cosine only within the
-    query's nprobe nearest cells. Same output shape as cosine_topk."""
+    query's nprobe nearest cells. Same output shape as cosine_topk.
+    Pass pre-trained ``cent_rows`` to skip training (the train-once/
+    serve-many contract shared with semantic_cells)."""
     e = _spread_for_training(
         corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    cent_rows = ivf_train_rows(e, n_centroids, n_iters, dim)
+    if cent_rows is None:
+        cent_rows = ivf_train_rows(e, n_centroids, n_iters, dim)
     cells = ivf_assign(e, cent_rows).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
     )

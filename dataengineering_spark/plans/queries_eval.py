@@ -1066,6 +1066,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_ITERS,
         IVF_NPROBE,
         _emb,
+        ivf_cent_rows_for,
     )
 
     emb = _emb(spark, sf_dir)
@@ -1075,6 +1076,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk(
             emb, q, k=5, n_centroids=IVF_C, nprobe=IVF_NPROBE,
             n_iters=IVF_ITERS, dim=DIM,
+            cent_rows=ivf_cent_rows_for(spark, sf_dir),
         )
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))

