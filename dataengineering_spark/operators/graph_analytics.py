@@ -132,3 +132,67 @@ def bfs_hops(
             dist = dist.localCheckpoint(eager=False)
             frontier = frontier.localCheckpoint(eager=False)
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    n_iters: int,
+    driver_threshold: int = 500_000,
+) -> DataFrame:
+    """(node, degree) after ``n_iters`` bounded peel rounds: each round
+    drops every node with degree < ``k`` and the edges incident to it
+    (fixed round count, NOT to-fixpoint — the same bounded-superstep
+    contract as the unrolled-CTE oracle).
+
+    Size gate (the ``connected_components`` union-find lesson —
+    operators/dedup.py): every distributed round costs ~1 s of fixed
+    scheduling on local[32] regardless of data, so graphs at or below
+    ``driver_threshold`` edges run the peel in plain Python after ONE
+    bounded collect — identical round semantics, zero supersteps. The
+    distributed path stays the scale story (and stays test-forced via
+    driver_threshold=0): per round one explode→count aggregate and two
+    left-semi joins against the alive set, with a per-round persist so
+    the lazy plan stays linear in rounds instead of 3^rounds.
+
+    ``edges`` must be distinct undirected (a < b) pairs.
+    """
+    from dataengineering_spark.caching import persist_tracked
+
+    e = persist_tracked(edges)
+    if driver_threshold and e.count() <= driver_threshold:
+        rows = [(r[0], r[1]) for r in e.collect()]
+        for _ in range(n_iters):
+            deg: dict = {}
+            for a, b in rows:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            rows = [(a, b) for a, b in rows if a in alive and b in alive]
+        deg = {}
+        for a, b in rows:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        out = sorted(deg.items())
+        return e.sparkSession.createDataFrame(
+            out, schema="node bigint, degree bigint"
+        )
+    for _ in range(n_iters):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("node")
+        # no explicit broadcast: an eager broadcast exchange per round
+        # costs a separate job; left lazy, AQE still picks broadcast
+        # for the tiny alive set and the whole peel runs as one job
+        e = persist_tracked(
+            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

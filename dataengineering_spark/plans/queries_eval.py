@@ -806,32 +806,12 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
     )
-    from dataengineering_spark.caching import persist_tracked
+    from dataengineering_spark.operators.graph_analytics import kcore_peel
 
-    # each round references the previous edge set THREE times (two
-    # degree reads + the join source); without a persist the lazy plan
-    # inlines it 3^iters ways — the connected-components plan-doubling
-    # lesson. One persist per round keeps the plan linear in iters.
-    e = persist_tracked(edges)
-    for _ in range(_KCORE_ITERS):
-        deg = (
-            e.select(F.explode(F.array("a", "b")).alias("node"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        alive = deg.filter(F.col("d") >= _KCORE_K).select("node")
-        # no explicit broadcast: an eager broadcast exchange per round
-        # costs a separate job; left lazy, AQE still picks broadcast
-        # for the tiny alive set and the whole peel runs as one job
-        e = persist_tracked(
-            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
-        )
-    return (
-        e.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
+    # the node space is mod-bounded (≤101 nodes, ≤3737 edges at ANY
+    # sf), so the size gate always takes the driver peel here; the
+    # distributed superstep path is forced by the differential test
+    return kcore_peel(edges, _KCORE_K, _KCORE_ITERS)
 
 
 def _kcore_peel_sql() -> str:

@@ -828,3 +828,37 @@ def test_cusum_changepoint_matches_python_scan(spark, rows):
                 best = (poss[i], stat)
         want.add((k, best[0], best[1], n))
     assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 4),
+    st.integers(1, 3),
+)
+def test_kcore_peel_driver_gate_matches_distributed(spark, raw, k, iters):
+    """The size-gated driver peel must replay the distributed bounded
+    supersteps exactly — same fixed round count, same surviving degree
+    table — on random graphs including stars, cycles, and isolates."""
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.operators.graph_analytics import kcore_peel
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    dist = {
+        (r.node, r.degree)
+        for r in kcore_peel(df, k, iters, driver_threshold=0).collect()
+    }
+    drv = {(r.node, r.degree) for r in kcore_peel(df, k, iters).collect()}
+    release_tracked()
+    assert dist == drv
