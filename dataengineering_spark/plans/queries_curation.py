@@ -657,8 +657,11 @@ GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
 GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
-def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """Per-document rule columns + ``keep`` for any (doc_id, text)
+    frame — shared by the registry query and the streaming quality
+    gate (streaming/curation.py), so stream == batch is the same
+    expression by construction."""
     w = docs.select(
         "doc_id",
         F.when(
@@ -714,6 +717,10 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_rep.alias("r_repetition"),
         (r_wc & r_mwl & r_alpha & r_stop & r_rep).alias("keep"),
     )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules_frame(_docs(spark, sf_dir))
 
 
 def _gopher_rules_sql() -> str:

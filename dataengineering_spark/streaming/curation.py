@@ -75,11 +75,19 @@ def curation_pipeline_batch_fn(
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
+    quality_rejects_dir: str | None = None,
 ):
     """Build the composed foreachBatch hook. ``batch`` rows must carry
     the document columns (``id_col``, ``text_col``, ``lang``) AND the
     document's embedding in ``vec_col`` — the pre-joined ingest shape a
-    multimodal pipeline lands."""
+    multimodal pipeline lands.
+
+    ``quality_rejects_dir`` enables the Gopher-rule quality gate
+    between decontamination and dedup (the MassiveText stage order):
+    per-epoch rule evaluation is a stateless classify-and-route — each
+    document's verdict depends only on its own text, never on epoch
+    boundaries — with rejects routed to the audit sink and only
+    keepers feeding the dedup index and the DSIR corpus model."""
     dsir_fn = dsir_partials_batch_fn(dsir_partials_dir)
 
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
@@ -89,7 +97,24 @@ def curation_pipeline_batch_fn(
         hits = benchmark_overlap(
             batch, benchmark, n=n, id_col=id_col, text_col=text_col
         ).persist()
-        clean = batch.join(hits.select(id_col), id_col, "left_anti").persist()
+        clean = batch.join(hits.select(id_col), id_col, "left_anti")
+        if quality_rejects_dir is not None:
+            from dataengineering_spark.plans.queries_curation import (
+                gopher_rules_frame,
+            )
+
+            rules = gopher_rules_frame(
+                clean.select(F.col(id_col).alias("doc_id"),
+                             F.col(text_col).alias("text"))
+            )
+            keepers = rules.filter(F.col("keep")).select(
+                F.col("doc_id").alias(id_col)
+            )
+            rules.filter(~F.col("keep")).write.mode("append").parquet(
+                quality_rejects_dir
+            )
+            clean = clean.join(keepers, id_col)
+        clean = clean.persist()
         try:
             hits.write.mode("append").parquet(quarantine_dir)
             clean.drop(vec_col).write.mode("append").parquet(clean_dir)

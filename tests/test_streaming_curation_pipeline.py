@@ -66,7 +66,7 @@ def _frozen_quantizer(spark):
     return ivf_train_rows(e, C, ITERS, DIM)
 
 
-def _drain(spark, tmp_path, cent_rows):
+def _drain(spark, tmp_path, cent_rows, quality_gate=False):
     docs, joined = _corpus(spark)
     src = str(tmp_path / "arrivals")
     for ep in range(EPOCH_MOD):
@@ -97,18 +97,32 @@ def _drain(spark, tmp_path, cent_rows):
         checkpoint_dir=str(tmp_path / "ckpt"),
         n=N_GRAM,
         threshold=THRESHOLD,
+        **(
+            {"quality_rejects_dir": str(tmp_path / "rejects")}
+            if quality_gate
+            else {}
+        ),
     )
     q.awaitTermination(180)
     return docs
 
 
-def _batch_reference(spark, docs):
-    """The composed batch plan: gate → SemDeDup survivors → DSIR
-    selection (corpus model from the CLEAN set, like the stream) →
-    token shards."""
+def _batch_reference(spark, docs, quality_gate=False):
+    """The composed batch plan: gate → (optional Gopher quality
+    filter) → SemDeDup survivors → DSIR selection (corpus model from
+    the CLEAN set, like the stream) → token shards."""
     cent_rows = _frozen_quantizer(spark)
     hits = benchmark_overlap(docs, _benchmark(docs), n=N_GRAM)
     clean = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    if quality_gate:
+        from dataengineering_spark.plans.queries_curation import (
+            gopher_rules_frame,
+        )
+
+        keepers = gopher_rules_frame(clean.select("doc_id", "text")).filter(
+            F.col("keep")
+        ).select("doc_id")
+        clean = clean.join(keepers, "doc_id")
     emb = read_table(spark, "embeddings", SF).join(
         clean.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
@@ -178,3 +192,53 @@ def test_composed_stream_equals_composed_batch(spark, tmp_path):
     # shards are contiguous: offsets cover [0, total) without gaps
     total = sum(n for _, n, _, _, _ in got_shards)
     assert max(c + n for _, n, c, _, _ in got_shards) == total
+
+
+def test_composed_stream_with_quality_gate_equals_batch(spark, tmp_path):
+    """With the Gopher quality gate enabled between decontamination
+    and dedup (the MassiveText stage order), the drained pipeline must
+    still equal the composed batch plan — and the rejects sink must
+    hold exactly the batch rule-failures among clean docs."""
+    from dataengineering_spark.plans.queries_curation import gopher_rules_frame
+
+    cent_rows = _frozen_quantizer(spark)
+    docs = _drain(spark, tmp_path, cent_rows, quality_gate=True)
+
+    got_shards = _rows(
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+        )
+    )
+    got_rejects = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "rejects"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    release_tracked()
+
+    _hits, _dropped, ref_shards = _batch_reference(
+        spark, docs, quality_gate=True
+    )
+    ref_shard_rows = _rows(ref_shards)
+    hits = benchmark_overlap(docs, _benchmark(docs), n=N_GRAM)
+    clean = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    ref_rejects = {
+        r.doc_id
+        for r in gopher_rules_frame(clean.select("doc_id", "text"))
+        .filter(~F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    release_tracked()
+
+    assert got_shards == ref_shard_rows and len(got_shards) > 0
+    assert got_rejects == ref_rejects and len(ref_rejects) > 0
