@@ -129,6 +129,8 @@ HEADLINE = (
     "two_level_assign",
     "gopher_rules",
     "ann_recall",
+    "curriculum_order",
+    "dup_method_agreement",
 )
 
 

@@ -768,7 +768,70 @@ FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
 SQL_GOPHER_RULES = _gopher_rules_sql()
 
 
+# ===========================================================================
+# Q: curriculum_order — deterministic interleaved training order: rank
+# documents within each source (longest-first, the simple curriculum
+# heuristic), then round-robin across sources so no contiguous run of
+# shards is single-source — the ordering pass a pretraining pipeline
+# runs between selection and sharding. position = rank·S + source_idx
+# is collision-free by construction and needs NO global window: the
+# source list and S are bounded driver state (#sources) inlined as a
+# broadcast dim + literal, the rank is a per-source window (bounded by
+# the largest source), and the oracle replays the same arithmetic.
+# ===========================================================================
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    ns = len(srcs)
+    sidx = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(srcs)] or [("", 0)],
+        "source string, sidx int",
+    )
+    if not srcs:
+        sidx = sidx.filter(F.lit(False))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", F.row_number().over(w) - 1)
+        .join(F.broadcast(sidx), "source")
+        .select(
+            "doc_id",
+            (F.col("rnk") * F.lit(ns) + F.col("sidx"))
+            .cast("long")
+            .alias("position"),
+        )
+    )
+
+
+SQL_CURRICULUM_ORDER = """
+WITH s AS (
+  SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS INT) AS sidx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT COUNT(*) AS ns FROM s),
+r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT r.doc_id, CAST(r.rnk * n.ns + s.sidx AS BIGINT) AS position
+FROM r JOIN s ON r.source = s.source CROSS JOIN n
+"""
+
+
 CURATION_QUERIES = {
+    "curriculum_order": (
+        q_curriculum_order,
+        SQL_CURRICULUM_ORDER,
+        "curation:round-robin curriculum ordering",
+    ),
     "gopher_rules": (
         q_gopher_rules,
         SQL_GOPHER_RULES,

@@ -1094,7 +1094,98 @@ GROUP BY bf.query_id
 SQL_ANN_RECALL = _ann_recall_sql()
 
 
+# ===========================================================================
+# Q: dup_method_agreement — do surface dedup (MinHash-LSH over text)
+# and semantic dedup (SemDeDup over embeddings) find the SAME pairs?
+# One row: pair counts from each method and their intersection — the
+# audit a curation team reads before deciding whether the two passes
+# are redundant or complementary (they usually overlap far less than
+# assumed). Both pair sets reuse the proven builders; the join is on
+# (lo, hi) ordered ids over the shared doc/vec id space. Scale: both
+# sides are the banded/cell-pruned pair frames (never all-pairs); the
+# full-outer meet shuffles only surviving pairs.
+# ===========================================================================
+
+
+def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+    from dataengineering_spark.operators.dedup import (
+        semantic_candidate_pairs,
+        semantic_cells,
+    )
+    from dataengineering_spark.operators.similarity import dot
+    from dataengineering_spark.plans.queries_curation import (
+        SEM_C,
+        SEM_ITERS,
+        SEM_THRESHOLD,
+        _sem_cent_rows,
+    )
+    from dataengineering_spark.plans.queries_llm import _emb
+
+    lsh = _lsh_pairs_cached(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("l")
+    )
+    cells_raw, _ = semantic_cells(
+        _emb(spark, sf_dir), SEM_C, SEM_ITERS, 64,
+        cent_rows=_sem_cent_rows(spark, sf_dir),
+    )
+    cells = persist_tracked(
+        cells_raw.withColumn("dd", dot(F.col("v"), F.col("v")))
+    )
+    sem = semantic_candidate_pairs(cells, threshold=SEM_THRESHOLD).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(1).alias("s")
+    )
+    return (
+        lsh.join(sem, ["a", "b"], "full_outer")
+        .agg(
+            F.sum(F.coalesce(F.col("l"), F.lit(0))).cast("long").alias("n_lsh"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("n_sem"),
+            F.sum(
+                F.coalesce(F.col("l"), F.lit(0))
+                * F.coalesce(F.col("s"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+
+
+def _dup_method_agreement_sql() -> str:
+    from dataengineering_spark.plans.queries_curation import (
+        SEM_C,
+        SEM_ITERS,
+        SEM_THRESHOLD,
+        _cells_cte_chain,
+        _dd,
+    )
+
+    cells_ctes, _cents = _cells_cte_chain(SEM_C, SEM_ITERS, 64)
+    return f"""{_DEDUP_SQL_CTES},
+{cells_ctes},
+sem_pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_dd('a.v', 'b.v')}
+    >= {SEM_THRESHOLD} * sqrt({_dd('a.v', 'a.v')} * {_dd('b.v', 'b.v')})
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_lsh,
+  CAST((SELECT COUNT(*) FROM sem_pairs) AS BIGINT) AS n_sem,
+  CAST((SELECT COUNT(*) FROM pairs p
+        JOIN sem_pairs s ON p.doc_a = s.va AND p.doc_b = s.vb) AS BIGINT)
+    AS n_both
+"""
+
+
+SQL_DUP_METHOD_AGREEMENT = _dup_method_agreement_sql()
+
+
 EVAL_QUERIES: dict[str, tuple] = {
+    "dup_method_agreement": (
+        q_dup_method_agreement,
+        SQL_DUP_METHOD_AGREEMENT,
+        "eval:surface-vs-semantic dedup pair agreement",
+    ),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL, "eval:ANN recall@5 audit"),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL, "eval:retrieval NDCG@10"),
     "abtest_ztest": (q_abtest_ztest, SQL_ABTEST_ZTEST, "eval:two-proportion z"),
