@@ -191,8 +191,16 @@ def kcore_peel(
             e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
         )
+    # cast matches the driver path's createDataFrame schema so the
+    # gate never flips the output dtype with edge count (ADVICE r8);
+    # the cast sits INSIDE the array — a generator can't be nested in
+    # an outer cast expression
     return (
-        e.select(F.explode(F.array("a", "b")).alias("node"))
+        e.select(
+            F.explode(
+                F.array(F.col("a").cast("long"), F.col("b").cast("long"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )

@@ -17,6 +17,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_col(name: str) -> Column:
+    """Bind ``name`` LITERALLY: backtick-quote so dotted/spaced/hyphened
+    names resolve as one column instead of parsing as struct access
+    (ADVICE r8 — an F.expr f-string, and bare F.col, both mis-bind)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _order_cols(sort_columns: Sequence[str] | Mapping[str, bool]) -> list[Column]:
     """Accept the reference's two sort specs: a plain list (all
     ascending) or an {column: ascending} mapping
@@ -141,21 +148,25 @@ def trailing_range_agg(
         raise ValueError("window_sec must be a multiple of bucket_sec")
     n_full = window_sec // bucket_sec - 1
     ids = list(id_cols)
-    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    val = _lit_col(value_col) if isinstance(value_col, str) else value_col
+    # exact integer FLOOR division, NOT (sec/bucket).cast(long):
+    # double division truncates toward zero (mis-buckets negative
+    # epochs) and loses exactness past 2^53. DIV alone also truncates
+    # toward zero, so subtract the pmod first — pmod is in [0, bucket),
+    # making the numerator the exact floor multiple. The expr runs on
+    # the SAFE internal alias `_sec`, never on the user-supplied name;
+    # user columns bind via _lit_col (backtick-quoted literal lookup).
     ev = df.select(
-        *ids,
-        F.col(partition_col).alias("_key"),
-        F.col(sec_col).alias("_sec"),
+        *[_lit_col(i).alias(i) for i in ids],
+        _lit_col(partition_col).alias("_key"),
+        _lit_col(sec_col).alias("_sec"),
         val.alias("_val"),
-        # exact integer FLOOR division, NOT (sec/bucket).cast(long):
-        # double division truncates toward zero (mis-buckets negative
-        # epochs) and loses exactness past 2^53. DIV alone also
-        # truncates toward zero, so subtract the pmod first — pmod is
-        # in [0, bucket), making the numerator the exact floor multiple.
+    ).withColumn(
+        "_bkt",
         F.expr(
-            f"(CAST({sec_col} AS BIGINT) - pmod(CAST({sec_col} AS BIGINT),"
+            f"(CAST(_sec AS BIGINT) - pmod(CAST(_sec AS BIGINT),"
             f" {bucket_sec})) DIV {bucket_sec}"
-        ).alias("_bkt"),
+        ),
     )
 
     partials = ev.groupBy("_key", "_bkt").agg(
@@ -184,7 +195,7 @@ def trailing_range_agg(
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     cur = ev.select(
-        *ids,
+        *[_lit_col(i) for i in ids],
         "_key",
         "_bkt",
         "_sec",
@@ -208,7 +219,7 @@ def trailing_range_agg(
             ],
             how="left",
         )
-        .groupBy("_key", "_bkt", *ids)
+        .groupBy("_key", "_bkt", *[_lit_col(i) for i in ids])
         .agg(
             F.first("_cnt_cur").alias("_cnt_cur"),
             F.first("_sum_cur").alias("_sum_cur"),
@@ -219,7 +230,7 @@ def trailing_range_agg(
 
     zero = F.lit(0)
     metrics = edge.join(full, ["_key", "_bkt"], "left").select(
-        *ids,
+        *[_lit_col(i) for i in ids],
         (
             F.col("_cnt_cur")
             + F.coalesce("_cnt_full", zero)

@@ -1138,11 +1138,20 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.join(sem, ["a", "b"], "full_outer")
         .agg(
-            F.sum(F.coalesce(F.col("l"), F.lit(0))).cast("long").alias("n_lsh"),
-            F.sum(F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("n_sem"),
-            F.sum(
-                F.coalesce(F.col("l"), F.lit(0))
-                * F.coalesce(F.col("s"), F.lit(0))
+            # outer coalesce: Spark sums over zero rows yield NULL while the
+            # oracle's scalar COUNT(*) yields 0 (ADVICE r8, empty-corpus parity)
+            F.coalesce(F.sum(F.coalesce(F.col("l"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_lsh"),
+            F.coalesce(F.sum(F.coalesce(F.col("s"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_sem"),
+            F.coalesce(
+                F.sum(
+                    F.coalesce(F.col("l"), F.lit(0))
+                    * F.coalesce(F.col("s"), F.lit(0))
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_both"),

@@ -151,3 +151,91 @@ def test_discrete_pcts_pins_ranged_layout(spark):
         want = vals[(len(vals) - 1) // 2][0]
         assert rows[k] == want, (k, rows[k], want)
     assert release_tracked() >= 1
+
+
+# ---------------------------------------------------------------------------
+# round-9 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_schema_identical_across_gate_paths(spark):
+    """Round-9 ADVICE: for int-typed edge frames the distributed path
+    used to leave `node` at the input dtype while the driver-gated path
+    emits bigint — the output schema flipped with edge count."""
+    from dataengineering_spark.operators.graph_analytics import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a INT, b INT"
+    )
+    gated = kcore_peel(edges, k=2, n_iters=2, driver_threshold=500_000)
+    dist = kcore_peel(edges, k=2, n_iters=2, driver_threshold=0)
+    assert [f.dataType.simpleString() for f in gated.schema.fields] == [
+        f.dataType.simpleString() for f in dist.schema.fields
+    ]
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+
+
+def test_dup_method_agreement_zero_not_null_on_no_pairs(spark, tmp_path):
+    """Round-9 ADVICE: Spark sums over zero rows return NULL while the
+    DuckDB oracle's scalar COUNT(*) returns 0 — on a corpus whose LSH
+    and SemDeDup candidate-pair sets are both EMPTY the audit row must
+    still be (0, 0, 0), not (NULL, NULL, NULL)."""
+    import duckdb
+
+    # disjoint-vocab docs -> no shingle overlap -> no LSH band pairs;
+    # ALL-ODD doc_ids so _dedup_corpus's perturbed even-id batch is
+    # empty (those injected copies are near-dups by construction);
+    # one-hot embeddings -> pairwise cosine 0 < SEM_THRESHOLD -> no
+    # semantic pairs. Corpus is non-empty so training succeeds.
+    docs = [
+        (2 * i + 1, " ".join(f"tok{i}x{j}" for j in range(40)), "en", "s", 200)
+        for i in range(10)
+    ]
+    embs = [(i, [1.0 if d == i else 0.0 for d in range(64)], 0)
+            for i in range(64)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", docs)
+    con.execute(
+        "CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?)", embs)
+    con.execute(f"COPY d TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY e TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.plans.queries_eval import q_dup_method_agreement
+
+    row = q_dup_method_agreement(spark, str(tmp_path)).collect()[0]
+    release_tracked()
+    assert (row.n_lsh, row.n_sem, row.n_both) == (0, 0, 0)
+
+
+def test_trailing_bucket_handles_quoted_column_names(spark):
+    """Round-9 ADVICE: the bucket-id expr interpolated the raw column
+    name into an F.expr f-string; names needing backtick quoting
+    (dots, spaces, hyphens) failed to parse or bound wrongly."""
+    from dataengineering_spark.operators.windows import trailing_range_agg
+
+    rows = [(1, 0), (2, 1800), (3, 3600), (4, 7200)]
+    df = (
+        spark.createDataFrame(rows, ["id", "odd name"])
+        .withColumnRenamed("odd name", "ts.sec-col")
+        .withColumn("k", F.lit("a"))
+        .withColumn("v", F.lit(1).cast("decimal(18,6)"))
+    )
+    out = trailing_range_agg(
+        df, "k", "ts.sec-col", "v", ["id"], window_sec=7200, bucket_sec=3600
+    )
+    got = {r.id: r.n_trailing for r in out.collect()}
+    secs = dict(rows)
+    want = {
+        i: sum(1 for _, s in rows if secs[i] - 7199 <= s <= secs[i])
+        for i, _ in rows
+    }
+    assert got == want

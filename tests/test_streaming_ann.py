@@ -9,6 +9,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from dataengineering_spark.caching import tracking_scope
 from dataengineering_spark.catalog import read_table
 from dataengineering_spark.operators.similarity import (
     encode_corpus,
@@ -97,10 +98,14 @@ def test_stream_results_equal_batch(spark, tmp_path):
 def test_serve_scan_is_partition_pruned(spark, tmp_path):
     corpus, index, enc_path = _index_and_enc(spark, tmp_path)
     batch = corpus.filter(F.col("vec_id") < 4)
-    out = ann_serve_batch(
-        batch, enc_path, index, k=K, nprobe=NPROBE, m_sub=M, dim=DIM
-    )
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ann_serve_batch registers (does not release) its probe/LUT
+    # persist; direct consumers own the release (release-per-query
+    # invariant, ADVICE r8)
+    with tracking_scope():
+        out = ann_serve_batch(
+            batch, enc_path, index, k=K, nprobe=NPROBE, m_sub=M, dim=DIM
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
     scan = next(
         ln for ln in plan.splitlines()
         if "FileScan" in ln and "/enc" in ln

@@ -8,6 +8,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from dataengineering_spark.caching import tracking_scope
 from dataengineering_spark.catalog import read_table
 from dataengineering_spark.operators.similarity import (
     encode_corpus,
@@ -70,12 +71,15 @@ def test_ingested_corpus_serves_like_batch_union(spark, tmp_path):
     _drain_ingest(spark, tmp_path, full, index, enc_path)
 
     queries = full.filter(F.col("vec_id") < 6)
-    got = {
-        (r.query_id, r.neighbor_id, r.rank)
-        for r in ann_serve_batch(
-            queries, enc_path, index, k=K, nprobe=NPROBE, m_sub=M, dim=DIM
-        ).collect()
-    }
+    # release the serve-side probe/LUT persist after the consuming
+    # collect (release-per-query invariant, ADVICE r8)
+    with tracking_scope():
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_serve_batch(
+                queries, enc_path, index, k=K, nprobe=NPROBE, m_sub=M, dim=DIM
+            ).collect()
+        }
     ref = {
         (r.query_id, r.neighbor_id, r.rank)
         for r in ivfpq_topk(
