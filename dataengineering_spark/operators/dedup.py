@@ -442,6 +442,8 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 2,
     driver_threshold: int = 500_000,
+    broadcast_nodes_max: int = 4_000_000,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """(doc_id, component) labels for the near-duplicate pair graph:
     component = min doc id reachable from the doc. This is the final
@@ -483,6 +485,30 @@ def connected_components(
     collect: above it the distributed loop runs exactly as before (the
     sf10 probe's 18M-pair graph stays distributed). Pass 0 to force
     the distributed path (the fuzz suite does, to keep it covered).
+
+    JOIN-SHAPE RULE (the sf100 T=0.35 disk-death lesson, SCALE.md r8):
+    the labels frame is node-sized, the edge frame is pair-sized, and
+    on dense dedup graphs |E| >> |V| by orders of magnitude (the 2M-
+    node replica corpus carries ~10^8-10^9 pairs). Labels usually
+    exceed the 10 MB autobroadcast threshold, so without a hint every
+    round's two joins SHUFFLE THE EDGE FRAME (twice per round), and
+    those retained map outputs — not the node-sized state — are what
+    filled the 53 GB scratch. When the node count is at most
+    ``broadcast_nodes_max`` (counted, ~24 B/row -> ~100 MB at the 4M
+    default) the label/jump sides are broadcast explicitly: per-round
+    shuffle volume drops from O(|E|) to O(|V|) (the map-side-combined
+    groupBy output), independent of pair density. Above the bound the
+    loop falls back to shuffle joins — the regime a real cluster's
+    aggregate scratch absorbs. On big graphs the loop additionally
+    forces a JVM GC after each lineage checkpoint so the
+    ContextCleaner reaps dereferenced shuffle files between rounds
+    instead of at the periodicGC interval.
+
+    ``distinct_edges=False`` skips the O(|E|) distinct shuffle on the
+    doubled edge frame: min-label propagation is duplicate-insensitive
+    (groupBy-min absorbs repeats), so callers whose pair frames are
+    already distinct (the banded/cell-pruned builders here all are)
+    can avoid materializing the single largest exchange in the plan.
     """
     if driver_threshold and pairs.count() <= driver_threshold:
         rows = pairs.select(id_a, id_b).collect()
@@ -513,22 +539,45 @@ def connected_components(
             "doc_id long, component long",
         )
 
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    if distinct_edges:
+        edges = edges.distinct()
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component"))
         .persist()
     )
+    # one counted job: materializes both persists and sizes the join
+    # strategy. Node-sized frames broadcast when bounded (see the
+    # JOIN-SHAPE RULE above); big-graph rounds also reap shuffles.
+    n_nodes = labels.count()
+    bcast = 0 < n_nodes <= broadcast_nodes_max
+    big_graph = not bcast or n_nodes > 1_000_000
+
+    def _reap_shuffles() -> None:
+        # ContextCleaner only deletes shuffle files once their
+        # ShuffleDependency is JVM-garbage; drop the Python proxies,
+        # then force a JVM GC so cleanup happens between rounds, not
+        # at the periodicGC interval (the sf100 disk-death fix).
+        import gc as _pygc
+
+        _pygc.collect()
+        try:
+            edges.sparkSession.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — best-effort on exotic backends
+            pass
+
     changed = 0
     for _round in range(max_iterations):
+        lab = F.broadcast(labels) if bcast else labels
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(lab, edges.dst == lab.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr"))
         )
@@ -547,8 +596,9 @@ def connected_components(
         jump = stepped.select(
             F.col("doc_id").alias("_jid"), F.col("component").alias("_jcomp")
         )
+        jump_side = F.broadcast(jump) if bcast else jump
         new_labels = (
-            stepped.join(jump, stepped.component == jump._jid, "left")
+            stepped.join(jump_side, stepped.component == jump_side._jid, "left")
             .select(
                 "doc_id",
                 F.least(
@@ -572,7 +622,11 @@ def connected_components(
             truncated = labels.localCheckpoint(eager=True)
             labels.unpersist()
             labels = truncated
+            if big_graph:
+                _reap_shuffles()
     edges.unpersist()
+    if big_graph:
+        _reap_shuffles()
     if changed != 0:
         import warnings
 
@@ -1126,7 +1180,10 @@ def semantic_dedup_members(
     pairs = persist_tracked(
         semantic_candidate_pairs(cells, threshold=threshold)
     )
-    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    # cell-local self-join pairs are distinct by construction
+    comp = connected_components(
+        pairs, id_a="vec_a", id_b="vec_b", distinct_edges=False
+    )
     members = comp.select(
         F.col("doc_id").alias("vec_id"), "component"
     ).join(cos_c, "vec_id")

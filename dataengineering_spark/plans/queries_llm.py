@@ -623,7 +623,9 @@ FROM norm
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_pairs_cached(spark, sf_dir)
-    return connected_components(pairs)
+    # minhash_lsh_pairs is distinct by construction -> skip the
+    # O(|E|) distinct exchange on the doubled edge frame
+    return connected_components(pairs, distinct_edges=False)
 
 
 # the closure CTE is recursive, so the shared CTE chain needs the
@@ -658,7 +660,7 @@ FROM reach GROUP BY src
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_pairs_cached(spark, sf_dir)
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, distinct_edges=False)
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"
     )

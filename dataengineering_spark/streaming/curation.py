@@ -196,7 +196,9 @@ def semantic_survivor_ids(
     that already has pairs in hand."""
     from dataengineering_spark.operators.similarity import dot
 
-    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b").select(
+    comp = connected_components(
+        pairs, id_a="vec_a", id_b="vec_b", distinct_edges=False
+    ).select(
         F.col("doc_id").alias("vec_id"), "component"
     )
     # cos-to-centroid for clustered members only (centroid = the cell
