@@ -880,3 +880,67 @@ def resize_images_nearest(
     return df.select(id_col, payload_col).mapInPandas(
         _resize, schema="doc_id long, width long, height long, pixels string"
     )
+
+
+def dhash_image(payload: bytes) -> int:
+    """63-bit perceptual difference hash (dHash) of a PNG payload.
+
+    Standard dHash (Krawetz's "Kind of Like That" scheme): downsample
+    the luma plane to a 9x8 grid and emit one bit per horizontally
+    adjacent cell pair — bit k is ``luma[gy][gx+1] > luma[gy][gx]``
+    with gx = k % 8, gy = k // 8. Two deliberate exactness choices so
+    a SQL oracle can replay the hash bit-for-bit:
+
+    - NEAREST-NEIGHBOR downsampling (the resize_nearest floor mapping
+      ``src = (grid_idx * dim) // grid_dim``) instead of area
+      averaging — same perceptual bits on smooth images, but a closed
+      form over source pixels;
+    - integer luma ``299r + 587g + 114b`` (scaled BT.601, no float);
+    - only 63 of the 64 comparisons are emitted (k = 0..62): the hash
+      stays in the non-negative BIGINT range, so chunked shifts and
+      bit_count behave identically in every engine with arithmetic
+      shift semantics.
+    """
+    import numpy as np
+
+    w, h, channels, recon = decode_png_pixels(payload)
+    px = recon.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    sy = [(gy * h) // 8 for gy in range(8)]
+    sx = [(gx * w) // 9 for gx in range(9)]
+    grid = px[np.ix_(sy, sx)].astype(np.int64)
+    luma = 299 * grid[:, :, 0] + 587 * grid[:, :, 1] + 114 * grid[:, :, 2]
+    out = 0
+    for k in range(63):
+        gx, gy = k % 8, k // 8
+        if luma[gy][gx + 1] > luma[gy][gx]:
+            out |= 1 << k
+    return out
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, dhash) perceptual hashes over the Arrow-batched decode
+    lane — same partitioning/batch shape as decode_images, kernel is
+    ``dhash_image``. Feed the result to
+    ``operators.dedup.simhash_neardup_pairs(..., sim_col='dhash',
+    bits=64)`` for banded image near-dup pairing (the pigeonhole
+    chunk join — never all-pairs)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(doc_id), dhash_image(bytes(payload)))
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema="doc_id long, dhash long"
+    )

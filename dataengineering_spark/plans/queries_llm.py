@@ -1517,6 +1517,97 @@ FROM documents
 
 
 # ===========================================================================
+# Q: image_neardup — perceptual image near-duplicates via dHash: REAL
+# PNG decode -> 9x8 nearest-neighbor luma grid -> 63-bit difference
+# hash -> the SimHash pigeonhole chunk join (4 x 16-bit bands, never
+# all-pairs) -> exact hamming verify. The corpus builds groups of 3
+# gradient PNGs sharing a seed: two group members are byte-identical
+# (hamming 0), the third is one pixel wider, so the floor downsample
+# shifts a few sampled columns and flips a handful of bits — some
+# land within the distance-3 radius, some outside it. The oracle
+# recomputes every hash bit from the gradient closed form and
+# brute-forces all pairs, so a bug in decode, the grid mapping, luma
+# weights, bit packing, the chunk join, or the hamming verify breaks
+# the match. Beyond-reference surface: the text/embedding dedup
+# family applied to the image modality (multimodal training dedup).
+# ===========================================================================
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        dhash_images,
+        make_gradient_png,
+    )
+    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                # per-group (w, h, s) triple: enough degrees of freedom
+                # that the 63-bit hash space is actually exercised (a
+                # single-seed family collapses to <=256 distinct
+                # hashes); the third group member is 1px wider, so the
+                # floor downsample shifts a few sampled columns ->
+                # hamming in the 1..3 near-dup radius for some groups,
+                # beyond it for others
+                grp = doc_id // 3
+                w = 100 + grp % 101 + (1 if doc_id % 3 == 2 else 0)
+                h = 12 + grp % 7
+                rows.append(
+                    (doc_id, make_gradient_png(w, h, (grp * 97) % 251))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    dh = dhash_images(synthesized)
+    return simhash_neardup_pairs(dh, max_distance=3, sim_col="dhash", bits=64)
+
+
+# oracle: hash bits from the gradient/grid closed form (luma compare
+# of horizontally adjacent 9x8 grid cells; x = (gx*w)//9, y = (gy*h)//8,
+# r=(7x+s)%256 g=(13y+s)%256 b=(x+y+s)%256, integer luma 299r+587g+114b),
+# then brute-force hamming over all pairs — equivalent to the banded
+# join because pigeonhole guarantees distance<=3 pairs share a chunk.
+# The 587*g luma term is omitted: g=(13y+s)%256 depends only on the
+# row, so it is identical on both sides of every horizontal compare
+# and cancels from the inequality exactly.
+SQL_IMAGE_NEARDUP = """
+WITH g AS (
+  SELECT doc_id,
+    CAST(100 + (doc_id // 3) % 101
+         + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS w,
+    CAST(12 + (doc_id // 3) % 7 AS BIGINT) AS h,
+    CAST((doc_id // 3 * 97) % 251 AS BIGINT) AS s
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 63), k ->
+      CASE WHEN
+        299 * ((7 * (((k % 8 + 1) * w) // 9) + s) % 256)
+        + 114 * (((((k % 8 + 1) * w) // 9) + (((k // 8) * h) // 8) + s) % 256)
+        >
+        299 * ((7 * (((k % 8) * w) // 9) + s) % 256)
+        + 114 * (((((k % 8) * w) // 9) + (((k // 8) * h) // 8) + s) % 256)
+      THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE CAST(0 AS BIGINT) END
+    )) AS BIGINT) AS dhash
+  FROM g
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
+# ===========================================================================
 # Q: jpeg_meta — image geometry WITHOUT a decode library: JPEG SOFn /
 # PNG IHDR header walks (the WAV/MP4 container pattern applied to
 # images). Payloads are synthesized per doc (even ids JPEG, odd PNG)
@@ -3620,6 +3711,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_image_resize,
         SQL_IMAGE_RESIZE,
         "north-star:multimodal resize",
+    ),
+    "image_neardup": (
+        q_image_neardup,
+        SQL_IMAGE_NEARDUP,
+        "north-star:multimodal dedup (dHash)",
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),

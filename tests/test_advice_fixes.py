@@ -239,3 +239,42 @@ def test_trailing_bucket_handles_quoted_column_names(spark):
         for i, _ in rows
     }
     assert got == want
+
+
+def test_dhash_sensitivity_and_band_recall(spark):
+    """dHash kernel: identical payloads hash identically; a 1px width
+    change flips only a few bits; the banded pair join recovers every
+    pair the brute-force hamming<=3 filter admits (pigeonhole)."""
+    from dataengineering_spark.functions.multimodal import (
+        dhash_image,
+        dhash_images,
+        make_gradient_png,
+    )
+    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+
+    a = dhash_image(make_gradient_png(120, 14, 42))
+    assert a == dhash_image(make_gradient_png(120, 14, 42))
+    b = dhash_image(make_gradient_png(121, 14, 42))
+    assert 0 <= a < (1 << 63) and 0 <= b < (1 << 63)
+    assert bin(a ^ b).count("1") < 16  # near, not unrelated
+
+    payloads = [
+        (i, make_gradient_png(100 + (i // 3) % 7 + (i % 3 == 2), 12, (i // 3) * 5))
+        for i in range(30)
+    ]
+    hashes = [(i, dhash_image(p)) for i, p in payloads]
+    want = {
+        (x, y)
+        for (x, hx) in hashes
+        for (y, hy) in hashes
+        if x < y and bin(hx ^ hy).count("1") <= 3
+    }
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    dh = dhash_images(df)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(
+            dh, max_distance=3, sim_col="dhash", bits=64
+        ).collect()
+    }
+    assert got == want and want  # non-trivial fixture
