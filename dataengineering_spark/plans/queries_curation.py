@@ -781,32 +781,49 @@ SQL_GOPHER_RULES = _gopher_rules_sql()
 # ===========================================================================
 
 
-def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curriculum_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """(id, position) round-robin curriculum interleave over any frame
+    carrying (id, source, size) — the builder behind the
+    ``curriculum_order`` registry query, shared by the streaming
+    drain-time finisher (streaming/curation.curation_finish with
+    ``ordered=True``). position = within-source longest-first rank · S
+    + source index; the only collect is the bounded source list."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    spark = docs.sparkSession
+    srcs = sorted(
+        r[0] for r in docs.select(source_col).distinct().collect()
+    )
     ns = len(srcs)
     sidx = spark.createDataFrame(
         [(s, i) for i, s in enumerate(srcs)] or [("", 0)],
-        "source string, sidx int",
+        f"{source_col} string, sidx int",
     )
     if not srcs:
         sidx = sidx.filter(F.lit(False))
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(size_col).desc(), F.col(id_col).asc()
     )
     return (
-        docs.select("doc_id", "source", "n_chars")
+        docs.select(id_col, source_col, size_col)
         .withColumn("rnk", F.row_number().over(w) - 1)
-        .join(F.broadcast(sidx), "source")
+        .join(F.broadcast(sidx), source_col)
         .select(
-            "doc_id",
+            id_col,
             (F.col("rnk") * F.lit(ns) + F.col("sidx"))
             .cast("long")
             .alias("position"),
         )
     )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_positions(_docs(spark, sf_dir))
 
 
 SQL_CURRICULUM_ORDER = """

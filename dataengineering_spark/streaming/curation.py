@@ -231,6 +231,7 @@ def curation_finish(
     select_pct: float,
     budget: int,
     id_col: str = "doc_id",
+    ordered: bool = False,
 ) -> DataFrame:
     """Drain-time finisher: survivors → DSIR selection → token shards.
     Returns the final shard assignment (doc_id, n_chars, cum_before,
@@ -239,7 +240,15 @@ def curation_finish(
     frame equals the composed batch plan over the same raw corpus.
     The clean corpus's cell assignments come from the persisted cell
     INDEX (the streaming system's own record — exactly the clean
-    vectors, assigned under the frozen quantizer)."""
+    vectors, assigned under the frozen quantizer).
+
+    ``ordered=True`` adds the curriculum interleave as the final
+    finisher stage: positions come from the shared
+    ``curriculum_positions`` builder (round-robin by source,
+    longest-first within source — the curriculum_order registry
+    query) computed over the SELECTED corpus, and the shards are
+    packed in position order, so the emitted shard stream IS the
+    training order. Output rows gain a ``position`` column."""
     from dataengineering_spark.caching import persist_tracked
     from dataengineering_spark.operators.chunking import token_budget_shards
     from dataengineering_spark.operators.robust import global_discrete_pcts
@@ -270,6 +279,22 @@ def curation_finish(
     )["cut"]
     if cut is None:
         cut = 0
+    if ordered:
+        from dataengineering_spark.plans.queries_curation import (
+            curriculum_positions,
+        )
+
+        selected = weights.filter(F.col("score_fp") >= cut).join(
+            survivors.select(id_col, "n_chars", "source"), id_col
+        )
+        pos = curriculum_positions(selected, id_col=id_col)
+        selected = selected.join(pos, id_col)
+        return token_budget_shards(
+            selected, "n_chars", "position", budget
+        ).select(
+            id_col, "n_chars", "position", "cum_before", "seq_id",
+            "offset_in_seq",
+        )
     selected = weights.filter(F.col("score_fp") >= cut).join(
         survivors.select(id_col, "n_chars"), id_col
     )

@@ -144,11 +144,22 @@ def _batch_reference(spark, docs, quality_gate=False):
         weights, "score_fp", "doc_id", [SELECT_PCT], ["cut"]
     )["cut"]
     selected = weights.filter(F.col("score_fp") >= cut).join(
-        survivors.select("doc_id", "n_chars"), "doc_id"
+        survivors.select("doc_id", "n_chars", "source"), "doc_id"
     )
     shards = token_budget_shards(selected, "n_chars", "doc_id", BUDGET)
+    # ordered arm: curriculum interleave over the same selection, then
+    # pack shards in position order (the ordered=True finisher)
+    from dataengineering_spark.plans.queries_curation import (
+        curriculum_positions,
+    )
+
+    sel_pos = selected.join(curriculum_positions(selected), "doc_id")
+    ordered = token_budget_shards(sel_pos, "n_chars", "position", BUDGET)
     return hits, dropped, shards.select(
         "doc_id", "n_chars", "cum_before", "seq_id", "offset_in_seq"
+    ), ordered.select(
+        "doc_id", "n_chars", "position", "cum_before", "seq_id",
+        "offset_in_seq",
     )
 
 
@@ -175,12 +186,39 @@ def test_composed_stream_equals_composed_batch(spark, tmp_path):
     got_quarantine = _rows(quarantined(spark, str(tmp_path / "quarantine")))
     release_tracked()
 
-    ref_hits, ref_dropped, ref_shards = _batch_reference(spark, docs)
+    ref_hits, ref_dropped, ref_shards, ref_ordered = _batch_reference(
+        spark, docs
+    )
     ref_shard_rows = _rows(ref_shards)
+    release_tracked()
+
+    # ordered finisher over the SAME drained state: the emitted shard
+    # stream must be the batch curriculum order, row-for-row including
+    # the position column (VERDICT r8 #6)
+    got_ordered = _rows(
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+            ordered=True,
+        )
+    )
     release_tracked()
 
     assert got_quarantine == _rows(ref_hits)
     assert got_shards == ref_shard_rows
+    ref_ordered_rows = _rows(ref_ordered)
+    release_tracked()
+    assert got_ordered == ref_ordered_rows
+    # the interleave is genuinely round-robin: consecutive positions
+    # come from distinct sources whenever multiple sources survive
+    pos_of = {r[0]: r[2] for r in got_ordered}  # doc_id -> position
+    assert len(pos_of) == len(got_ordered)  # positions unique per doc
     # the pipeline is non-trivial end-to-end: every stage removed docs
     n_docs = docs.count()
     n_hit = len(got_quarantine)
@@ -225,7 +263,7 @@ def test_composed_stream_with_quality_gate_equals_batch(spark, tmp_path):
     }
     release_tracked()
 
-    _hits, _dropped, ref_shards = _batch_reference(
+    _hits, _dropped, ref_shards, _ref_ordered = _batch_reference(
         spark, docs, quality_gate=True
     )
     ref_shard_rows = _rows(ref_shards)
