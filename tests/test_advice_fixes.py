@@ -278,3 +278,40 @@ def test_dhash_sensitivity_and_band_recall(spark):
         ).collect()
     }
     assert got == want and want  # non-trivial fixture
+
+
+def test_bpe_incremental_counts_match_naive_replay(spark):
+    """The incremental pair-count maintenance in _bpe_merge_chain must
+    pick the identical (pair, n) sequence a naive full recount picks —
+    replayed in pure Python with the same \\b-anchored leftmost
+    non-overlapping replace."""
+    import re
+
+    from dataengineering_spark.catalog import read_table
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.plans.queries_eval import (
+        _bpe_merge_chain,
+        _bpe_spaced_words,
+    )
+
+    docs = read_table(spark, "documents", SF_ORACLE).limit(120)
+    spaced = _bpe_spaced_words(docs)
+    corpus = [r["d"] for r in spaced.collect()]
+    rows, _final = _bpe_merge_chain(spaced, 6)
+    release_tracked()
+
+    cur = list(corpus)
+    for it, pair, n in rows:
+        counts: dict[str, int] = {}
+        for d in cur:
+            t = d.split(" ")
+            for j in range(len(t) - 1):
+                p = t[j] + " " + t[j + 1]
+                counts[p] = counts.get(p, 0) + 1
+        want_pair, want_n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert (pair, n) == (want_pair, want_n), (it, pair, n, want_pair, want_n)
+        pat = re.compile(r"\b" + re.escape(pair) + r"\b")
+        cur = [pat.sub(pair.replace(" ", ""), d) for d in cur]
+    assert len(rows) == 6
