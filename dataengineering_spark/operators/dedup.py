@@ -910,6 +910,7 @@ def semantic_cells(
     train_rows_cap: int | None = None,
     cent_rows: list | None = None,
     two_level: "tuple[int, int] | None" = None,
+    two_level_hot_split: "tuple[int, int] | None" = None,
 ):
     """Train the SemDeDup coarse quantizer and assign every vector to
     its cell. Returns ``(cells, cent_rows)``: a lazy (vec_id, v, cid)
@@ -951,7 +952,10 @@ def semantic_cells(
     if two_level is not None:
         c1, c2 = two_level
         if cent_rows is None:
-            cent_rows = two_level_train_rows(train_e, c1, c2, n_iters, dim)
+            cent_rows = two_level_train_rows(
+                train_e, c1, c2, n_iters, dim,
+                hot_split=two_level_hot_split,
+            )
         super_rows, sub_by_super = cent_rows
         return two_level_assign(e, super_rows, sub_by_super, c2), cent_rows
     if cent_rows is None:
@@ -1123,16 +1127,21 @@ def semantic_dedup_members(
         cent_rows=cent_rows, two_level=two_level,
     )
     if two_level is not None:
-        # effective centroids keyed by the composite cid = super*c2+sub
+        # effective centroids keyed by the composite cid =
+        # super*stride+sub; the stride matches two_level_assign's
+        # derivation (max of c2 and the largest trained sub count, so
+        # balance-aware hot-split trees pack without collisions)
         _super_rows, _sub_by_super = cent_rows
-        c2 = two_level[1]
+        c2 = max(
+            [two_level[1]] + [len(v) for v in _sub_by_super.values()]
+        )
         flat_rows = [
             (scid * c2 + sub, cv)
             for scid, subs in _sub_by_super.items()
             for sub, cv in subs
         ]
-        # two_level_assign falls back to cid = super·c2 for super cells
-        # that trained zero sub-centroids (possible under
+        # two_level_assign falls back to cid = super·stride for super
+        # cells that trained zero sub-centroids (possible under
         # train_rows_cap); cover those cids with the SUPER centroid so
         # the inner joins below never drop an assigned vector.
         covered = {cid for cid, _ in flat_rows}

@@ -1087,16 +1087,58 @@ def two_level_train_rows(
     c2: int = 16,
     n_iters: int = 2,
     dim: int = 64,
+    hot_split: "tuple[int, int] | None" = None,
 ) -> tuple[list, dict[int, list]]:
     """(super_rows, sub_by_super): train the two-level quantizer on
     ``e`` (vec_id, v). Pre-sample ``e`` with the caller's cap before
     calling — training cost is O(rows·(C1+C2)·dim) per iteration.
-    Driver state is (C1 + C1·C2) × dim doubles — k-bounded."""
+    Driver state is (C1 + C1·C2) × dim doubles — k-bounded.
+
+    ``hot_split=(cap, corpus_n)`` enables BALANCE-AWARE training (the
+    round-8 skew finding: at equal C and cap the uniform hierarchy
+    capped out 1.5× the vectors flat quantization did, because hot
+    super cells crammed the same c2 sub-budget as cold ones). After
+    the uniform sub-train, the TRAINING SAMPLE is assigned through the
+    trained tree and each sub-cell's corpus load is projected as
+    ``sample_count · corpus_n / n_sample``; super cells owning any
+    sub-cell projected above ``cap`` re-run the grouped sub-Lloyd at
+    2·c2. The extra pass touches only the hot supers' sample slice, so
+    the assignment win is untouched (per-row work stays O(c1 + 2·c2))
+    and the cid space simply stretches to stride 2·c2 — see
+    :func:`two_level_assign`, which derives the stride from the
+    trained tree."""
     super_rows = ivf_train_rows(e, c1, n_iters, dim)
     asg = ivf_assign(e, super_rows).persist()
-    asg.count()
+    n_sample = asg.count()
     try:
         sub_by_super = _grouped_sub_train(asg, c2, n_iters, dim)
+        if hot_split is not None and n_sample:
+            cap, corpus_n = hot_split
+            scale = corpus_n / n_sample
+            # uniform first pass trains <= c2 subs per super, so the
+            # packing stride here is exactly c2
+            proj = (
+                two_level_assign(asg, super_rows, sub_by_super, c2)
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            hot = sorted(
+                {
+                    int(r["cid"]) // c2
+                    for r in proj
+                    if r["n"] * scale > cap
+                }
+            )
+            if hot:
+                hot_lit = [int(h) for h in hot]
+                resplit = _grouped_sub_train(
+                    asg.filter(F.col("cid").isin(hot_lit)),
+                    2 * c2,
+                    n_iters,
+                    dim,
+                )
+                sub_by_super.update(resplit)
     finally:
         asg.unpersist()
     return super_rows, sub_by_super
@@ -1108,14 +1150,21 @@ def two_level_assign(
     sub_by_super: dict[int, list],
     c2: int,
 ) -> DataFrame:
-    """(vec_id, v, cid) with cid = super·c2 + sub — a narrow map, no
-    Exchange: C1 literal dist2 evals pick the super cell, then ONLY the
-    chosen cell's C2 literals are evaluated through a CASE chain.
-    Super cells that trained no sub-centroids (possible under a small
-    training sample) fall back to sub 0 so every vector still gets a
-    cell."""
+    """(vec_id, v, cid) with cid = super·stride + sub — a narrow map,
+    no Exchange: C1 literal dist2 evals pick the super cell, then ONLY
+    the chosen cell's sub-centroid literals are evaluated through a
+    CASE chain. Super cells that trained no sub-centroids (possible
+    under a small training sample) fall back to sub 0 so every vector
+    still gets a cell.
+
+    The packing stride is ``max(c2, largest trained sub count)``: a
+    uniform tree packs at exactly ``c2`` (the oracle-pinned layout),
+    while a balance-aware tree (``two_level_train_rows`` with
+    ``hot_split``) stretches to the hot supers' 2·c2 without cid
+    collisions."""
     if not super_rows:
         raise ValueError("two_level_assign requires at least one super centroid")
+    c2 = max([c2] + [len(rows) for rows in sub_by_super.values()])
     scored_super = F.array(
         *[
             F.struct(

@@ -152,3 +152,60 @@ def test_degenerate_two_level_equals_flat(spark):
     # the trained centroids themselves match
     (super_cid,) = [cid for cid, _cv in sr]
     assert [(cid, cv) for cid, cv in flat_rows] == sbs[super_cid]
+
+
+def test_hot_split_rebalances_skewed_supers(spark):
+    """Balance-aware training (VERDICT r8 #4): a corpus with one dense
+    region must re-split that region's super cell at 2*c2, reducing
+    capped-out volume at the same cap without touching cold supers or
+    colliding cids."""
+    import numpy as np
+
+    from dataengineering_spark.operators.similarity import (
+        two_level_assign,
+        two_level_train_rows,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # hot region: 8 tight subclusters of 150 vectors each around
+    # v[0]=10 — more structure than a c2=4 sub-budget can separate,
+    # so pairs of subclusters share a cell (~300 > CAP) until the
+    # split doubles the budget; sparse rest: 300 spread far away
+    for i in range(1200):
+        v = np.zeros(8)
+        v[0] = 10.0
+        v[1 + (i % 7)] += 3.0 if i % 8 < 4 else -3.0
+        rows.append((i, (v + rng.normal(0, 0.1, 8)).tolist()))
+    for i in range(1200, 1500):
+        v = rng.normal(0, 5.0, 8)
+        v[0] = -50.0  # far from the hot region
+        rows.append((i, v.tolist()))
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    CAP = 200
+    sup, subs_uniform = two_level_train_rows(e, c1=4, c2=4, n_iters=2, dim=8)
+    sup_b, subs_bal = two_level_train_rows(
+        e, c1=4, c2=4, n_iters=2, dim=8, hot_split=(CAP, 1500)
+    )
+    assert sup == sup_b  # super layer untouched
+    assert max(len(v) for v in subs_bal.values()) == 8  # a hot super split
+    assert min(len(v) for v in subs_bal.values()) <= 4  # cold supers kept
+
+    def capped_out(subs):
+        cells = two_level_assign(e, sup, subs, 4)
+        sizes = [r["n"] for r in cells.groupBy("cid").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()]
+        return sum(n for n in sizes if n > CAP), sizes
+
+    dropped_u, sizes_u = capped_out(subs_uniform)
+    dropped_b, sizes_b = capped_out(subs_bal)
+    assert sum(sizes_u) == sum(sizes_b) == 1500  # nothing lost
+    assert dropped_b < dropped_u  # the split actually relieves the cap
+    # cids stay collision-free across supers at the stretched stride
+    cells_b = two_level_assign(e, sup, subs_bal, 4)
+    stride = 8
+    for r in cells_b.select("cid").distinct().collect():
+        cid = r["cid"]
+        assert 0 <= cid % stride < len(subs_bal.get(cid // stride, [(0, None)]))
