@@ -963,6 +963,48 @@ def semantic_cells(
     return ivf_assign(e, cent_rows), cent_rows
 
 
+
+def require_pair_budget(
+    cells: DataFrame,
+    max_pairs: int,
+    max_cell_size: int | None = None,
+) -> int:
+    """Refuse a semantic-dedup configuration whose predicted candidate
+    pair volume exceeds ``max_pairs`` — the priced degrade for the
+    pair/CC phase (the sf100 T=0.35 lesson: an adversarial replica
+    corpus can push within-cell pair volume past local scratch; the
+    failure should be a REFUSAL with the predicted number and the knobs
+    that change it, never a mid-job disk-death).
+
+    The prediction is the exact sum of n·(n−1)/2 over cells (after the
+    optional ``max_cell_size`` drop policy, mirroring
+    ``semantic_dedup_members``) — an O(#cells) aggregate; no pair is
+    materialized. Returns the predicted volume when within budget.
+
+    Size the budget from scratch: a candidate pair is two BIGINTs
+    (~16 B raw in shuffle/cache), so ~50 GB of scratch prices roughly
+    3e9 pairs. Knobs in the error: raise the threshold, lower the cap,
+    or grow C with the corpus (cells ≈ N/1000 keeps pair work linear).
+    """
+    sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    if max_cell_size is not None:
+        sizes = sizes.filter(F.col("n") <= max_cell_size)
+    row = sizes.agg(
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+        ).cast("long").alias("p")
+    ).collect()[0]
+    predicted = int(row["p"])
+    if predicted > max_pairs:
+        raise ValueError(
+            f"predicted candidate pair volume {predicted:,} exceeds the "
+            f"pair budget {max_pairs:,}; refuse instead of disk-dying. "
+            f"Raise the similarity threshold, lower max_cell_size "
+            f"(currently {max_cell_size}), or grow the cell count with "
+            f"the corpus (C ~ N/1000)."
+        )
+    return predicted
+
 def semantic_cell_stats(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -137,3 +137,24 @@ def test_hot_cell_cap_drops_cells_with_accounting(spark):
         emb, n_centroids=1, n_iters=1, dim=DIM, threshold=0.9, max_cell_size=cap
     ).collect()
     assert capped == []
+
+
+def test_require_pair_budget_refuses_with_priced_message(spark):
+    """The pair-volume guard must predict exactly sum n(n-1)/2 over
+    (optionally capped) cells and refuse over-budget configurations
+    with the prediction in the message (VERDICT r8 #3's priced
+    degrade)."""
+    import pytest
+
+    from dataengineering_spark.operators.dedup import require_pair_budget
+
+    rows = [(i, [float(i)], 0 if i < 10 else 1) for i in range(14)]
+    cells = spark.createDataFrame(rows, "vec_id long, v array<double>, cid int")
+    # cells: cid 0 -> 10 vecs (45 pairs), cid 1 -> 4 vecs (6 pairs)
+    assert require_pair_budget(cells, max_pairs=51) == 51
+    with pytest.raises(ValueError, match="51"):
+        require_pair_budget(cells, max_pairs=50)
+    # cap drops the hot cell from pairing, like semantic_dedup_members
+    assert require_pair_budget(cells, max_pairs=50, max_cell_size=5) == 6
+    # empty frame predicts zero, never NULL
+    assert require_pair_budget(cells.filter("cid < 0"), max_pairs=0) == 0
