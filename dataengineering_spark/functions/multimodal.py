@@ -944,3 +944,61 @@ def dhash_images(
     return df.select(id_col, payload_col).mapInPandas(
         _hash, schema="doc_id long, dhash long"
     )
+
+
+def audio_fingerprint(payload: bytes, windows: int = 32) -> int:
+    """31-bit energy-delta fingerprint of a mono 16-bit WAV — dHash
+    applied to the audio modality: split the PCM stream into
+    ``windows`` equal spans via the floor mapping
+    ``start = w * n // windows``, take each span's integer absolute
+    energy, and emit one bit per adjacent-window comparison
+    (``energy[w+1] > energy[w]``). Robust to uniform gain and small
+    offsets the way dHash is robust to brightness. Integer energies
+    and the floor mapping keep every bit replayable by a SQL oracle;
+    windows-1 = 31 bits keep the hash non-negative for engine-portable
+    chunked shifts."""
+    import numpy as np
+
+    span = _wav_data_span(payload)
+    if span is None:
+        return 0
+    off, size = span
+    x = np.abs(
+        np.frombuffer(payload, dtype="<i2", count=size // 2, offset=off).astype(
+            np.int64
+        )
+    )
+    n = x.size
+    if n == 0:
+        return 0
+    bounds = [(w * n) // windows for w in range(windows + 1)]
+    energy = [int(x[bounds[w]: bounds[w + 1]].sum()) for w in range(windows)]
+    out = 0
+    for k in range(windows - 1):
+        if energy[k + 1] > energy[k]:
+            out |= 1 << k
+    return out
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, afp) perceptual audio fingerprints over the Arrow-batched
+    decode lane — the audio counterpart of ``dhash_images``. Feed to
+    ``operators.dedup.simhash_neardup_pairs(..., sim_col='afp',
+    bits=32)`` for banded near-dup pairing (pigeonhole chunk join,
+    never all-pairs)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(doc_id), audio_fingerprint(bytes(payload)))
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(out, columns=["doc_id", "afp"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema="doc_id long, afp long"
+    )

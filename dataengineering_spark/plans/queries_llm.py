@@ -1608,6 +1608,81 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 
 
 # ===========================================================================
+# Q: audio_neardup — perceptual audio near-duplicates: REAL WAV decode
+# -> 32-window integer energy profile -> 31-bit energy-delta
+# fingerprint (dHash for audio) -> the SimHash pigeonhole chunk join
+# (4 x 8-bit bands, never all-pairs) -> exact hamming verify. Groups
+# of 3 synthesized PCM ramps share (a, n); two members are
+# byte-identical and the third has a +3 DC offset — a small energy
+# perturbation that lands some groups inside the distance-3 radius
+# and others outside. The oracle recomputes every energy window and
+# hash bit from the sample closed form and brute-forces all pairs.
+# Beyond-reference surface: dedup for the audio modality.
+# ===========================================================================
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        audio_fingerprints,
+        make_test_wav,
+    )
+    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                grp = doc_id // 3
+                a = 3 + grp % 37
+                b = grp % 101 + (3 if doc_id % 3 == 2 else 0)
+                n = 256 + grp % 29
+                samples = [((a * (t + 1) + b) % 201) - 100 for t in range(n)]
+                rows.append((doc_id, make_test_wav(samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    afp = audio_fingerprints(synthesized)
+    return simhash_neardup_pairs(afp, max_distance=3, sim_col="afp", bits=32)
+
+
+SQL_AUDIO_NEARDUP = """
+WITH g AS (
+  SELECT doc_id,
+    CAST(3 + (doc_id // 3) % 37 AS BIGINT) AS a,
+    CAST((doc_id // 3) % 101
+         + CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 0 END AS BIGINT) AS b,
+    CAST(256 + (doc_id // 3) % 29 AS BIGINT) AS n
+  FROM documents
+),
+en AS (
+  SELECT doc_id, list_transform(range(0, 32), w ->
+    list_sum(list_transform(range(w * n // 32, (w + 1) * n // 32),
+      t -> abs(((a * (t + 1) + b) % 201) - 100)))
+  ) AS e
+  FROM g
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 31), k ->
+      CASE WHEN e[CAST(k + 2 AS INTEGER)] > e[CAST(k + 1 AS INTEGER)]
+      THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE CAST(0 AS BIGINT) END
+    )) AS BIGINT) AS afp
+  FROM en
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
+# ===========================================================================
 # Q: jpeg_meta — image geometry WITHOUT a decode library: JPEG SOFn /
 # PNG IHDR header walks (the WAV/MP4 container pattern applied to
 # images). Payloads are synthesized per doc (even ids JPEG, odd PNG)
@@ -3716,6 +3791,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_image_neardup,
         SQL_IMAGE_NEARDUP,
         "north-star:multimodal dedup (dHash)",
+    ),
+    "audio_neardup": (
+        q_audio_neardup,
+        SQL_AUDIO_NEARDUP,
+        "north-star:multimodal dedup (audio energy fingerprint)",
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),

@@ -315,3 +315,45 @@ def test_bpe_incremental_counts_match_naive_replay(spark):
         pat = re.compile(r"\b" + re.escape(pair) + r"\b")
         cur = [pat.sub(pair.replace(" ", ""), d) for d in cur]
     assert len(rows) == 6
+
+
+def test_audio_fingerprint_gain_invariance_and_band_recall(spark):
+    """Energy-delta fingerprint: uniform gain preserves every bit; a
+    small DC offset stays nearby; the banded join recovers exactly the
+    brute-force hamming<=3 pair set."""
+    from dataengineering_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_fingerprints,
+        make_test_wav,
+    )
+    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+
+    base = [((7 * (t + 1) + 13) % 201) - 100 for t in range(300)]
+    fp = audio_fingerprint(make_test_wav(base))
+    assert fp == audio_fingerprint(make_test_wav([2 * s for s in base]))
+    shifted = audio_fingerprint(make_test_wav([s + 3 for s in base]))
+    assert 0 <= fp < (1 << 31) and 0 <= shifted < (1 << 31)
+    assert bin(fp ^ shifted).count("1") < 10
+
+    payloads = [
+        (i, make_test_wav(
+            [(((3 + i // 3) * (t + 1) + i % 3) % 201) - 100
+             for t in range(280 + i % 5)]
+        ))
+        for i in range(30)
+    ]
+    hashes = [(i, audio_fingerprint(p)) for i, p in payloads]
+    want = {
+        (x, y)
+        for (x, hx) in hashes
+        for (y, hy) in hashes
+        if x < y and bin(hx ^ hy).count("1") <= 3
+    }
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(
+            audio_fingerprints(df), max_distance=3, sim_col="afp", bits=32
+        ).collect()
+    }
+    assert got == want and want
