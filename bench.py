@@ -131,6 +131,10 @@ HEADLINE = (
     "ann_recall",
     "curriculum_order",
     "dup_method_agreement",
+    # round-9 additions: perceptual near-dup for the image and audio
+    # modalities (real decode -> fingerprint -> banded chunk join)
+    "image_neardup",
+    "audio_neardup",
 )
 
 

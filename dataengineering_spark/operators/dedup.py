@@ -693,6 +693,67 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_neardup_cross_pairs(
+    index_sim: DataFrame,
+    batch_sim: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+) -> DataFrame:
+    """Cross-frame variant of :func:`simhash_neardup_pairs`: pairs
+    between a (large, persisted) ``index_sim`` and a (small, per-epoch)
+    ``batch_sim`` — the streaming incremental shape. The batch side's
+    chunk frame is BROADCAST, so the index scan is filtered map-side
+    and never shuffles; pairs come out (least, greatest)-ordered so
+    stream-accumulated output matches the batch self-join regardless
+    of arrival order. Ids must be disjoint across the two frames (the
+    epoch contract: every doc belongs to exactly one epoch)."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    def _chunks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.col(sim_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+        ).select(
+            id_col,
+            sim_col,
+            "c",
+            F.expr(
+                f"shiftright({sim_col}, {chunk_bits} * c) & {mask}"
+            ).alias("cv"),
+        )
+
+    i = _chunks(index_sim).select(
+        F.col(id_col).alias("_ia"), F.col(sim_col).alias("sh_a"), "c", "cv"
+    )
+    b = F.broadcast(
+        _chunks(batch_sim).select(
+            F.col(id_col).alias("_ib"), F.col(sim_col).alias("sh_b"), "c", "cv"
+        )
+    )
+    cand = (
+        i.join(b, on=["c", "cv"])
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            F.least("_ia", "_ib").alias("doc_a"),
+            F.greatest("_ia", "_ib").alias("doc_b"),
+            F.col("sh_a"),
+            F.col("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)").cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 #
 # 32-bit SimHash from md5-derived word hashes. The bit arithmetic is

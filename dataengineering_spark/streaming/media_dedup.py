@@ -1,0 +1,133 @@
+"""Streaming perceptual media near-dup — the streaming face of the
+image/audio fingerprint tier (``functions/multimodal.dhash_images`` /
+``audio_fingerprints``), completing the modality coverage the text
+tier's ``streaming/lsh.py`` and the embedding tier's
+``streaming/semdedup.py`` established.
+
+Shape: a persisted FINGERPRINT INDEX (parquet table of (doc_id, fp)
+rows — 16 bytes per media object, the smallest possible dedup state)
+plus a ``foreachBatch`` loop. Each micro-batch:
+
+1. decodes the epoch's payloads through the Arrow-batched fingerprint
+   lane ONCE (persisted for the epoch);
+2. emits intra-batch pairs via the pigeonhole chunk self-join
+   (``simhash_neardup_pairs`` — never all-pairs);
+3. emits cross-batch pairs by joining the persisted index against the
+   BROADCAST batch fingerprints (``simhash_neardup_cross_pairs``):
+   the index is filtered map-side and never shuffles;
+4. appends the batch fingerprints to the index.
+
+Every media object belongs to exactly one epoch, so each (a, b) pair
+surfaces exactly once — intra-batch if the docs share an epoch, else
+cross-batch in the later doc's epoch. Accumulated pairs over a
+drained stream therefore equal the batch fingerprint + chunk-join
+pipeline over the whole corpus — proven stream==batch in
+``tests/test_streaming_media_dedup.py``.
+
+State posture at scale: the index grows with the corpus (inherent for
+dedup-that-must-remember) but is 16 bytes/object in parquet, ~1.6 GB
+per 100M media objects — scanned map-side-filtered per epoch, never
+executor state-store memory. The DECODE cost dominates and is paid
+once per object, at ingest, in the epoch it arrives.
+
+Reference scope note: the reference has no media processing at all;
+this module is part of the multimodal LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dataengineering_spark.operators.dedup import (
+    simhash_neardup_cross_pairs,
+    simhash_neardup_pairs,
+)
+from dataengineering_spark.streaming.lsh import _path_exists
+
+
+def media_neardup_batch_fn(
+    hasher: Callable[[DataFrame], DataFrame],
+    sim_col: str,
+    bits: int,
+    index_dir: str,
+    pairs_dir: str,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+):
+    """Build the foreachBatch hook. ``hasher`` is one of the
+    fingerprint lanes (``dhash_images`` -> sim_col='dhash', bits=64;
+    ``audio_fingerprints`` -> sim_col='afp', bits=32) — any
+    (id, fingerprint) producer with the pigeonhole bit contract works.
+
+    Replay contract: both writes are appends of deterministic
+    functions of the epoch's payloads, so foreachBatch replays
+    re-append identical rows; accumulation readers apply
+    ``distinct()`` — the streaming/lsh.py contract."""
+
+    def batch_fn(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        fp = hasher(batch).persist()
+        try:
+            pairs = simhash_neardup_pairs(
+                fp, max_distance=max_distance, id_col=id_col,
+                sim_col=sim_col, bits=bits,
+            )
+            if _path_exists(spark, index_dir):
+                index = spark.read.schema(
+                    f"{id_col} long, {sim_col} long"
+                ).parquet(index_dir)
+                pairs = pairs.unionByName(
+                    simhash_neardup_cross_pairs(
+                        index, fp, max_distance=max_distance,
+                        id_col=id_col, sim_col=sim_col, bits=bits,
+                    )
+                )
+            pairs.distinct().write.mode("append").parquet(pairs_dir)
+            fp.write.mode("append").parquet(index_dir)
+        finally:
+            fp.unpersist()
+
+    return batch_fn
+
+
+def media_neardup_stream(
+    stream: DataFrame,
+    hasher: Callable[[DataFrame], DataFrame],
+    sim_col: str,
+    bits: int,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Wire a media payload stream into the incremental fingerprint
+    loop (see module docstring). Drain with ``awaitTermination`` and
+    read accumulated pairs from ``pairs_dir`` (apply ``distinct()``)."""
+    batch_fn = media_neardup_batch_fn(
+        hasher, sim_col, bits, index_dir, pairs_dir,
+        max_distance=max_distance, id_col=id_col,
+    )
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accumulated_media_pairs(spark, pairs_dir: str) -> DataFrame:
+    """Distinct accumulated (doc_a, doc_b, hamming) pairs — the replay
+    dedup the append contract requires."""
+    return (
+        spark.read.schema("doc_a long, doc_b long, hamming int")
+        .parquet(pairs_dir)
+        .distinct()
+    )

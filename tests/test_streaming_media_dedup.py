@@ -1,0 +1,106 @@
+"""Streaming perceptual media near-dup: fingerprints appended through
+the incremental index loop must accumulate EXACTLY the batch
+fingerprint + pigeonhole chunk-join pair set over the same corpus —
+for both the image (dHash, 64-bit) and audio (energy-delta, 32-bit)
+lanes."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from dataengineering_spark.functions.multimodal import (
+    audio_fingerprints,
+    dhash_images,
+    make_gradient_png,
+    make_test_wav,
+)
+from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+from dataengineering_spark.streaming.media_dedup import (
+    accumulated_media_pairs,
+    media_neardup_stream,
+)
+
+N_DOCS = 90
+EPOCH_MOD = 3
+
+
+def _image_corpus(spark):
+    rows = []
+    for i in range(N_DOCS):
+        grp = i // 3
+        w = 100 + grp % 23 + (1 if i % 3 == 2 else 0)
+        rows.append((i, make_gradient_png(w, 12, (grp * 97) % 251)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def _audio_corpus(spark):
+    rows = []
+    for i in range(N_DOCS):
+        grp = i // 3
+        a, b, n = 3 + grp % 11, grp % 53 + (3 if i % 3 == 2 else 0), 256 + grp % 17
+        rows.append(
+            (i, make_test_wav([((a * (t + 1) + b) % 201) - 100 for t in range(n)]))
+        )
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def _drain(spark, tmp_path, corpus, hasher, sim_col, bits):
+    src = str(tmp_path / "arrivals")
+    for ep in range(EPOCH_MOD):
+        (
+            corpus.filter(F.col("doc_id") % EPOCH_MOD == ep)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)  # file-source batch order follows modification time
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = media_neardup_stream(
+        stream,
+        hasher,
+        sim_col,
+        bits,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+
+def _batch_pairs(corpus, hasher, sim_col, bits):
+    return simhash_neardup_pairs(
+        hasher(corpus), max_distance=3, sim_col=sim_col, bits=bits
+    )
+
+
+def test_image_stream_pairs_equal_batch(spark, tmp_path):
+    corpus = _image_corpus(spark)
+    _drain(spark, tmp_path, corpus, dhash_images, "dhash", 64)
+    got = {
+        tuple(r)
+        for r in accumulated_media_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    want = {tuple(r) for r in _batch_pairs(corpus, dhash_images, "dhash", 64).collect()}
+    assert got == want and want  # non-trivial fixture
+    # the index holds every object's fingerprint exactly once per epoch
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.distinct().count() == N_DOCS
+
+
+def test_audio_stream_pairs_equal_batch(spark, tmp_path):
+    corpus = _audio_corpus(spark)
+    _drain(spark, tmp_path, corpus, audio_fingerprints, "afp", 32)
+    got = {
+        tuple(r)
+        for r in accumulated_media_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        tuple(r) for r in _batch_pairs(corpus, audio_fingerprints, "afp", 32).collect()
+    }
+    assert got == want and want
