@@ -1002,3 +1002,50 @@ def audio_fingerprints(
     return df.select(id_col, payload_col).mapInPandas(
         _hash, schema="doc_id long, afp long"
     )
+
+
+def make_diag_png(
+    width: int, height: int, seed: int, ax: int, ay: int
+) -> bytes:
+    """Deterministic DIAGONAL-gradient PNG: pixel (x, y) is
+    r=(ax·x+ay·y+seed)%256, g=(13y+seed)%256, b=(x+y+seed)%256 — the
+    parameterized slopes give every (ax, ay, seed, w, h) combination a
+    genuinely distinct luma field (the fixed-slope make_gradient_png
+    family collapses a dHash fixture to ~100 row-replicated bit
+    patterns, because its r channel is row-independent). Odd rows use
+    PNG filter 2 (Up) like make_gradient_png, so the unfilter path
+    stays load-bearing."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rows = []
+    prev = [0] * (width * 3)
+    for y in range(height):
+        cur = []
+        for x in range(width):
+            cur += [
+                (ax * x + ay * y + seed) % 256,
+                (13 * y + seed) % 256,
+                (x + y + seed) % 256,
+            ]
+        if y % 2 == 1:
+            rows.append(
+                b"\x02" + bytes((c - p) % 256 for c, p in zip(cur, prev))
+            )
+        else:
+            rows.append(b"\x00" + bytes(cur))
+        prev = cur
+    idat = zlib.compress(b"".join(rows))
+    return (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

@@ -1539,7 +1539,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataengineering_spark.functions.multimodal import (
         dhash_images,
-        make_gradient_png,
+        make_diag_png,
     )
     from dataengineering_spark.operators.dedup import simhash_neardup_pairs
 
@@ -1550,18 +1550,24 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                # per-group (w, h, s) triple: enough degrees of freedom
-                # that the 63-bit hash space is actually exercised (a
-                # single-seed family collapses to <=256 distinct
-                # hashes); the third group member is 1px wider, so the
-                # floor downsample shifts a few sampled columns ->
-                # hamming in the 1..3 near-dup radius for some groups,
-                # beyond it for others
+                # per-group (w, h, s, ax, ay) tuple over the DIAGONAL
+                # gradient builder: parameterized slopes give every
+                # group a distinct luma field, so the corpus's hash
+                # entropy scales with the corpus (the fixed-slope
+                # family collapsed to ~100 row-replicated patterns and
+                # its pair volume exploded quadratically at sf0.1 —
+                # measured 639k pairs; this form: ~10k). The third
+                # group member is 1px wider, so the floor downsample
+                # shifts a few sampled columns -> hamming in the 1..3
+                # near-dup radius for some groups, beyond it for others
                 grp = doc_id // 3
-                w = 100 + grp % 101 + (1 if doc_id % 3 == 2 else 0)
+                w = 72 + grp % 31 + (1 if doc_id % 3 == 2 else 0)
                 h = 12 + grp % 7
                 rows.append(
-                    (doc_id, make_gradient_png(w, h, (grp * 97) % 251))
+                    (doc_id, make_diag_png(
+                        w, h, (grp * 97) % 251,
+                        1 + (grp * 7) % 113, (grp * 13) % 251,
+                    ))
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1581,20 +1587,24 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IMAGE_NEARDUP = """
 WITH g AS (
   SELECT doc_id,
-    CAST(100 + (doc_id // 3) % 101
+    CAST(72 + (doc_id // 3) % 31
          + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS w,
     CAST(12 + (doc_id // 3) % 7 AS BIGINT) AS h,
-    CAST((doc_id // 3 * 97) % 251 AS BIGINT) AS s
+    CAST((doc_id // 3 * 97) % 251 AS BIGINT) AS s,
+    CAST(1 + (doc_id // 3 * 7) % 113 AS BIGINT) AS ax,
+    CAST((doc_id // 3 * 13) % 251 AS BIGINT) AS ay
   FROM documents
 ),
 hashes AS (
   SELECT doc_id,
     CAST(list_sum(list_transform(range(0, 63), k ->
       CASE WHEN
-        299 * ((7 * (((k % 8 + 1) * w) // 9) + s) % 256)
+        299 * ((ax * (((k % 8 + 1) * w) // 9)
+               + ay * (((k // 8) * h) // 8) + s) % 256)
         + 114 * (((((k % 8 + 1) * w) // 9) + (((k // 8) * h) // 8) + s) % 256)
         >
-        299 * ((7 * (((k % 8) * w) // 9) + s) % 256)
+        299 * ((ax * (((k % 8) * w) // 9)
+               + ay * (((k // 8) * h) // 8) + s) % 256)
         + 114 * (((((k % 8) * w) // 9) + (((k // 8) * h) // 8) + s) % 256)
       THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE CAST(0 AS BIGINT) END
     )) AS BIGINT) AS dhash
@@ -1639,9 +1649,12 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 grp = doc_id // 3
-                a = 3 + grp % 37
+                # multiplied residues widen the (a, n) pattern space so
+                # cross-group fingerprint collisions stay near-linear
+                # in the corpus (65k -> 45k pairs at sf0.1 measured)
+                a = 3 + (grp * 5) % 61
                 b = grp % 101 + (3 if doc_id % 3 == 2 else 0)
-                n = 256 + grp % 29
+                n = 192 + (grp * 17) % 131
                 samples = [((a * (t + 1) + b) % 201) - 100 for t in range(n)]
                 rows.append((doc_id, make_test_wav(samples)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
@@ -1654,10 +1667,10 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AUDIO_NEARDUP = """
 WITH g AS (
   SELECT doc_id,
-    CAST(3 + (doc_id // 3) % 37 AS BIGINT) AS a,
+    CAST(3 + (doc_id // 3 * 5) % 61 AS BIGINT) AS a,
     CAST((doc_id // 3) % 101
          + CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 0 END AS BIGINT) AS b,
-    CAST(256 + (doc_id // 3) % 29 AS BIGINT) AS n
+    CAST(192 + (doc_id // 3 * 17) % 131 AS BIGINT) AS n
   FROM documents
 ),
 en AS (
