@@ -1584,7 +1584,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The 587*g luma term is omitted: g=(13y+s)%256 depends only on the
 # row, so it is identical on both sides of every horizontal compare
 # and cancels from the inequality exactly.
-SQL_IMAGE_NEARDUP = """
+_IMAGE_HASH_CTES = """
 WITH g AS (
   SELECT doc_id,
     CAST(72 + (doc_id // 3) % 31
@@ -1610,10 +1610,67 @@ hashes AS (
     )) AS BIGINT) AS dhash
   FROM g
 )
+"""
+
+
+SQL_IMAGE_NEARDUP = _IMAGE_HASH_CTES + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
+# ===========================================================================
+# Q: image_dedup_survivors — the media-dedup pipeline END: dHash pairs
+# -> connected components -> keep the min doc id per cluster, plus
+# every image with no near-dup — the surviving image corpus a
+# multimodal training run actually ingests (the dedup_survivors
+# pattern applied to the image modality). The oracle replays the
+# closed-form hashes and clusters with a recursive transitive closure.
+# ===========================================================================
+
+
+def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_image_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    # pigeonhole-join pairs are distinct by construction
+    comp = connected_components(pairs, distinct_edges=False)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+    )
+
+
+SQL_IMAGE_DEDUP_SURVIVORS = _IMAGE_HASH_CTES.replace(
+    "WITH g AS", "WITH RECURSIVE g AS", 1
+) + """
+, prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM prs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN comp ON d.doc_id = comp.doc_id
+WHERE comp.doc_id IS NULL OR comp.component = d.doc_id
 """
 
 
@@ -3809,6 +3866,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_audio_neardup,
         SQL_AUDIO_NEARDUP,
         "north-star:multimodal dedup (audio energy fingerprint)",
+    ),
+    "image_dedup_survivors": (
+        q_image_dedup_survivors,
+        SQL_IMAGE_DEDUP_SURVIVORS,
+        "north-star:multimodal dedup keep-canonical",
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
