@@ -1026,25 +1026,28 @@ def make_diag_png(
             + zlib.crc32(typ + data).to_bytes(4, "big")
         )
 
+    import numpy as np
+
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    rows = []
-    prev = [0] * (width * 3)
-    for y in range(height):
-        cur = []
-        for x in range(width):
-            cur += [
-                (ax * x + ay * y + seed) % 256,
-                (13 * y + seed) % 256,
-                (x + y + seed) % 256,
-            ]
-        if y % 2 == 1:
-            rows.append(
-                b"\x02" + bytes((c - p) % 256 for c, p in zip(cur, prev))
-            )
-        else:
-            rows.append(b"\x00" + bytes(cur))
-        prev = cur
-    idat = zlib.compress(b"".join(rows))
+    # numpy-vectorized pixel field + filter deltas: the per-pixel
+    # Python loop was the measured hot spot of the image_neardup
+    # synth lane (this builder runs once per document per epoch)
+    xs = np.arange(width, dtype=np.int64)
+    ys = np.arange(height, dtype=np.int64)
+    px = np.empty((height, width, 3), dtype=np.uint8)
+    px[:, :, 0] = (ax * xs[None, :] + ay * ys[:, None] + seed) % 256
+    px[:, :, 1] = np.broadcast_to(
+        ((13 * ys + seed) % 256)[:, None], (height, width)
+    )
+    px[:, :, 2] = (xs[None, :] + ys[:, None] + seed) % 256
+    flat = px.reshape(height, width * 3)
+    out = np.empty((height, width * 3 + 1), dtype=np.uint8)
+    out[0::2, 0] = 0  # even rows: filter None
+    out[0::2, 1:] = flat[0::2]
+    if height > 1:
+        out[1::2, 0] = 2  # odd rows: filter Up (uint8 wraps mod 256)
+        out[1::2, 1:] = flat[1::2] - flat[0:-1:2][: flat[1::2].shape[0]]
+    idat = zlib.compress(out.tobytes())
     return (
         PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")

@@ -1571,8 +1571,13 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
+    from dataengineering_spark.caching import persist_tracked
+
     synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
-    dh = dhash_images(synthesized)
+    # persist: the pigeonhole self-join reads the fingerprint frame on
+    # BOTH aliases — unpersisted, each side re-runs the whole Python
+    # synth+decode lane (measured 2x the query cost at sf0.1)
+    dh = persist_tracked(dhash_images(synthesized))
     return simhash_neardup_pairs(dh, max_distance=3, sim_col="dhash", bits=64)
 
 
@@ -1716,8 +1721,11 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, make_test_wav(samples)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
+    from dataengineering_spark.caching import persist_tracked
+
     synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
-    afp = audio_fingerprints(synthesized)
+    # persist: both self-join aliases read the frame (see image_neardup)
+    afp = persist_tracked(audio_fingerprints(synthesized))
     return simhash_neardup_pairs(afp, max_distance=3, sim_col="afp", bits=32)
 
 
