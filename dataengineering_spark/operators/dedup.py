@@ -642,6 +642,13 @@ def connected_components(
     return labels
 
 
+
+def _bq(name: str):
+    """Backtick-quoted literal column reference — user-supplied names
+    with dots/spaces must bind as one column, never parse as struct
+    access (the trailing_range_agg lesson, ADVICE r8)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
 def simhash_neardup_pairs(
     sim: DataFrame,
     max_distance: int = 3,
@@ -663,21 +670,24 @@ def simhash_neardup_pairs(
     n_chunks = max_distance + 1
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    chunks = sim.select(
-        F.col(id_col),
-        F.col(sim_col),
+    # pre-project to SAFE internal names: id_col/sim_col are
+    # user-supplied and must never reach an F.expr f-string raw
+    safe = sim.select(_bq(id_col).alias("_id"), _bq(sim_col).alias("_sh"))
+    chunks = safe.select(
+        "_id",
+        "_sh",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
     ).select(
-        id_col,
-        sim_col,
+        "_id",
+        "_sh",
         "c",
-        F.expr(f"shiftright({sim_col}, {chunk_bits} * c) & {mask}").alias("cv"),
+        F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
     )
     a = chunks.select(
-        F.col(id_col).alias("doc_a"), F.col(sim_col).alias("sh_a"), "c", "cv"
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"), "c", "cv"
     )
     b = chunks.select(
-        F.col(id_col).alias("doc_b"), F.col(sim_col).alias("sh_b"), "c", "cv"
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"), "c", "cv"
     )
     cand = (
         a.join(b, on=["c", "cv"])
@@ -714,25 +724,26 @@ def simhash_neardup_cross_pairs(
     mask = (1 << chunk_bits) - 1
 
     def _chunks(frame: DataFrame) -> DataFrame:
+        # safe internal names — see simhash_neardup_pairs
         return frame.select(
-            F.col(id_col),
-            F.col(sim_col),
+            _bq(id_col).alias("_id"), _bq(sim_col).alias("_sh")
+        ).select(
+            "_id",
+            "_sh",
             F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
         ).select(
-            id_col,
-            sim_col,
+            "_id",
+            "_sh",
             "c",
-            F.expr(
-                f"shiftright({sim_col}, {chunk_bits} * c) & {mask}"
-            ).alias("cv"),
+            F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
         )
 
     i = _chunks(index_sim).select(
-        F.col(id_col).alias("_ia"), F.col(sim_col).alias("sh_a"), "c", "cv"
+        F.col("_id").alias("_ia"), F.col("_sh").alias("sh_a"), "c", "cv"
     )
     b = F.broadcast(
         _chunks(batch_sim).select(
-            F.col(id_col).alias("_ib"), F.col(sim_col).alias("sh_b"), "c", "cv"
+            F.col("_id").alias("_ib"), F.col("_sh").alias("sh_b"), "c", "cv"
         )
     )
     cand = (

@@ -286,14 +286,26 @@ def step_twap(
 
     Output: (key, day, n, dur_total_us, twap_micro).
     """
-    base = df.select(key, ts, val, tie, F.to_date(ts).alias("day"))
+    def _bq(name: str):
+        # literal binding: user-supplied names may need backtick quoting
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    base = df.select(
+        _bq(key).alias("_k"),
+        _bq(ts).alias("_ts"),
+        _bq(val).alias("_v"),
+        _bq(tie).alias("_tie"),
+        F.to_date(_bq(ts)).alias("day"),
+    )
+    out_key = key
+    key, ts, val, tie = "_k", "_ts", "_v", "_tie"
     w = Window.partitionBy(key, "day").orderBy(ts, tie)
     seg = base.withColumn(
         "nxt",
         F.coalesce(
             F.lead(ts).over(w), F.date_add(F.col("day"), 1).cast("timestamp_ntz")
         ),
-    ).withColumn("dur_us", F.expr(f"timestampdiff(MICROSECOND, {ts}, nxt)"))
+    ).withColumn("dur_us", F.expr("timestampdiff(MICROSECOND, _ts, nxt)"))
     contrib = (
         F.floor(F.col(val) * 100 + F.lit(0.5)).cast("decimal(19,0)")
         * F.col("dur_us").cast("decimal(19,0)")
@@ -308,7 +320,7 @@ def step_twap(
         )
     )
     return agg.select(
-        key,
+        F.col(key).alias(out_key),
         "day",
         "n",
         "dur_total_us",

@@ -357,3 +357,55 @@ def test_audio_fingerprint_gain_invariance_and_band_recall(spark):
         ).collect()
     }
     assert got == want and want
+
+
+def test_pigeonhole_joins_accept_quoted_column_names(spark):
+    """The chunk-join operators interpolate nothing user-supplied into
+    expr strings: dotted/hyphened id and hash column names must work
+    (the trailing_range_agg hazard class, swept proactively)."""
+    from dataengineering_spark.operators.dedup import (
+        simhash_neardup_cross_pairs,
+        simhash_neardup_pairs,
+    )
+
+    rows = [(i, (i * 2654435761) % (1 << 31)) for i in range(40)]
+    rows += [(100 + i, rows[i][1] ^ (1 << (i % 20))) for i in range(10)]
+    df = (
+        spark.createDataFrame(rows, ["a", "b"])
+        .withColumnRenamed("a", "doc.id-x")
+        .withColumnRenamed("b", "sim.hash-y")
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(
+            df, id_col="doc.id-x", sim_col="sim.hash-y"
+        ).collect()
+    }
+    want = {(i, 100 + i) for i in range(10)}
+    assert got == want
+    idx, batch = df.filter("`doc.id-x` < 100"), df.filter("`doc.id-x` >= 100")
+    got_cross = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_cross_pairs(
+            idx, batch, id_col="doc.id-x", sim_col="sim.hash-y"
+        ).collect()
+    }
+    assert got_cross == want
+
+
+def test_twap_accepts_quoted_ts_name(spark):
+    from datetime import datetime
+
+    from dataengineering_spark.operators.robust import step_twap
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10.0, 1),
+        (1, datetime(2024, 1, 1, 12, 0, 0), 20.0, 2),
+    ]
+    df = (
+        spark.createDataFrame(rows, ["k", "t", "v", "tie"])
+        .withColumn("ts.col-q", F.col("t").cast("timestamp_ntz"))
+        .drop("t")
+    )
+    out = step_twap(df, "k", "ts.col-q", "v", "tie").collect()
+    assert len(out) == 1 and out[0]["n"] == 2
