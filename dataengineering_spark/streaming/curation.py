@@ -76,6 +76,9 @@ def curation_pipeline_batch_fn(
     text_col: str = "text",
     vec_col: str = "embedding",
     quality_rejects_dir: str | None = None,
+    media_payload_col: str | None = None,
+    media_index_dir: str | None = None,
+    media_pairs_dir: str | None = None,
 ):
     """Build the composed foreachBatch hook. ``batch`` rows must carry
     the document columns (``id_col``, ``text_col``, ``lang``) AND the
@@ -87,8 +90,23 @@ def curation_pipeline_batch_fn(
     per-epoch rule evaluation is a stateless classify-and-route — each
     document's verdict depends only on its own text, never on epoch
     boundaries — with rejects routed to the audit sink and only
-    keepers feeding the dedup index and the DSIR corpus model."""
+    keepers feeding the dedup index and the DSIR corpus model.
+
+    ``media_payload_col`` (+ ``media_index_dir``/``media_pairs_dir``)
+    enables the perceptual MEDIA dedup leg: the clean slice's image
+    payloads run the streaming dHash index loop
+    (``streaming/media_dedup`` shape — intra-batch pigeonhole
+    self-join plus cross-batch join against the persisted fingerprint
+    index). Accumulated media pairs feed ``curation_finish``'s media
+    keep-rule at drain time, so a document can be dropped for LOOKING
+    like an earlier one even when its text and embedding survive."""
     dsir_fn = dsir_partials_batch_fn(dsir_partials_dir)
+    if media_payload_col is not None and not (
+        media_index_dir and media_pairs_dir
+    ):
+        raise ValueError(
+            "media_payload_col requires media_index_dir and media_pairs_dir"
+        )
 
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
@@ -117,7 +135,13 @@ def curation_pipeline_batch_fn(
         clean = clean.persist()
         try:
             hits.write.mode("append").parquet(quarantine_dir)
-            clean.drop(vec_col).write.mode("append").parquet(clean_dir)
+            # payloads stay OUT of the clean store: the media leg keeps
+            # its own 16 B/object fingerprint index, and the drain-time
+            # readers distinct() the clean table (binary would bloat
+            # both the store and that exchange)
+            clean.drop(
+                vec_col, *([media_payload_col] if media_payload_col else [])
+            ).write.mode("append").parquet(clean_dir)
             # SemDeDup leg — clean slice only
             cells = _batch_cells(clean, cent_rows, id_col, vec_col).persist()
             try:
@@ -137,6 +161,43 @@ def curation_pipeline_batch_fn(
                 ).parquet(index_dir)
             finally:
                 cells.unpersist()
+            # media dedup leg — clean slice's payloads through the
+            # incremental fingerprint index (streaming/media_dedup)
+            if media_payload_col is not None:
+                from dataengineering_spark.functions.multimodal import (
+                    dhash_images,
+                )
+                from dataengineering_spark.operators.dedup import (
+                    simhash_neardup_cross_pairs,
+                    simhash_neardup_pairs,
+                )
+
+                fp = dhash_images(
+                    clean.select(
+                        F.col(id_col).alias("doc_id"),
+                        F.col(media_payload_col).alias("payload"),
+                    )
+                ).persist()
+                try:
+                    mpairs = simhash_neardup_pairs(
+                        fp, max_distance=3, sim_col="dhash", bits=64
+                    )
+                    if _path_exists(spark, media_index_dir):
+                        midx = spark.read.schema(
+                            "doc_id long, dhash long"
+                        ).parquet(media_index_dir)
+                        mpairs = mpairs.unionByName(
+                            simhash_neardup_cross_pairs(
+                                midx, fp, max_distance=3,
+                                sim_col="dhash", bits=64,
+                            )
+                        )
+                    mpairs.distinct().write.mode("append").parquet(
+                        media_pairs_dir
+                    )
+                    fp.write.mode("append").parquet(media_index_dir)
+                finally:
+                    fp.unpersist()
             # DSIR leg — model the clean corpus only
             dsir_fn(clean, epoch_id)
         finally:
@@ -232,6 +293,7 @@ def curation_finish(
     budget: int,
     id_col: str = "doc_id",
     ordered: bool = False,
+    media_pairs_dir: str | None = None,
 ) -> DataFrame:
     """Drain-time finisher: survivors → DSIR selection → token shards.
     Returns the final shard assignment (doc_id, n_chars, cum_before,
@@ -271,6 +333,23 @@ def curation_finish(
             surv_ids.select(F.col("vec_id").alias(id_col)), id_col
         )
     )
+    if media_pairs_dir is not None and _path_exists(spark, media_pairs_dir):
+        # media keep-rule: min doc id per perceptual-dup cluster keeps;
+        # a doc dropped here can have surviving text/embedding — the
+        # point of running the media leg at all
+        mpairs = (
+            spark.read.schema("doc_a long, doc_b long, hamming int")
+            .parquet(media_pairs_dir)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        mcomp = connected_components(mpairs, distinct_edges=False)
+        mdropped = mcomp.filter(
+            F.col("doc_id") != F.col("component")
+        ).select(F.col("doc_id").alias(id_col))
+        survivors = persist_tracked(
+            survivors.join(mdropped, id_col, "left_anti")
+        )
     weights = persist_tracked(
         dsir_score_against_snapshot(spark, survivors, dsir_partials_dir)
     )

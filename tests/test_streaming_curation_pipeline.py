@@ -280,3 +280,142 @@ def test_composed_stream_with_quality_gate_equals_batch(spark, tmp_path):
 
     assert got_shards == ref_shard_rows and len(got_shards) > 0
     assert got_rejects == ref_rejects and len(ref_rejects) > 0
+
+
+def test_multimodal_stream_with_media_leg_equals_batch(spark, tmp_path):
+    """With the perceptual media leg enabled, the drained pipeline's
+    final shards must equal the composed batch plan where media-dup
+    losers (dHash pairs -> components -> min-id keeper) are removed
+    from the survivors before selection."""
+    import time
+
+    from dataengineering_spark.functions.multimodal import (
+        dhash_images,
+        make_diag_png,
+    )
+    from dataengineering_spark.operators.dedup import (
+        connected_components,
+        simhash_neardup_pairs,
+    )
+
+    cent_rows = _frozen_quantizer(spark)
+    docs, joined = _corpus(spark)
+
+    # attach a synthetic image per doc: groups of 3 share a gradient,
+    # the third member 1px wider (the image_neardup fixture shape)
+    def _payload_col():
+        import pandas as pd
+
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    doc_id = int(doc_id)
+                    grp = doc_id // 3
+                    rows.append(
+                        (doc_id, make_diag_png(
+                            72 + grp % 31 + (1 if doc_id % 3 == 2 else 0),
+                            12 + grp % 7, (grp * 97) % 251,
+                            1 + (grp * 7) % 113, (grp * 13) % 251,
+                        ))
+                    )
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        return docs.select("doc_id").mapInPandas(
+            synth, schema="doc_id long, payload binary"
+        )
+
+    media = _payload_col()
+    arrivals = joined.join(media, "doc_id")
+    src = str(tmp_path / "arrivals")
+    for ep in range(EPOCH_MOD):
+        (
+            arrivals.filter(F.col("doc_id") % EPOCH_MOD == ep)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long, embedding array<float>, payload binary"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = curation_pipeline_stream(
+        stream,
+        _benchmark(docs),
+        cent_rows,
+        quarantine_dir=str(tmp_path / "quarantine"),
+        clean_dir=str(tmp_path / "clean"),
+        pairs_dir=str(tmp_path / "pairs"),
+        index_dir=str(tmp_path / "index"),
+        dsir_partials_dir=str(tmp_path / "dsir"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n=N_GRAM,
+        threshold=THRESHOLD,
+        media_payload_col="payload",
+        media_index_dir=str(tmp_path / "midx"),
+        media_pairs_dir=str(tmp_path / "mpairs"),
+    )
+    q.awaitTermination(180)
+
+    got_shards = _rows(
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+            media_pairs_dir=str(tmp_path / "mpairs"),
+        )
+    )
+    release_tracked()
+
+    # batch arm: gate -> SemDeDup survivors -> media keep-rule ->
+    # DSIR selection over the SAME clean corpus model -> shards
+    hits = benchmark_overlap(docs, _benchmark(docs), n=N_GRAM)
+    clean = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    emb = read_table(spark, "embeddings", SF).join(
+        clean.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    members = semantic_dedup_members(
+        emb, n_centroids=C, n_iters=ITERS, dim=DIM,
+        threshold=THRESHOLD, cent_rows=cent_rows,
+    )
+    dropped = members.filter(~F.col("keep")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = clean.join(dropped, "doc_id", "left_anti")
+    mpairs = simhash_neardup_pairs(
+        dhash_images(
+            media.join(clean.select("doc_id"), "doc_id")
+        ).persist(),
+        max_distance=3, sim_col="dhash", bits=64,
+    ).select("doc_a", "doc_b")
+    mcomp = connected_components(mpairs, distinct_edges=False)
+    mdropped = mcomp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    survivors = survivors.join(mdropped, "doc_id", "left_anti")
+    counts = dsir_bucket_counts(dsir_bucket_frame(clean))
+    weights = dsir_scores(survivors, dsir_bucket_frame(survivors), counts)
+    cut = global_discrete_pcts(
+        weights, "score_fp", "doc_id", [SELECT_PCT], ["cut"]
+    )["cut"]
+    selected = weights.filter(F.col("score_fp") >= cut).join(
+        survivors.select("doc_id", "n_chars"), "doc_id"
+    )
+    ref = _rows(
+        token_budget_shards(selected, "n_chars", "doc_id", BUDGET).select(
+            "doc_id", "n_chars", "cum_before", "seq_id", "offset_in_seq"
+        )
+    )
+    release_tracked()
+    assert got_shards == ref
+    assert mdropped.count() > 0  # the media leg actually dropped docs
