@@ -435,6 +435,46 @@ def jaccard_pairs(
     )
 
 
+
+def _cc_round(edges: DataFrame, labels: DataFrame, bcast: bool) -> DataFrame:
+    """One min-label + pointer-jump round. With ``bcast`` the
+    node-sized label/jump frames broadcast explicitly — the sf100
+    disk-death fix (see the JOIN-SHAPE RULE in connected_components):
+    the O(|E|) edge frame must NEVER be the shuffled side of a round's
+    joins. Factored out so the plan shape is pytest-pinnable."""
+    lab = F.broadcast(labels) if bcast else labels
+    neighbor_min = (
+        edges.join(lab, edges.dst == lab.doc_id)
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr"))
+    )
+    stepped = labels.join(
+        neighbor_min, labels.doc_id == neighbor_min.src, "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+        ).alias("component"),
+    )
+    # pointer jump: component := min(component, label(component)).
+    # label(component) is reachable from component, which is
+    # reachable from doc_id — the invariant that makes the
+    # shortcut safe — and it halves pointer chains each round.
+    jump = stepped.select(
+        F.col("doc_id").alias("_jid"), F.col("component").alias("_jcomp")
+    )
+    jump_side = F.broadcast(jump) if bcast else jump
+    return stepped.join(
+        jump_side, stepped.component == jump_side._jid, "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("_jcomp"), F.col("component")),
+        ).alias("component"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -575,39 +615,7 @@ def connected_components(
 
     changed = 0
     for _round in range(max_iterations):
-        lab = F.broadcast(labels) if bcast else labels
-        neighbor_min = (
-            edges.join(lab, edges.dst == lab.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jump: component := min(component, label(component)).
-        # label(component) is reachable from component, which is
-        # reachable from doc_id — the invariant that makes the
-        # shortcut safe — and it halves pointer chains each round.
-        jump = stepped.select(
-            F.col("doc_id").alias("_jid"), F.col("component").alias("_jcomp")
-        )
-        jump_side = F.broadcast(jump) if bcast else jump
-        new_labels = (
-            stepped.join(jump_side, stepped.component == jump_side._jid, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("_jcomp"), F.col("component")),
-                ).alias("component"),
-            )
-            .persist()
-        )
+        new_labels = _cc_round(edges, labels, bcast).persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
