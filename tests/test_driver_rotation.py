@@ -61,16 +61,45 @@ def test_window_targets_weakest_evidence():
 
 
 def test_committed_map_matches_correctness_files():
+    """Race-aware staleness guard (VERDICT r9 #3).
+
+    The driver drops CORRECTNESS_r{N}.json AFTER the round's final commit,
+    so the committed map can never have ingested the newest file.  The
+    guard therefore asserts:
+      (a) the stamped INGESTED_ROUNDS replay to DRIVER_HISTORY exactly
+          (no hand-edits, no history rewrites);
+      (b) every on-disk round <= max(INGESTED_ROUNDS) is ingested;
+      (c) at most ONE newer on-disk round is un-ingested (the post-commit
+          driver drop).  Two or more behind = a skipped `make rotate`.
+    """
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from rebuild_driver_priority import compute_history
+    from rebuild_driver_priority import compute_history, discover_rounds
 
-    hist = compute_history()
+    from dataengineering_spark.plans.driver_rounds import INGESTED_ROUNDS
+
+    hist = compute_history(INGESTED_ROUNDS)
     assert hist == DRIVER_HISTORY, (
-        "driver_rounds.py is stale — run scripts/rebuild_driver_priority.py"
+        "driver_rounds.py disagrees with its own stamped rounds — it was "
+        "hand-edited or the CORRECTNESS history was rewritten; re-run "
+        "scripts/rebuild_driver_priority.py"
     )
     assert DRIVER_LAST_GREEN == {n: lg for n, (lg, _lc) in hist.items()}
+
+    on_disk = discover_rounds()
+    ingested = set(INGESTED_ROUNDS)
+    assert ingested <= set(on_disk), (
+        f"map ingested rounds missing from disk: {sorted(ingested - set(on_disk))}"
+    )
+    stale = [r for r in on_disk if r not in ingested]
+    assert all(r > max(ingested) for r in stale), (
+        f"older un-ingested CORRECTNESS rounds: {stale} — run rotate"
+    )
+    assert len(stale) <= 1, (
+        f"{len(stale)} un-ingested rounds {stale}: rotate was skipped for a "
+        "whole round — run scripts/rebuild_driver_priority.py"
+    )
 
 
 def test_regression_ranks_red():
