@@ -939,10 +939,10 @@ def dhash_images(
                 (int(doc_id), dhash_image(bytes(payload)))
                 for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
             ]
-            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
 
     return df.select(id_col, payload_col).mapInPandas(
-        _hash, schema="doc_id long, dhash long"
+        _hash, schema=f"`{id_col}` long, dhash long"
     )
 
 
@@ -997,10 +997,10 @@ def audio_fingerprints(
                 (int(doc_id), audio_fingerprint(bytes(payload)))
                 for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
             ]
-            yield pd.DataFrame(out, columns=["doc_id", "afp"])
+            yield pd.DataFrame(out, columns=[id_col, "afp"])
 
     return df.select(id_col, payload_col).mapInPandas(
-        _hash, schema="doc_id long, afp long"
+        _hash, schema=f"`{id_col}` long, afp long"
     )
 
 

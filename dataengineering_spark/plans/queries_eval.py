@@ -58,6 +58,7 @@ the synthetic-corpus offset, not a production pattern).
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -956,7 +957,11 @@ def _bpe_merge_chain(c: DataFrame, n_iters: int):
             break
         pair, n = top[0]["pair"], int(top[0]["n"])
         rows.append((i + 1, pair, n))
-        pat = r"\b" + pair + r"\b"
+        # re.escape keeps the regex rewrite and the literal contains()
+        # guard selecting the same words even if a token ever carried a
+        # regex metacharacter (ADVICE r9; normalize_text currently
+        # restricts tokens to [a-z0-9], so this is belt-and-braces)
+        pat = r"\b" + re.escape(pair) + r"\b"
         merged = pair.replace(" ", "")
         guard = F.col("d").contains(pair)
         changed = persist_tracked(words.filter(guard))

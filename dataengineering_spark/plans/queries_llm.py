@@ -1583,9 +1583,10 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # oracle: hash bits from the gradient/grid closed form (luma compare
 # of horizontally adjacent 9x8 grid cells; x = (gx*w)//9, y = (gy*h)//8,
-# r=(7x+s)%256 g=(13y+s)%256 b=(x+y+s)%256, integer luma 299r+587g+114b),
-# then brute-force hamming over all pairs — equivalent to the banded
-# join because pigeonhole guarantees distance<=3 pairs share a chunk.
+# make_diag_png's parameterized diagonal slopes r=(ax·x+ay·y+s)%256
+# g=(13y+s)%256 b=(x+y+s)%256, integer luma 299r+587g+114b), then
+# brute-force hamming over all pairs — equivalent to the banded join
+# because pigeonhole guarantees distance<=3 pairs share a chunk.
 # The 587*g luma term is omitted: g=(13y+s)%256 depends only on the
 # row, so it is identical on both sides of every horizontal compare
 # and cancels from the inequality exactly.

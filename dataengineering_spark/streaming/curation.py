@@ -334,9 +334,13 @@ def curation_finish(
         )
     )
     if media_pairs_dir is not None and _path_exists(spark, media_pairs_dir):
-        # media keep-rule: min doc id per perceptual-dup cluster keeps;
-        # a doc dropped here can have surviving text/embedding — the
-        # point of running the media leg at all
+        # media keep-rule: min doc id per perceptual-dup cluster keeps,
+        # chosen AMONG DOCS STILL PRESENT IN SURVIVORS (ADVICE r9): the
+        # cluster's global min may already have been dropped by the
+        # LSH/semantic legs, and dropping relative to an absent
+        # canonical could eliminate every member of a cluster. A doc
+        # dropped here can still have surviving text/embedding — the
+        # point of running the media leg at all.
         mpairs = (
             spark.read.schema("doc_a long, doc_b long, hamming int")
             .parquet(media_pairs_dir)
@@ -344,9 +348,17 @@ def curation_finish(
             .distinct()
         )
         mcomp = connected_components(mpairs, distinct_edges=False)
-        mdropped = mcomp.filter(
-            F.col("doc_id") != F.col("component")
-        ).select(F.col("doc_id").alias(id_col))
+        present = mcomp.join(
+            survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        mdropped = (
+            present.withColumn(
+                "_keep_id",
+                F.min("doc_id").over(Window.partitionBy("component")),
+            )
+            .filter(F.col("doc_id") != F.col("_keep_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
         survivors = persist_tracked(
             survivors.join(mdropped, id_col, "left_anti")
         )

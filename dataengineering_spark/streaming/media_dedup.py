@@ -80,7 +80,7 @@ def media_neardup_batch_fn(
             )
             if _path_exists(spark, index_dir):
                 index = spark.read.schema(
-                    f"{id_col} long, {sim_col} long"
+                    f"`{id_col}` long, `{sim_col}` long"
                 ).parquet(index_dir)
                 pairs = pairs.unionByName(
                     simhash_neardup_cross_pairs(

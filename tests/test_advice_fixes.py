@@ -442,3 +442,123 @@ def test_cc_round_broadcasts_labels_never_shuffles_edges(spark):
     out = _cc_round(edges, labels, bcast=True)
     assert out.count() == 5000
     assert out.agg({"component": "min"}).collect()[0][0] == 0
+
+
+def test_media_hashers_honor_custom_id_col(spark, tmp_path):
+    """Round-9 ADVICE: dhash_images/audio_fingerprints hardcoded their
+    output id column to doc_id, so media_neardup_batch_fn(id_col=...)
+    raised in the pair join and mismatched the index read schema. The
+    hashers must emit the caller's id column end-to-end."""
+    from dataengineering_spark.functions.multimodal import (
+        audio_fingerprints,
+        dhash_images,
+        make_diag_png,
+        make_test_wav,
+    )
+    from dataengineering_spark.streaming.media_dedup import (
+        accumulated_media_pairs,
+        media_neardup_batch_fn,
+    )
+
+    png = make_diag_png(40, 12, 7, 3, 5)
+
+    def img_frame(ids):
+        return spark.createDataFrame(
+            [(i, png) for i in ids], "img_id long, payload binary"
+        )
+
+    dh = dhash_images(img_frame([1, 2, 3]), id_col="img_id")
+    assert dh.columns == ["img_id", "dhash"]
+    af = audio_fingerprints(
+        spark.createDataFrame(
+            [(1, make_test_wav(list(range(-50, 50))))],
+            "clip_id long, payload binary",
+        ),
+        id_col="clip_id",
+    )
+    assert af.columns == ["clip_id", "afp"]
+
+    batch_fn = media_neardup_batch_fn(
+        lambda df: dhash_images(df, id_col="img_id"),
+        sim_col="dhash",
+        bits=64,
+        index_dir=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        id_col="img_id",
+    )
+    batch_fn(img_frame([1, 2, 3]), 0)  # intra-batch pair path
+    batch_fn(img_frame([4, 5, 6]), 1)  # cross-batch index-join path
+    pairs = accumulated_media_pairs(spark, str(tmp_path / "pairs"))
+    # 6 identical images -> all 15 unordered pairs, however they split
+    # across the intra/cross paths
+    assert pairs.count() == 15
+
+
+def test_media_keeper_chosen_among_surviving_docs(spark, tmp_path):
+    """Round-9 ADVICE: curation_finish's media keep-rule kept the
+    min-doc-id per perceptual cluster, but that canonical member may
+    already be gone via the LSH/semantic legs — dropping relative to
+    an absent keeper could eliminate EVERY member of a cluster. The
+    keeper must be the min id among docs still present in survivors."""
+    from dataengineering_spark.caching import release_tracked
+    from dataengineering_spark.streaming.curation import curation_finish
+    from dataengineering_spark.streaming.semdedup import CELL_INDEX_SCHEMA
+
+    release_tracked()
+    docs = [
+        (1, "alpha beta gamma delta", "en", "web", 20),
+        (2, "beta gamma delta epsilon", "en", "web", 22),
+        (3, "gamma delta epsilon zeta", "en", "web", 21),
+        (4, "delta epsilon zeta eta", "en", "web", 19),
+    ]
+    clean = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    clean.write.parquet(str(tmp_path / "clean"))
+    # frozen 1-cell quantizer; the SemDeDup keep-rule keeps the LOWEST
+    # cosine per component, so doc 1 (cos 1) loses to doc 4 (cos 0) —
+    # doc 1 is the semantically dropped min of the media cluster below
+    cent_rows = [(0, [1.0, 0.0])]
+    cells = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0], 1.0),   # cos to centroid = 1  (dropped)
+            (4, 0, [0.0, 1.0], 1.0),   # cos to centroid = 0  (kept)
+            (2, 0, [0.6, 0.8], 1.0),
+            (3, 0, [0.8, 0.6], 1.0),
+        ],
+        CELL_INDEX_SCHEMA,
+    )
+    cells.write.parquet(str(tmp_path / "index"))
+    spark.createDataFrame(
+        [(1, 4)], "vec_a long, vec_b long"
+    ).write.parquet(str(tmp_path / "pairs"))
+    # media cluster {1, 2, 3}: global min (doc 1) is semantically
+    # dropped; survivor-aware keeper must keep doc 2, drop doc 3
+    spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0)], "doc_a long, doc_b long, hamming int"
+    ).write.parquet(str(tmp_path / "mpairs"))
+    from dataengineering_spark.plans.queries_curation import (
+        dsir_bucket_counts,
+        dsir_bucket_frame,
+    )
+
+    dsir_bucket_counts(dsir_bucket_frame(clean)).withColumn(
+        "epoch_id", F.lit(0)
+    ).write.parquet(str(tmp_path / "dsir"))
+
+    out = curation_finish(
+        spark,
+        cent_rows,
+        clean_dir=str(tmp_path / "clean"),
+        pairs_dir=str(tmp_path / "pairs"),
+        index_dir=str(tmp_path / "index"),
+        dsir_partials_dir=str(tmp_path / "dsir"),
+        select_pct=0.0,
+        budget=1_000,
+        media_pairs_dir=str(tmp_path / "mpairs"),
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    release_tracked()
+    # doc 1: semantic drop; doc 3: media dup of surviving keeper 2;
+    # doc 2 MUST survive (the old global-min rule dropped it too)
+    assert kept == [2, 4]

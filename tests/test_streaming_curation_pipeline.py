@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataengineering_spark.caching import release_tracked
@@ -399,8 +400,16 @@ def test_multimodal_stream_with_media_leg_equals_batch(spark, tmp_path):
         max_distance=3, sim_col="dhash", bits=64,
     ).select("doc_a", "doc_b")
     mcomp = connected_components(mpairs, distinct_edges=False)
-    mdropped = mcomp.filter(F.col("doc_id") != F.col("component")).select(
-        "doc_id"
+    # survivor-aware keeper (ADVICE r9): min id among cluster members
+    # still present in survivors, mirroring curation_finish
+    present = mcomp.join(survivors.select("doc_id"), "doc_id")
+    mdropped = (
+        present.withColumn(
+            "_keep_id",
+            F.min("doc_id").over(Window.partitionBy("component")),
+        )
+        .filter(F.col("doc_id") != F.col("_keep_id"))
+        .select("doc_id")
     )
     survivors = survivors.join(mdropped, "doc_id", "left_anti")
     counts = dsir_bucket_counts(dsir_bucket_frame(clean))
