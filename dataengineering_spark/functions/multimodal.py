@@ -947,36 +947,57 @@ def dhash_images(
 
 
 def audio_fingerprint(payload: bytes, windows: int = 32) -> int:
-    """31-bit energy-delta fingerprint of a mono 16-bit WAV — dHash
-    applied to the audio modality: split the PCM stream into
-    ``windows`` equal spans via the floor mapping
-    ``start = w * n // windows``, take each span's integer absolute
-    energy, and emit one bit per adjacent-window comparison
-    (``energy[w+1] > energy[w]``). Robust to uniform gain and small
-    offsets the way dHash is robust to brightness. Integer energies
-    and the floor mapping keep every bit replayable by a SQL oracle;
-    windows-1 = 31 bits keep the hash non-negative for engine-portable
-    chunked shifts."""
+    """63-bit two-band perceptual fingerprint of a mono 16-bit WAV —
+    dHash applied to the audio modality, with two independent signal
+    bands so fixture-scale corpora don't collide by construction (the
+    round-9 single 31-bit energy band produced 4.08M pairs from 50k
+    one-parameter ramps at sf1 — SCALE.md r9):
+
+    - bits 0..30, ENERGY band: split the PCM stream into ``windows``
+      equal spans via the floor mapping ``start = w * n // windows``,
+      take each span's integer absolute energy, emit one bit per
+      adjacent-span comparison (``energy[w+1] > energy[w]``);
+    - bits 31..62, ZERO-CROSSING band: split the same stream into
+      ``windows + 1`` spans and emit one bit per adjacent-span
+      comparison of the span's sign-change count — a pair (t, t+1)
+      counts iff ``(x[t] >= 0) != (x[t+1] >= 0)`` and belongs to the
+      span containing its FIRST sample t (so the boundary-crossing
+      pair is counted exactly once).
+
+    Both bands are invariant to uniform positive gain (energies scale
+    together, signs are unchanged) and approximately stable under
+    small DC offsets; integer counts and the floor mappings keep every
+    bit replayable by a SQL oracle. 31 + 32 = 63 bits keep the hash in
+    the non-negative BIGINT range for engine-portable chunked
+    shifts."""
     import numpy as np
 
     span = _wav_data_span(payload)
     if span is None:
         return 0
     off, size = span
-    x = np.abs(
-        np.frombuffer(payload, dtype="<i2", count=size // 2, offset=off).astype(
-            np.int64
-        )
-    )
-    n = x.size
+    xs = np.frombuffer(
+        payload, dtype="<i2", count=size // 2, offset=off
+    ).astype(np.int64)
+    n = xs.size
     if n == 0:
         return 0
+    x = np.abs(xs)
     bounds = [(w * n) // windows for w in range(windows + 1)]
     energy = [int(x[bounds[w]: bounds[w + 1]].sum()) for w in range(windows)]
     out = 0
     for k in range(windows - 1):
         if energy[k + 1] > energy[k]:
             out |= 1 << k
+    m = windows + 1
+    cross = (xs[1:] >= 0) != (xs[:-1] >= 0)
+    b2 = [(w * n) // m for w in range(m + 1)]
+    # cross[t] covers the pair (t, t+1); slicing clamps the last span
+    # to the n-1 available pairs
+    zc = [int(cross[b2[w]: b2[w + 1]].sum()) for w in range(m)]
+    for k in range(m - 1):
+        if zc[k + 1] > zc[k]:
+            out |= 1 << (windows - 1 + k)
     return out
 
 
@@ -988,7 +1009,7 @@ def audio_fingerprints(
     """(id, afp) perceptual audio fingerprints over the Arrow-batched
     decode lane — the audio counterpart of ``dhash_images``. Feed to
     ``operators.dedup.simhash_neardup_pairs(..., sim_col='afp',
-    bits=32)`` for banded near-dup pairing (pigeonhole chunk join,
+    bits=64)`` for banded near-dup pairing (pigeonhole chunk join,
     never all-pairs)."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1727,7 +1727,7 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     # persist: both self-join aliases read the frame (see image_neardup)
     afp = persist_tracked(audio_fingerprints(synthesized))
-    return simhash_neardup_pairs(afp, max_distance=3, sim_col="afp", bits=32)
+    return simhash_neardup_pairs(afp, max_distance=3, sim_col="afp", bits=64)
 
 
 SQL_AUDIO_NEARDUP = """
@@ -1740,19 +1740,37 @@ WITH g AS (
   FROM documents
 ),
 en AS (
-  SELECT doc_id, list_transform(range(0, 32), w ->
+  SELECT doc_id, n, a, b, list_transform(range(0, 32), w ->
     list_sum(list_transform(range(w * n // 32, (w + 1) * n // 32),
       t -> abs(((a * (t + 1) + b) % 201) - 100)))
   ) AS e
   FROM g
+),
+-- zero-crossing band: span w of 33 counts pairs (t, t+1) whose first
+-- sample lies in the span (last span clamps to the n-1 pairs), sign
+-- change = (x_t >= 0) <> (x_{t+1} >= 0) on the closed-form samples
+zc AS (
+  SELECT doc_id, e, list_transform(range(0, 33), w ->
+    coalesce(list_sum(list_transform(
+      range(w * n // 33, least((w + 1) * n // 33, n - 1)),
+      t -> CASE WHEN (((a * (t + 1) + b) % 201) - 100 >= 0)
+                 <> (((a * (t + 2) + b) % 201) - 100 >= 0)
+           THEN 1 ELSE 0 END)), 0)
+  ) AS z
+  FROM en
 ),
 hashes AS (
   SELECT doc_id,
     CAST(list_sum(list_transform(range(0, 31), k ->
       CASE WHEN e[CAST(k + 2 AS INTEGER)] > e[CAST(k + 1 AS INTEGER)]
       THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE CAST(0 AS BIGINT) END
+    ))
+    + list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN z[CAST(k + 2 AS INTEGER)] > z[CAST(k + 1 AS INTEGER)]
+      THEN CAST(1 AS BIGINT) << CAST(k + 31 AS INTEGER)
+      ELSE CAST(0 AS BIGINT) END
     )) AS BIGINT) AS afp
-  FROM en
+  FROM zc
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming

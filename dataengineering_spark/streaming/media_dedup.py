@@ -60,7 +60,7 @@ def media_neardup_batch_fn(
 ):
     """Build the foreachBatch hook. ``hasher`` is one of the
     fingerprint lanes (``dhash_images`` -> sim_col='dhash', bits=64;
-    ``audio_fingerprints`` -> sim_col='afp', bits=32) — any
+    ``audio_fingerprints`` -> sim_col='afp', bits=64) — any
     (id, fingerprint) producer with the pigeonhole bit contract works.
 
     Replay contract: both writes are appends of deterministic

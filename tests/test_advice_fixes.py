@@ -332,8 +332,8 @@ def test_audio_fingerprint_gain_invariance_and_band_recall(spark):
     fp = audio_fingerprint(make_test_wav(base))
     assert fp == audio_fingerprint(make_test_wav([2 * s for s in base]))
     shifted = audio_fingerprint(make_test_wav([s + 3 for s in base]))
-    assert 0 <= fp < (1 << 31) and 0 <= shifted < (1 << 31)
-    assert bin(fp ^ shifted).count("1") < 10
+    assert 0 <= fp < (1 << 63) and 0 <= shifted < (1 << 63)
+    assert bin(fp ^ shifted).count("1") < 16
 
     payloads = [
         (i, make_test_wav(
@@ -353,7 +353,7 @@ def test_audio_fingerprint_gain_invariance_and_band_recall(spark):
     got = {
         (r.doc_a, r.doc_b)
         for r in simhash_neardup_pairs(
-            audio_fingerprints(df), max_distance=3, sim_col="afp", bits=32
+            audio_fingerprints(df), max_distance=3, sim_col="afp", bits=64
         ).collect()
     }
     assert got == want and want

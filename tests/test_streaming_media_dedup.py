@@ -95,12 +95,12 @@ def test_image_stream_pairs_equal_batch(spark, tmp_path):
 
 def test_audio_stream_pairs_equal_batch(spark, tmp_path):
     corpus = _audio_corpus(spark)
-    _drain(spark, tmp_path, corpus, audio_fingerprints, "afp", 32)
+    _drain(spark, tmp_path, corpus, audio_fingerprints, "afp", 64)
     got = {
         tuple(r)
         for r in accumulated_media_pairs(spark, str(tmp_path / "pairs")).collect()
     }
     want = {
-        tuple(r) for r in _batch_pairs(corpus, audio_fingerprints, "afp", 32).collect()
+        tuple(r) for r in _batch_pairs(corpus, audio_fingerprints, "afp", 64).collect()
     }
     assert got == want and want
