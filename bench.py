@@ -135,6 +135,8 @@ HEADLINE = (
     # modalities (real decode -> fingerprint -> banded chunk join)
     "image_neardup",
     "audio_neardup",
+    # round-10: the video modality (aligned frame dHash sets)
+    "video_neardup",
 )
 
 

@@ -1073,3 +1073,79 @@ def make_diag_png(
         PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+# --- Video fingerprinting (motion-PNG container, real per-frame decode) -----
+#
+# No video codec exists in this container, so the honest video lane is
+# an MJPEG-style trivial container: length-prefixed PNG frames behind a
+# magic header. Frame extraction is a REAL decode (the PNG unfilter
+# path), exactly like the image tier — only the inter-frame codec
+# (motion compensation) is out of scope, which is faithful to how MJPEG
+# treats video anyway.
+
+VIDEO_MAGIC = b"VPNG"
+
+
+def make_test_video(frames: "list[bytes]") -> bytes:
+    """Length-prefixed PNG-frame container (MJPEG shape): magic +
+    u32 frame count + per frame u32 length + PNG bytes."""
+    out = [VIDEO_MAGIC, len(frames).to_bytes(4, "big")]
+    for fr in frames:
+        out.append(len(fr).to_bytes(4, "big"))
+        out.append(fr)
+    return b"".join(out)
+
+
+def parse_video_frames(payload: bytes) -> "list[bytes]":
+    """Frame payloads from a make_test_video container ([] when the
+    magic/shape is invalid — the sample_frames unparsable contract)."""
+    if len(payload) < 8 or payload[:4] != VIDEO_MAGIC:
+        return []
+    n = int.from_bytes(payload[4:8], "big")
+    frames, pos = [], 8
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            return []
+        size = int.from_bytes(payload[pos: pos + 4], "big")
+        pos += 4
+        if pos + size > len(payload):
+            return []
+        frames.append(payload[pos: pos + size])
+        pos += size
+    return frames
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    n_samples: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, slot, dhash) — midpoint-rule sample ``n_samples`` frames
+    per video (frame index ``((2i+1)·n_frames) // (2·n_samples)``, the
+    sample_frames timestamp rule applied to frame counts) and dHash
+    each sampled frame through the REAL PNG decode. Slot = the sample
+    position i, so two videos' fingerprints are position-aligned and
+    near-dup pairing is a per-slot pigeonhole join
+    (``operators.dedup.video_neardup_pairs``), never all-pairs.
+    State cost: ``n_samples`` longs per video. Unparsable containers
+    produce no rows."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = parse_video_frames(bytes(payload))
+                nf = len(frames)
+                if nf == 0:
+                    continue
+                doc_id = int(doc_id)
+                for i in range(n_samples):
+                    idx = ((2 * i + 1) * nf) // (2 * n_samples)
+                    rows.append((doc_id, i, dhash_image(frames[idx])))
+            yield pd.DataFrame(rows, columns=[id_col, "slot", "dhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema=f"`{id_col}` long, slot int, dhash long"
+    )

@@ -773,6 +773,135 @@ def simhash_neardup_cross_pairs(
     )
 
 
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    max_distance: int = 3,
+    min_matching: int = 3,
+    id_col: str = "doc_id",
+    slot_col: str = "slot",
+    sim_col: str = "dhash",
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, n_match) video near-dup pairs over position-
+    aligned per-frame fingerprints (``video_frame_hashes``): two videos
+    pair when at least ``min_matching`` sampled slots carry frame
+    hashes within ``max_distance`` bits. The per-slot candidate join is
+    the pigeonhole chunk join with the SLOT as an extra equi-key, so
+    candidates only form between same-position frames — at 100 TB the
+    shuffle key space is slots × chunks × 2^(bits/chunks) and the work
+    stays O(Σ bucket²) per slot, never all-pairs across videos, never
+    across slots."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    safe = frame_hashes.select(
+        _bq(id_col).alias("_id"),
+        _bq(slot_col).alias("_sl"),
+        _bq(sim_col).alias("_sh"),
+    )
+    chunks = safe.select(
+        "_id",
+        "_sl",
+        "_sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).select(
+        "_id",
+        "_sl",
+        "_sh",
+        "c",
+        F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
+    )
+    a = chunks.select(
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"), "_sl", "c", "cv"
+    )
+    b = chunks.select(
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"), "_sl", "c", "cv"
+    )
+    slot_pairs = (
+        a.join(b, on=["_sl", "c", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sl", "sh_a", "sh_b")
+        .distinct()  # collapse multi-chunk hits of the same slot pair
+        .filter(F.expr("bit_count(sh_a ^ sh_b)") <= max_distance)
+    )
+    return (
+        slot_pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
+        .filter(F.col("n_match") >= min_matching)
+    )
+
+
+def video_neardup_cross_pairs(
+    index_fh: DataFrame,
+    batch_fh: DataFrame,
+    max_distance: int = 3,
+    min_matching: int = 3,
+    id_col: str = "doc_id",
+    slot_col: str = "slot",
+    sim_col: str = "dhash",
+    bits: int = 64,
+) -> DataFrame:
+    """Cross-frame variant of :func:`video_neardup_pairs` — pairs
+    between a (large, persisted) frame-hash ``index_fh`` and a (small,
+    per-epoch) ``batch_fh``, the streaming incremental shape. The
+    batch side's chunk frame is BROADCAST so the index scan filters
+    map-side and never shuffles; pairs come out (least, greatest)-
+    ordered so stream-accumulated output matches the batch self-join.
+    Ids must be disjoint across the frames (the epoch contract)."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    def _chunks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            _bq(id_col).alias("_id"),
+            _bq(slot_col).alias("_sl"),
+            _bq(sim_col).alias("_sh"),
+        ).select(
+            "_id",
+            "_sl",
+            "_sh",
+            F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+        ).select(
+            "_id",
+            "_sl",
+            "_sh",
+            "c",
+            F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
+        )
+
+    i = _chunks(index_fh).select(
+        F.col("_id").alias("_ia"), F.col("_sh").alias("sh_a"), "_sl", "c", "cv"
+    )
+    b = F.broadcast(
+        _chunks(batch_fh).select(
+            F.col("_id").alias("_ib"), F.col("_sh").alias("sh_b"), "_sl", "c", "cv"
+        )
+    )
+    slot_pairs = (
+        i.join(b, on=["_sl", "c", "cv"])
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            F.least("_ia", "_ib").alias("doc_a"),
+            F.greatest("_ia", "_ib").alias("doc_b"),
+            "_sl",
+            F.when(F.col("_ia") < F.col("_ib"), F.col("sh_a"))
+            .otherwise(F.col("sh_b"))
+            .alias("sh_a"),
+            F.when(F.col("_ia") < F.col("_ib"), F.col("sh_b"))
+            .otherwise(F.col("sh_a"))
+            .alias("sh_b"),
+        )
+        .distinct()
+        .filter(F.expr("bit_count(sh_a ^ sh_b)") <= max_distance)
+    )
+    return (
+        slot_pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_match"))
+        .filter(F.col("n_match") >= min_matching)
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 #
 # 32-bit SimHash from md5-derived word hashes. The bit arithmetic is

@@ -1780,6 +1780,115 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 
 
 # ===========================================================================
+# Q: video_neardup — the VIDEO modality of the perceptual dedup family
+# (VERDICT r9 #4): per-video fingerprint = dHash of 4 midpoint-sampled
+# frames through the REAL PNG decode (motion-PNG container, MJPEG
+# shape); video pair = >=3 of 4 position-aligned slots within hamming
+# <= 3, candidates from the per-slot pigeonhole chunk join — never
+# all-pairs across videos or slots. Fixture: groups of 3 share a
+# 6-frame gradient family; the third member is 1px wider on EVEN
+# frames only, so 2 of the 4 sampled slots (frames 3 and 5) always
+# match and the perturbed slots (frames 0 and 2) decide pairing — the
+# image_neardup "some groups pair, some don't" shape, per slot. The
+# oracle replays every frame hash from the diagonal-gradient closed
+# form (the _IMAGE_HASH_CTES formula with per-frame (s, ax, ay) and
+# the member-2 even-frame widening) and brute-forces slot-aligned
+# pairs.
+# ===========================================================================
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from dataengineering_spark.functions.multimodal import (
+        make_diag_png,
+        make_test_video,
+        video_frame_hashes,
+    )
+    from dataengineering_spark.operators.dedup import video_neardup_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                grp = doc_id // 3
+                frames = []
+                for f in range(6):
+                    w = 48 + grp % 23 + (
+                        1 if (doc_id % 3 == 2 and f % 2 == 0) else 0
+                    )
+                    frames.append(
+                        make_diag_png(
+                            w,
+                            10 + grp % 5,
+                            (grp * 97 + f * 31) % 251,
+                            1 + (grp * 7 + f * 3) % 113,
+                            (grp * 13 + f * 5) % 251,
+                        )
+                    )
+                rows.append((doc_id, make_test_video(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from dataengineering_spark.caching import persist_tracked
+
+    # the id frame is metadata-tiny (1-2 parquet splits), but the synth
+    # + decode lane is the query's real work — fan it across the
+    # cluster before entering Python (6 PNG builds + 4 decodes per doc)
+    par = spark.sparkContext.defaultParallelism
+    synthesized = docs.repartition(par).mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    # persist: the per-slot pigeonhole self-join reads the frame-hash
+    # frame on both aliases (see image_neardup)
+    fh = persist_tracked(video_frame_hashes(synthesized, n_samples=4))
+    return video_neardup_pairs(fh, max_distance=3, min_matching=3)
+
+
+SQL_VIDEO_NEARDUP = """
+WITH g AS (
+  SELECT d.doc_id, s.slot, ((2 * s.slot + 1) * 6) // 8 AS f
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) s
+),
+p AS (
+  SELECT doc_id, slot,
+    CAST(48 + (doc_id // 3) % 23
+      + CASE WHEN doc_id % 3 = 2 AND f % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS w,
+    CAST(10 + (doc_id // 3) % 5 AS BIGINT) AS h,
+    CAST((doc_id // 3 * 97 + f * 31) % 251 AS BIGINT) AS s,
+    CAST(1 + (doc_id // 3 * 7 + f * 3) % 113 AS BIGINT) AS ax,
+    CAST((doc_id // 3 * 13 + f * 5) % 251 AS BIGINT) AS ay
+  FROM g
+),
+hashes AS (
+  SELECT doc_id, slot,
+    CAST(list_sum(list_transform(range(0, 63), k ->
+      CASE WHEN
+        299 * ((ax * (((k % 8 + 1) * w) // 9)
+               + ay * (((k // 8) * h) // 8) + s) % 256)
+        + 114 * (((((k % 8 + 1) * w) // 9) + (((k // 8) * h) // 8) + s) % 256)
+        >
+        299 * ((ax * (((k % 8) * w) // 9)
+               + ay * (((k // 8) * h) // 8) + s) % 256)
+        + 114 * (((((k % 8) * w) // 9) + (((k // 8) * h) // 8) + s) % 256)
+      THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE CAST(0 AS BIGINT) END
+    )) AS BIGINT) AS dhash
+  FROM p
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS INTEGER) AS n_match
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id AND a.slot = b.slot
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+"""
+
+
+# ===========================================================================
 # Q: jpeg_meta — image geometry WITHOUT a decode library: JPEG SOFn /
 # PNG IHDR header walks (the WAV/MP4 container pattern applied to
 # images). Payloads are synthesized per doc (even ids JPEG, odd PNG)
@@ -3893,6 +4002,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_audio_neardup,
         SQL_AUDIO_NEARDUP,
         "north-star:multimodal dedup (audio energy fingerprint)",
+    ),
+    "video_neardup": (
+        q_video_neardup,
+        SQL_VIDEO_NEARDUP,
+        "north-star:multimodal dedup (aligned frame dHash)",
     ),
     "image_dedup_survivors": (
         q_image_dedup_survivors,

@@ -131,3 +131,96 @@ def accumulated_media_pairs(spark, pairs_dir: str) -> DataFrame:
         .parquet(pairs_dir)
         .distinct()
     )
+
+
+def video_neardup_batch_fn(
+    index_dir: str,
+    pairs_dir: str,
+    n_samples: int = 4,
+    max_distance: int = 3,
+    min_matching: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+):
+    """foreachBatch hook for the VIDEO modality — the image/audio
+    incremental loop with a per-video frame-hash SET as state
+    (``n_samples`` longs per video instead of one): the epoch's
+    payloads run the sampled-frame decode lane once, intra-batch
+    pairs come from the slot-aligned pigeonhole self-join
+    (``video_neardup_pairs``), cross-batch pairs from the broadcast
+    join against the persisted frame-hash index
+    (``video_neardup_cross_pairs``), then the epoch's hashes append to
+    the index. Same exactly-once shape as media_neardup_batch_fn: a
+    video's whole fingerprint lands in its one epoch, so every pair
+    surfaces exactly once and accumulated pairs equal the batch plan
+    (distinct() on read absorbs foreachBatch replays)."""
+    from dataengineering_spark.functions.multimodal import video_frame_hashes
+    from dataengineering_spark.operators.dedup import (
+        video_neardup_cross_pairs,
+        video_neardup_pairs,
+    )
+
+    def batch_fn(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        fh = video_frame_hashes(
+            batch, n_samples=n_samples, id_col=id_col, payload_col=payload_col
+        ).persist()
+        try:
+            pairs = video_neardup_pairs(
+                fh, max_distance=max_distance, min_matching=min_matching,
+                id_col=id_col,
+            )
+            if _path_exists(spark, index_dir):
+                index = spark.read.schema(
+                    f"`{id_col}` long, slot int, dhash long"
+                ).parquet(index_dir)
+                pairs = pairs.unionByName(
+                    video_neardup_cross_pairs(
+                        index, fh, max_distance=max_distance,
+                        min_matching=min_matching, id_col=id_col,
+                    )
+                )
+            pairs.distinct().write.mode("append").parquet(pairs_dir)
+            fh.write.mode("append").parquet(index_dir)
+        finally:
+            fh.unpersist()
+
+    return batch_fn
+
+
+def video_neardup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    n_samples: int = 4,
+    max_distance: int = 3,
+    min_matching: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Wire a video payload stream into the incremental frame-hash
+    loop; read accumulated pairs with ``accumulated_video_pairs``."""
+    batch_fn = video_neardup_batch_fn(
+        index_dir, pairs_dir, n_samples=n_samples,
+        max_distance=max_distance, min_matching=min_matching,
+        id_col=id_col, payload_col=payload_col,
+    )
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accumulated_video_pairs(spark, pairs_dir: str) -> DataFrame:
+    """Distinct accumulated (doc_a, doc_b, n_match) video pairs."""
+    return (
+        spark.read.schema("doc_a long, doc_b long, n_match int")
+        .parquet(pairs_dir)
+        .distinct()
+    )

@@ -1,8 +1,8 @@
 """Streaming perceptual media near-dup: fingerprints appended through
 the incremental index loop must accumulate EXACTLY the batch
 fingerprint + pigeonhole chunk-join pair set over the same corpus —
-for both the image (dHash, 64-bit) and audio (energy-delta, 32-bit)
-lanes."""
+for the image (dHash, 64-bit), audio (two-band, 64-bit), and video
+(aligned frame-hash set) lanes."""
 
 from __future__ import annotations
 
@@ -104,3 +104,74 @@ def test_audio_stream_pairs_equal_batch(spark, tmp_path):
         tuple(r) for r in _batch_pairs(corpus, audio_fingerprints, "afp", 64).collect()
     }
     assert got == want and want
+
+
+def _video_corpus(spark):
+    from dataengineering_spark.functions.multimodal import (
+        make_diag_png,
+        make_test_video,
+    )
+
+    rows = []
+    for i in range(N_DOCS):
+        grp = i // 3
+        frames = [
+            make_diag_png(
+                48 + grp % 23 + (1 if (i % 3 == 2 and f % 2 == 0) else 0),
+                10 + grp % 5,
+                (grp * 97 + f * 31) % 251,
+                1 + (grp * 7 + f * 3) % 113,
+                (grp * 13 + f * 5) % 251,
+            )
+            for f in range(6)
+        ]
+        rows.append((i, make_test_video(frames)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_video_stream_pairs_equal_batch(spark, tmp_path):
+    """Video modality: frame-hash SETS as index state; accumulated
+    (doc_a, doc_b, n_match) must equal the batch slot-aligned
+    pigeonhole plan, including pairs that straddle epochs."""
+    from dataengineering_spark.functions.multimodal import video_frame_hashes
+    from dataengineering_spark.operators.dedup import video_neardup_pairs
+    from dataengineering_spark.streaming.media_dedup import (
+        accumulated_video_pairs,
+        video_neardup_stream,
+    )
+
+    corpus = _video_corpus(spark)
+    src = str(tmp_path / "arrivals")
+    for ep in range(EPOCH_MOD):
+        (
+            corpus.filter(F.col("doc_id") % EPOCH_MOD == ep)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = video_neardup_stream(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in accumulated_video_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        tuple(r)
+        for r in video_neardup_pairs(video_frame_hashes(corpus)).collect()
+    }
+    assert got == want and want
+    # every group's modulo-3 split puts its 3 members in 3 different
+    # epochs, so EVERY pair here crossed the index-join path
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.distinct().count() == N_DOCS * 4  # 4 slots per video
