@@ -475,6 +475,222 @@ def _cc_round(edges: DataFrame, labels: DataFrame, bcast: bool) -> DataFrame:
     )
 
 
+def _driver_union_find(rows: list) -> dict[int, int]:
+    """Path-compressed union-find over (a, b) tuples; returns the
+    node -> min-member-of-set labeling (the identical fixpoint the
+    distributed paths converge to). Shared by the small-graph driver
+    gate and the contracted-forest endgame."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a_val, b_val in rows:
+        for n in (a_val, b_val):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a_val), find(b_val)
+        if ra != rb:
+            parent[ra] = rb
+    set_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in set_min or n < set_min[r]:
+            set_min[r] = n
+    return {n: set_min[find(n)] for n in parent}
+
+
+def _partition_forest(edges: DataFrame) -> DataFrame:
+    """Per-partition SPANNING FOREST via local union-find — the
+    contraction step of the unbroadcastable-CC path (Kiveris et al.
+    SoCC'14 §6 'local contraction'; also Rastogi et al.'s
+    hash-to-min preprocessing). mapInPandas streams each partition's
+    edge batches through one union-find and emits (node, root) star
+    edges: at most (distinct nodes in the partition − #local
+    components) rows, connectivity-equivalent to the partition's full
+    edge set. The union of per-partition spanning forests has exactly
+    the original graph's connected components, so downstream rounds
+    operate on a forest-sized frame — O(Σ_p |V_p|), independent of the
+    pair density that makes dense dedup graphs |E| >> |V|. No join,
+    no shuffle: one scan of the edge frame wherever it already lives.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype="int64", copy=False))
+            dsts.append(pdf["dst"].to_numpy(dtype="int64", copy=False))
+        if not srcs:
+            yield pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        # dense-index the node ids; np.unique sorts, so index order ==
+        # id order and the min-index hook below lands on the MIN ID —
+        # partition forests come out already star-shaped at their
+        # local minima, which shortens the downstream star rounds.
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        a = inv[: len(s)]
+        b = inv[len(s):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+        # vectorized min-hook + pointer jumping (Shiloach-Vishkin
+        # shape): each sweep hooks every edge's larger root onto the
+        # smaller, then fully compresses paths — O(log n) sweeps of
+        # O(|E_p|) numpy work, no per-row Python.
+        while True:
+            pa = parent[a]
+            pb = parent[b]
+            if bool(np.all(pa == pb)):
+                break
+            lo = np.minimum(pa, pb)
+            np.minimum.at(parent, pa, lo)
+            np.minimum.at(parent, pb, lo)
+            while True:
+                pp = parent[parent]
+                if bool(np.all(pp == parent)):
+                    break
+                parent = pp
+        keep = parent != np.arange(len(nodes), dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "src": pd.Series(nodes[keep], dtype="int64"),
+                "dst": pd.Series(nodes[parent[keep]], dtype="int64"),
+            }
+        )
+
+    return edges.select("src", "dst").mapInPandas(gen, "src long, dst long")
+
+
+def _star_rounds(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14, Alg. 3
+    'two-phase') to the star-forest fixpoint; returns (doc_id,
+    component) with component = min id of the node's component.
+
+    This is the unbroadcastable regime's round engine: unlike the
+    min-label loop (whose per-round joins shuffle the full edge frame
+    when labels exceed the broadcast gate), each star round's shuffle
+    is bounded by the CURRENT edge frame — which enters forest-sized
+    (O(|V|), via _partition_forest) and only shrinks, because both
+    operations strictly reduce tree heights toward stars. Per round:
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      re-parents its LARGER neighbors v > u onto m — long chains halve.
+    - small-star: every node u (edges oriented big→small) re-parents
+      its smaller neighbors AND itself onto m = min of the small side
+      — bushy trees flatten.
+
+    Both preserve connectivity (every re-parented edge (v, m) has v
+    and m already connected through u) and never create a new minimum,
+    so the fixpoint — every component a star centered at its min id —
+    is exactly the min-reachable-id labeling. Convergence is O(log^2 n)
+    rounds in the worst case, O(log n) observed. Edges stay canonical
+    (src > dst) throughout; per-round distinct is forest-sized.
+    Lineage is cut with localCheckpoint every ``checkpoint_every``
+    rounds, exactly as in the min-label loop.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    converged = False
+    for _round in range(max_iterations):
+        # ---- large-star: (v, m) for every neighbor v > u -----------
+        both = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        lmins = both.groupBy("src").agg(
+            F.min("dst").alias("_mn")
+        ).select(
+            F.col("src").alias("_u"),
+            F.least(F.col("src"), F.col("_mn")).alias("_m"),
+        )
+        large = (
+            both.join(lmins, both.src == F.col("_u"))
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: (v, m) for smaller neighbors + (u, m) -----
+        smins = large.groupBy("src").agg(F.min("dst").alias("_m"))
+        children = (
+            large.join(smins, "src")
+            .filter(F.col("dst") != F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        )
+        selves = smins.select("src", F.col("_m").alias("dst"))
+        new_e = (
+            children.unionByName(selves)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        new_count = new_e.count()
+        # fixpoint: the (distinct, canonical) edge set is unchanged.
+        # new ⊆ old is NOT enough (a shrink is still progress), so
+        # equality = equal counts AND empty difference.
+        if new_count == n_edges and new_e.exceptAll(e).isEmpty():
+            new_e.unpersist()
+            converged = True
+            break
+        e.unpersist()
+        e = new_e
+        n_edges = new_count
+        if checkpoint_every and (_round + 1) % checkpoint_every == 0:
+            truncated = e.localCheckpoint(eager=True)
+            e.unpersist()
+            e = truncated
+            # reap dereferenced shuffle files between rounds (the
+            # sf100 disk-retention lesson — see connected_components)
+            import gc as _pygc
+
+            _pygc.collect()
+            try:
+                edges.sparkSession.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star rounds did not reach fixpoint within {max_iterations} "
+            f"iterations; returned components may be over-split.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = e.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("component")
+    ).unionByName(
+        e.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component"))
+        .distinct()
+    )
+    return labels
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -537,11 +753,18 @@ def connected_components(
     ``broadcast_nodes_max`` (counted, ~24 B/row -> ~100 MB at the 4M
     default) the label/jump sides are broadcast explicitly: per-round
     shuffle volume drops from O(|E|) to O(|V|) (the map-side-combined
-    groupBy output), independent of pair density. Above the bound the
-    loop falls back to shuffle joins — the regime a real cluster's
-    aggregate scratch absorbs. On big graphs the loop additionally
-    forces a JVM GC after each lineage checkpoint so the
-    ContextCleaner reaps dereferenced shuffle files between rounds
+    groupBy output), independent of pair density. ABOVE the bound
+    (r10): the loop no longer falls back to O(|E|)-shuffle rounds —
+    the graph is first CONTRACTED to per-partition spanning forests
+    (``_partition_forest``: one union-find scan, zero joins), then
+    re-contracted geometrically until the frame is O(|V|)-sized, and
+    finished with alternating large-star/small-star rounds
+    (``_star_rounds``, Kiveris et al. SoCC'14) whose per-round shuffle
+    is bounded by the current forest-sized edge frame — O(|V|) per
+    round with NO broadcast anywhere, the shape that survives graphs
+    whose node sets dwarf any single executor. On big graphs both
+    loops additionally force a JVM GC after each lineage checkpoint so
+    the ContextCleaner reaps dereferenced shuffle files between rounds
     instead of at the periodicGC interval.
 
     ``distinct_edges=False`` skips the O(|E|) distinct shuffle on the
@@ -552,31 +775,9 @@ def connected_components(
     """
     if driver_threshold and pairs.count() <= driver_threshold:
         rows = pairs.select(id_a, id_b).collect()
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for a_val, b_val in rows:
-            for n in (a_val, b_val):
-                if n not in parent:
-                    parent[n] = n
-            ra, rb = find(a_val), find(b_val)
-            if ra != rb:
-                parent[ra] = rb
-        set_min: dict[int, int] = {}
-        for n in parent:
-            r = find(n)
-            if r not in set_min or n < set_min[r]:
-                set_min[r] = n
+        mapping = _driver_union_find([(r[0], r[1]) for r in rows])
         return pairs.sparkSession.createDataFrame(
-            [(n, set_min[find(n)]) for n in sorted(parent)],
-            "doc_id long, component long",
+            sorted(mapping.items()), "doc_id long, component long"
         )
 
     edges = pairs.select(
@@ -599,6 +800,56 @@ def connected_components(
     n_nodes = labels.count()
     bcast = 0 < n_nodes <= broadcast_nodes_max
     big_graph = not bcast or n_nodes > 1_000_000
+
+    if not bcast:
+        # UNBROADCASTABLE REGIME (> broadcast_nodes_max nodes): the
+        # min-label loop would shuffle the O(|E|) edge frame twice per
+        # round (the pre-r9 disk-death shape). Instead: one scan
+        # contracts each partition's edges to its spanning forest
+        # (zero joins — _partition_forest), geometric re-contraction
+        # bounds the frame at O(#partitions x |V|) then O(|V|), and
+        # alternating large-star/small-star rounds (Kiveris et al.)
+        # finish on the forest-sized frame — every per-round shuffle
+        # is O(|V|)-bounded regardless of pair density.
+        forest = _partition_forest(edges).persist()
+        m_edges = forest.count()
+        edges.unpersist()
+        shrink_target = max(driver_threshold, 4 * n_nodes)
+        for _pass in range(4):
+            if m_edges <= shrink_target:
+                break
+            parts = max(1, int(m_edges // 4_000_000) + 1)
+            recontracted = _partition_forest(
+                forest.repartition(parts)
+            ).persist()
+            m2 = recontracted.count()
+            forest.unpersist()
+            forest = recontracted
+            if m2 >= m_edges:  # no progress — already forest-shaped
+                m_edges = m2
+                break
+            m_edges = m2
+        if driver_threshold and m_edges <= driver_threshold:
+            rows = forest.collect()
+            forest.unpersist()
+            mapping = _driver_union_find([(r[0], r[1]) for r in rows])
+            core = pairs.sparkSession.createDataFrame(
+                sorted(mapping.items()), "doc_id long, component long"
+            )
+        else:
+            core = _star_rounds(
+                forest,
+                max_iterations=max_iterations,
+                checkpoint_every=checkpoint_every,
+            )
+        # nodes whose every edge was a self-loop never reach the
+        # forest — re-attach them as their own (singleton) component
+        singles = labels.join(
+            core.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", F.col("doc_id").alias("component"))
+        out = core.unionByName(singles)
+        labels.unpersist()
+        return out
 
     def _reap_shuffles() -> None:
         # ContextCleaner only deletes shuffle files once their

@@ -1,0 +1,134 @@
+"""The unbroadcastable connected-components regime (r10): partition
+spanning-forest contraction + alternating large-star/small-star
+rounds. Above ``broadcast_nodes_max`` the min-label loop's per-round
+joins would shuffle the O(|E|) edge frame (the pre-r9 disk-death
+shape); the contraction path bounds every shuffle by the forest-sized
+frame instead. These tests force the path with broadcast_nodes_max=0
+and check it against the union-find fixpoint, its structural bounds,
+and the self-loop singleton edge case.
+"""
+
+from __future__ import annotations
+
+import random
+
+from dataengineering_spark.operators.dedup import (
+    _driver_union_find,
+    _partition_forest,
+    _star_rounds,
+    connected_components,
+)
+
+
+def _star_path(pairs, **kw):
+    return connected_components(
+        pairs, driver_threshold=0, broadcast_nodes_max=0, **kw
+    )
+
+
+def test_star_path_matches_union_find_on_random_graphs(spark):
+    for seed, n, m in [(3, 200, 300), (5, 500, 120), (9, 30, 900)]:
+        random.seed(seed)
+        edges = [
+            (random.randrange(n), random.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(
+            edges, "doc_a long, doc_b long"
+        ).repartition(7)
+        expect = _driver_union_find(edges)
+        got = {r.doc_id: r.component for r in _star_path(pairs).collect()}
+        assert got == expect, (seed, len(got), len(expect))
+
+
+def test_star_path_long_chain_converges(spark):
+    """A diameter-300 chain: the star rounds must reach the fixpoint
+    well inside max_iterations (tree heights shrink geometrically),
+    and every node labels to the global min."""
+    chain = [(i, i + 1) for i in range(300)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = _star_path(pairs, max_iterations=15).collect()
+    assert len(got) == 301
+    assert {r.component for r in got} == {0}
+
+
+def test_star_path_keeps_self_loop_singletons(spark):
+    """A node whose every edge is a self-loop never reaches the
+    contracted forest — it must still come back as its own
+    singleton component (parity with the min-label loop)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (9, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in _star_path(pairs).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_partition_forest_is_connectivity_preserving_and_bounded(spark):
+    """The contraction invariants: per partition the output is a
+    spanning forest (<= local nodes - local components edges, so
+    globally <= sum of per-partition node counts), and the union of
+    forests has exactly the input graph's components."""
+    random.seed(21)
+    edges = [
+        (random.randrange(120), random.randrange(120)) for _ in range(2000)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    forest = _partition_forest(df)
+    rows = [(r.src, r.dst) for r in forest.collect()]
+    n_nodes = len({x for e in edges for x in e})
+    # forest-sized: for a dense graph (2000 edges, <=120 nodes) the
+    # contracted frame must be at most 8 partitions x nodes, and far
+    # below the edge count
+    assert len(rows) <= 8 * n_nodes
+    assert len(rows) < len(edges)
+    assert _driver_union_find(rows) == _driver_union_find(edges)
+    # star output shape: every emitted edge points node -> local root,
+    # and roots are local minima (np.unique index order == id order)
+    assert all(s > d for s, d in rows)
+
+
+def test_star_rounds_fixpoint_on_star_forest_is_immediate(spark):
+    """A frame that is already a star forest centered at component
+    minima must be recognized as the fixpoint on the first round —
+    the convergence check, not the round cap, ends the loop."""
+    stars = [(i, 0) for i in range(1, 6)] + [(j, 10) for j in (11, 12)]
+    df = spark.createDataFrame(stars, "src long, dst long")
+    labels = _star_rounds(df, max_iterations=1)  # 1 round must suffice
+    got = {r.doc_id: r.component for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_star_path_equals_broadcast_path(spark):
+    """Both distributed regimes converge to the identical labeling on
+    the same graph (bcast loop vs contraction+star)."""
+    random.seed(33)
+    edges = [(random.randrange(80), random.randrange(80)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        (r.doc_id, r.component) for r in _star_path(pairs).collect()
+    }
+    bcast = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert star == bcast
+
+
+def test_star_round_plan_never_joins_an_unbounded_edge_frame(spark):
+    """Plan-shape pin for the new round engine: a star round's joins
+    key on the CURRENT (forest-sized) frame only — the plan must not
+    contain a BroadcastNestedLoopJoin or cartesian product, and the
+    groupBy side is a partial (map-side combined) aggregate, so
+    per-round shuffle is bounded by the frame itself."""
+    df = spark.range(37, 2000).selectExpr("id AS src", "id % 37 AS dst")
+    labels = _star_rounds(df, max_iterations=10)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r.doc_id: r.component for r in labels.collect()}
+    expect = _driver_union_find(
+        [(i, i % 37) for i in range(37, 2000)]
+    )
+    assert got == expect  # 37 residue-class star components

@@ -207,6 +207,14 @@ def test_connected_components_match_union_find(spark, edges):
     got_driver = {
         (r[0], r[1]) for r in connected_components(pairs).collect()
     }
+    # broadcast_nodes_max=0 forces the UNBROADCASTABLE regime: the
+    # r10 partition-forest contraction + large-star/small-star rounds
+    got_star = {
+        (r[0], r[1])
+        for r in connected_components(
+            pairs, driver_threshold=0, broadcast_nodes_max=0
+        ).collect()
+    }
 
     parent: dict[int, int] = {}
 
@@ -228,6 +236,7 @@ def test_connected_components_match_union_find(spark, edges):
     want = {(n, find(n)) for n in nodes}
     assert got == want
     assert got_driver == want
+    assert got_star == want
 
 
 @settings(
