@@ -842,6 +842,7 @@ def connected_components(
                 max_iterations=max_iterations,
                 checkpoint_every=checkpoint_every,
             )
+            forest.unpersist()
         # nodes whose every edge was a self-loop never reach the
         # forest — re-attach them as their own (singleton) component
         singles = labels.join(
@@ -914,6 +915,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     sim_col: str = "simhash",
     bits: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs whose SimHashes differ in at most
     ``max_distance`` bits, without an all-pairs join: split the hash
@@ -923,9 +925,23 @@ def simhash_neardup_pairs(
 
     Scale shape: the only shuffle is the chunk equi-join whose key
     space is chunks x 2^(bits/chunks); candidates ~ n^2 / 2^chunk_bits
-    per chunk instead of n^2. Same contract as the MinHash band join
-    (and the same ``max_bucket_size``-style cap applies if a chunk
-    value is degenerate)."""
+    per chunk instead of n^2 — same contract as the MinHash band join.
+
+    ``max_bucket_size`` is the same 100 TB safety valve as
+    ``minhash_lsh_pairs``: a degenerate (chunk, value) bucket of n
+    fingerprints yields n^2/2 candidates, and a low-entropy corpus
+    slice (solid-color images, silence, boilerplate) can concentrate
+    the whole join in a handful of buckets — the r10 sf10 media probe
+    measured one 10.5k bucket carrying 55M of 968M predicted
+    candidates. With the cap, buckets over the limit are DROPPED
+    before the self-join (window over the join's own key — no extra
+    shuffle). Recall contract: a pair is lost only if EVERY chunk it
+    shares sits in a hot bucket; pairs keep forming through their
+    other chunks. Not silent: ``pigeonhole_bucket_stats`` prices the
+    exact forfeited candidate volume for the same cap, and the
+    image_bucket_accounting registry query oracle-checks it. None
+    (the default, used by all oracle-checked pair queries) keeps
+    every bucket."""
     n_chunks = max_distance + 1
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -942,6 +958,15 @@ def simhash_neardup_pairs(
         "c",
         F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("c", "cv")
+        chunks = (
+            chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = chunks.select(
         F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"), "c", "cv"
     )
@@ -959,6 +984,60 @@ def simhash_neardup_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def pigeonhole_bucket_stats(
+    sim: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Per-chunk accounting for the pigeonhole join's hot-bucket cap —
+    the no-silent-caps companion to ``simhash_neardup_pairs`` /
+    ``dhash``-family lanes (``lsh_bucket_stats``'s contract, applied
+    to the hamming-chunk join): before anyone runs a capped media
+    dedup, this reports exactly what the cap would cost.
+
+    One row per chunk id: total (chunk, value) buckets, buckets over
+    the cap, fingerprints in hot buckets, and the candidate pairs
+    inside hot buckets (``n*(n-1)/2`` — what the drop policy forfeits
+    in this chunk; a forfeited CANDIDATE is only a lost PAIR if no
+    other chunk recovers it). O(#buckets) aggregate on the join's own
+    key — no pair is ever materialized."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    safe = sim.select(_bq(id_col).alias("_id"), _bq(sim_col).alias("_sh"))
+    chunks = safe.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+        F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
+    )
+    buckets = chunks.groupBy("c", "cv").agg(F.count(F.lit(1)).alias("n"))
+    hot = F.col("n") > max_bucket_size
+    return (
+        buckets.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("candidates"),
+            F.sum(hot.cast("long")).alias("n_hot_buckets"),
+            F.sum(F.when(hot, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_hot"),
+            F.sum(
+                F.when(hot, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+            )
+            .cast("long")
+            .alias("pairs_in_hot"),
+        )
+        .withColumnRenamed("c", "chunk_id")
+        .orderBy("chunk_id")
     )
 
 
@@ -1032,6 +1111,7 @@ def video_neardup_pairs(
     slot_col: str = "slot",
     sim_col: str = "dhash",
     bits: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_match) video near-dup pairs over position-
     aligned per-frame fingerprints (``video_frame_hashes``): two videos
@@ -1041,7 +1121,13 @@ def video_neardup_pairs(
     candidates only form between same-position frames — at 100 TB the
     shuffle key space is slots × chunks × 2^(bits/chunks) and the work
     stays O(Σ bucket²) per slot, never all-pairs across videos, never
-    across slots."""
+    across slots.
+
+    ``max_bucket_size`` caps degenerate (slot, chunk, value) buckets
+    before the self-join — the same priced safety valve as
+    ``simhash_neardup_pairs`` (think: black frames at slot 0 across a
+    whole corpus). Default None keeps every bucket (the oracle-checked
+    configuration)."""
     n_chunks = max_distance + 1
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -1062,6 +1148,15 @@ def video_neardup_pairs(
         "c",
         F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_sl", "c", "cv")
+        chunks = (
+            chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = chunks.select(
         F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"), "_sl", "c", "cv"
     )

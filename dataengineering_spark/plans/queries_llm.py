@@ -1533,7 +1533,11 @@ FROM documents
 # ===========================================================================
 
 
-def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized diagonal-gradient PNG corpus → 63-bit dHash frame
+    (doc_id, dhash) — the shared front of the image-modality queries
+    (image_neardup / image_dedup_survivors / image_bucket_accounting).
+    """
     import pandas as pd
     from collections.abc import Iterator
 
@@ -1541,7 +1545,6 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_images,
         make_diag_png,
     )
-    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id")
 
@@ -1577,7 +1580,13 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the pigeonhole self-join reads the fingerprint frame on
     # BOTH aliases — unpersisted, each side re-runs the whole Python
     # synth+decode lane (measured 2x the query cost at sf0.1)
-    dh = persist_tracked(dhash_images(synthesized))
+    return persist_tracked(dhash_images(synthesized))
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+
+    dh = _image_dhash_frame(spark, sf_dir)
     return simhash_neardup_pairs(dh, max_distance=3, sim_col="dhash", bits=64)
 
 
@@ -1677,6 +1686,64 @@ SELECT d.doc_id
 FROM documents d
 LEFT JOIN comp ON d.doc_id = comp.doc_id
 WHERE comp.doc_id IS NULL OR comp.component = d.doc_id
+"""
+
+
+# ===========================================================================
+# Q: image_bucket_accounting — no-silent-caps audit for the pigeonhole
+# chunk join's hot-bucket cap (the lsh_bucket_accounting discipline
+# applied to the media-dedup lanes). The r10 sf10 probe measured the
+# hazard this prices: one degenerate (chunk, value) bucket of 10.5k
+# fingerprints carried 55M of the join's 968M predicted candidates.
+# Per chunk id: bucket count, max bucket, exact predicted candidate
+# volume (sum n*(n-1)/2 — the join's actual work), and what a
+# max_bucket_size=10 drop cap would forfeit. The oracle replays the
+# closed-form dHashes, re-chunks them 16 bits at a time, and
+# re-aggregates — a bug anywhere in hashing, chunking, bucketing, or
+# the accounting arithmetic breaks parity.
+# ===========================================================================
+
+_BUCKET_CAP = 10  # exercises the hot path at driver scale (sf0.01 max=13)
+
+
+def q_image_bucket_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import pigeonhole_bucket_stats
+
+    dh = _image_dhash_frame(spark, sf_dir)
+    return pigeonhole_bucket_stats(
+        dh, max_distance=3, sim_col="dhash", bits=64,
+        max_bucket_size=_BUCKET_CAP,
+    ).select(
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "n_buckets",
+        "max_bucket",
+        "candidates",
+        "n_hot_buckets",
+        "docs_in_hot",
+        "pairs_in_hot",
+    )
+
+
+SQL_IMAGE_BUCKET_ACCOUNTING = _IMAGE_HASH_CTES + f"""
+, chunks AS (
+  SELECT doc_id, CAST(r.range AS INTEGER) AS c,
+         (dhash >> CAST(16 * r.range AS INTEGER)) & 65535 AS cv
+  FROM hashes CROSS JOIN range(0, 4) r
+),
+buckets AS (
+  SELECT c, cv, COUNT(*) AS n FROM chunks GROUP BY c, cv
+)
+SELECT c AS chunk_id,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(MAX(n) AS BIGINT) AS max_bucket,
+  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidates,
+  CAST(SUM(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hot_buckets,
+  CAST(SUM(CASE WHEN n > {_BUCKET_CAP} THEN n ELSE 0 END) AS BIGINT)
+    AS docs_in_hot,
+  CAST(SUM(CASE WHEN n > {_BUCKET_CAP} THEN n * (n - 1) // 2 ELSE 0 END)
+    AS BIGINT) AS pairs_in_hot
+FROM buckets GROUP BY c
 """
 
 
@@ -4012,6 +4079,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_image_dedup_survivors,
         SQL_IMAGE_DEDUP_SURVIVORS,
         "north-star:multimodal dedup keep-canonical",
+    ),
+    "image_bucket_accounting": (
+        q_image_bucket_accounting,
+        SQL_IMAGE_BUCKET_ACCOUNTING,
+        "north-star:multimodal dedup cap pricing",
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
