@@ -135,8 +135,10 @@ HEADLINE = (
     # modalities (real decode -> fingerprint -> banded chunk join)
     "image_neardup",
     "audio_neardup",
-    # round-10: the video modality (aligned frame dHash sets)
+    # round-10: the video modality (aligned frame dHash sets) and the
+    # pigeonhole hot-bucket cap accounting
     "video_neardup",
+    "image_bucket_accounting",
 )
 
 
