@@ -700,12 +700,33 @@ def connected_components(
     driver_threshold: int = 500_000,
     broadcast_nodes_max: int = 4_000_000,
     distinct_edges: bool = True,
+    strategy: str = "star",
 ) -> DataFrame:
     """(doc_id, component) labels for the near-duplicate pair graph:
     component = min doc id reachable from the doc. This is the final
     dedup step — keep the row where doc_id == component, drop the rest.
 
-    Iterative min-label propagation with POINTER JUMPING: each round
+    ``strategy`` picks the distributed engine (the driver gate below
+    applies to both):
+
+    - ``"star"`` (default, r10): ONE mapInPandas scan contracts each
+      partition's edges to its spanning forest (vectorized union-find,
+      zero joins), geometric re-contraction bounds the frame at
+      O(|V|), then alternating large-star/small-star rounds finish on
+      the forest-sized frame (``_star_rounds``) — or a driver
+      union-find endgame when the contracted forest fits under
+      ``driver_threshold``. No broadcast, no edge doubling, no O(|E|)
+      distinct; every shuffle after the contraction scan is
+      O(|V|)-bounded. Measured against the min-label loop on the same
+      graphs, identical fixpoints: sf10 image graph (54M pairs / 453k
+      nodes) 120 s vs 221 s; sf100 T=0.35 (10^9 pairs / 1.55M nodes,
+      broadcast disabled) 2274 s vs 3753 s.
+    - ``"minlabel"``: the broadcast min-label loop below — the r9
+      engine, kept as the measured alternative and for its pinned
+      plan-shape regression; above ``broadcast_nodes_max`` it degrades
+      to O(|E|)-shuffle rounds.
+
+    The min-label engine: iterative propagation with POINTER JUMPING —
     every node takes the min of its own label, its neighbors' labels,
     and its label's label (the path-halving shortcut of
     hash-to-min-family CC algorithms — Kiveris et al., "Connected
@@ -753,25 +774,23 @@ def connected_components(
     ``broadcast_nodes_max`` (counted, ~24 B/row -> ~100 MB at the 4M
     default) the label/jump sides are broadcast explicitly: per-round
     shuffle volume drops from O(|E|) to O(|V|) (the map-side-combined
-    groupBy output), independent of pair density. ABOVE the bound
-    (r10): the loop no longer falls back to O(|E|)-shuffle rounds —
-    the graph is first CONTRACTED to per-partition spanning forests
-    (``_partition_forest``: one union-find scan, zero joins), then
-    re-contracted geometrically until the frame is O(|V|)-sized, and
-    finished with alternating large-star/small-star rounds
-    (``_star_rounds``, Kiveris et al. SoCC'14) whose per-round shuffle
-    is bounded by the current forest-sized edge frame — O(|V|) per
-    round with NO broadcast anywhere, the shape that survives graphs
-    whose node sets dwarf any single executor. On big graphs both
-    loops additionally force a JVM GC after each lineage checkpoint so
-    the ContextCleaner reaps dereferenced shuffle files between rounds
-    instead of at the periodicGC interval.
+    groupBy output), independent of pair density. Above the bound the
+    min-label loop falls back to O(|E|)-shuffle rounds — which is why
+    the DEFAULT engine is now ``"star"``: its contraction shape needs
+    no broadcast at any node count and survives graphs whose node
+    sets dwarf any single executor. On big graphs both engines force
+    a JVM GC after each lineage checkpoint so the ContextCleaner
+    reaps dereferenced shuffle files between rounds instead of at the
+    periodicGC interval.
 
-    ``distinct_edges=False`` skips the O(|E|) distinct shuffle on the
-    doubled edge frame: min-label propagation is duplicate-insensitive
-    (groupBy-min absorbs repeats), so callers whose pair frames are
-    already distinct (the banded/cell-pruned builders here all are)
-    can avoid materializing the single largest exchange in the plan.
+    ``distinct_edges=False`` (minlabel only) skips the O(|E|) distinct
+    shuffle on the doubled edge frame: min-label propagation is
+    duplicate-insensitive (groupBy-min absorbs repeats), so callers
+    whose pair frames are already distinct (the banded/cell-pruned
+    builders here all are) can avoid materializing the single largest
+    exchange in the plan. The star engine ignores it — union-find is
+    duplicate- and direction-agnostic, so it never doubles or
+    distincts the edge frame at all.
     """
     if driver_threshold and pairs.count() <= driver_threshold:
         rows = pairs.select(id_a, id_b).collect()
@@ -780,40 +799,36 @@ def connected_components(
             sorted(mapping.items()), "doc_id long, component long"
         )
 
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
-    if distinct_edges:
-        edges = edges.distinct()
-    edges = edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("component"))
-        .persist()
-    )
-    # one counted job: materializes both persists and sizes the join
-    # strategy. Node-sized frames broadcast when bounded (see the
-    # JOIN-SHAPE RULE above); big-graph rounds also reap shuffles.
-    n_nodes = labels.count()
-    bcast = 0 < n_nodes <= broadcast_nodes_max
-    big_graph = not bcast or n_nodes > 1_000_000
+    if strategy not in ("star", "minlabel"):
+        raise ValueError(f"strategy must be star|minlabel, got {strategy!r}")
 
-    if not bcast:
-        # UNBROADCASTABLE REGIME (> broadcast_nodes_max nodes): the
-        # min-label loop would shuffle the O(|E|) edge frame twice per
-        # round (the pre-r9 disk-death shape). Instead: one scan
+    if strategy == "star":
+        # DEFAULT DISTRIBUTED PATH (r10): one mapInPandas scan
         # contracts each partition's edges to its spanning forest
         # (zero joins — _partition_forest), geometric re-contraction
         # bounds the frame at O(#partitions x |V|) then O(|V|), and
         # alternating large-star/small-star rounds (Kiveris et al.)
-        # finish on the forest-sized frame — every per-round shuffle
-        # is O(|V|)-bounded regardless of pair density.
+        # finish on the forest-sized frame — every shuffle after the
+        # one contraction scan is O(|V|)-bounded regardless of pair
+        # density, with NO broadcast anywhere. Measured faster than
+        # the broadcast min-label loop at both probe scales (sf10
+        # image graph 54M pairs/453k nodes: 120 s vs 221 s; sf100
+        # T=0.35 10^9-pair graph: 2274 s vs 3753 s, identical
+        # fixpoints). Needs neither edge doubling nor the O(|E|)
+        # distinct (union-find is direction- and duplicate-agnostic),
+        # so the input scan is the pair frame itself.
+        edges = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        labels = (
+            pairs.select(F.col(id_a).alias("doc_id"))
+            .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
+            .distinct()
+            .persist()
+        )
+        n_nodes = labels.count()
         forest = _partition_forest(edges).persist()
         m_edges = forest.count()
-        edges.unpersist()
         shrink_target = max(driver_threshold, 4 * n_nodes)
         for _pass in range(4):
             if m_edges <= shrink_target:
@@ -851,6 +866,31 @@ def connected_components(
         out = core.unionByName(singles)
         labels.unpersist()
         return out
+
+    # strategy == "minlabel": the broadcast min-label loop — kept for
+    # the measured record and as the plan-pinned legacy path; above
+    # broadcast_nodes_max it degrades to O(|E|)-shuffle rounds (the
+    # pre-r9 regime), so scale callers should stay on the default.
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    if distinct_edges:
+        edges = edges.distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .persist()
+    )
+    # one counted job: materializes both persists and sizes the join
+    # strategy. Node-sized frames broadcast when bounded (see the
+    # JOIN-SHAPE RULE above); big-graph rounds also reap shuffles.
+    n_nodes = labels.count()
+    bcast = 0 < n_nodes <= broadcast_nodes_max
+    big_graph = not bcast or n_nodes > 1_000_000
 
     def _reap_shuffles() -> None:
         # ContextCleaner only deletes shuffle files once their

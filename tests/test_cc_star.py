@@ -21,9 +21,9 @@ from dataengineering_spark.operators.dedup import (
 
 
 def _star_path(pairs, **kw):
-    return connected_components(
-        pairs, driver_threshold=0, broadcast_nodes_max=0, **kw
-    )
+    # driver_threshold=0 forces the distributed engine; "star" is the
+    # default strategy, so this exercises contraction + star rounds
+    return connected_components(pairs, driver_threshold=0, **kw)
 
 
 def test_star_path_matches_union_find_on_random_graphs(spark):
@@ -99,9 +99,9 @@ def test_star_rounds_fixpoint_on_star_forest_is_immediate(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10, 12: 10}
 
 
-def test_star_path_equals_broadcast_path(spark):
-    """Both distributed regimes converge to the identical labeling on
-    the same graph (bcast loop vs contraction+star)."""
+def test_star_path_equals_minlabel_path(spark):
+    """Both distributed engines converge to the identical labeling on
+    the same graph (broadcast min-label loop vs contraction+star)."""
     random.seed(33)
     edges = [(random.randrange(80), random.randrange(80)) for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
@@ -109,11 +109,21 @@ def test_star_path_equals_broadcast_path(spark):
     star = {
         (r.doc_id, r.component) for r in _star_path(pairs).collect()
     }
-    bcast = {
+    minlabel = {
         (r.doc_id, r.component)
-        for r in connected_components(pairs, driver_threshold=0).collect()
+        for r in connected_components(
+            pairs, driver_threshold=0, strategy="minlabel"
+        ).collect()
     }
-    assert star == bcast
+    assert star == minlabel
+
+
+def test_unknown_strategy_is_refused(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="star|minlabel"):
+        connected_components(pairs, driver_threshold=0, strategy="bogus")
 
 
 def test_star_round_plan_never_joins_an_unbounded_edge_frame(spark):

@@ -197,23 +197,23 @@ def test_connected_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges], "doc_a long, doc_b long"
     )
-    # driver_threshold=0 forces the distributed min-label loop — the
-    # path this fuzz exists to cover; the size-gated driver fallback
-    # is checked against the same reference below.
+    # driver_threshold=0 forces the distributed engines — the paths
+    # this fuzz exists to cover; the size-gated driver fallback is
+    # checked against the same reference below.
     got = {
         (r[0], r[1])
-        for r in connected_components(pairs, driver_threshold=0).collect()
+        for r in connected_components(
+            pairs, driver_threshold=0, strategy="minlabel"
+        ).collect()
     }
     got_driver = {
         (r[0], r[1]) for r in connected_components(pairs).collect()
     }
-    # broadcast_nodes_max=0 forces the UNBROADCASTABLE regime: the
-    # r10 partition-forest contraction + large-star/small-star rounds
+    # the r10 default: partition-forest contraction +
+    # large-star/small-star rounds
     got_star = {
         (r[0], r[1])
-        for r in connected_components(
-            pairs, driver_threshold=0, broadcast_nodes_max=0
-        ).collect()
+        for r in connected_components(pairs, driver_threshold=0).collect()
     }
 
     parent: dict[int, int] = {}
