@@ -66,7 +66,18 @@ def media_neardup_batch_fn(
     Replay contract: both writes are appends of deterministic
     functions of the epoch's payloads, so foreachBatch replays
     re-append identical rows; accumulation readers apply
-    ``distinct()`` — the streaming/lsh.py contract."""
+    ``distinct()`` — the streaming/lsh.py contract.
+
+    Deliberately NOT exposed here: the batch lanes'
+    ``max_bucket_size`` hot-bucket cap (r10). Capping is a function
+    of WHOLE-CORPUS bucket sizes; an incremental index only sees a
+    bucket's size as of each epoch, so an epoch-local cap would keep
+    early pairs of a bucket that later crosses the cap — breaking
+    this module's stream==batch equality, which is its core proof.
+    Scale deployments that need the valve should run
+    ``pigeonhole_bucket_stats`` over the accumulated index (it is the
+    join key's own layout, O(#buckets)) and apply the cap in a batch
+    re-pair pass, where its recall contract is exact."""
 
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
