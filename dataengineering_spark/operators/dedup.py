@@ -518,6 +518,14 @@ def _partition_forest(edges: DataFrame) -> DataFrame:
     operate on a forest-sized frame — O(Σ_p |V_p|), independent of the
     pair density that makes dense dedup graphs |E| >> |V|. No join,
     no shuffle: one scan of the edge frame wherever it already lives.
+
+    Executor memory contract: the whole partition's edge arrays are
+    held at once (16 B/edge + the node-index arrays), so size input
+    partitions accordingly — at the default 128 MB parquet split
+    that's ~8M edges ≈ 250 MB peak per task, well inside any sane
+    executor; a pathological single-partition frame should be
+    repartitioned first (the re-contraction loop in
+    connected_components does exactly that with a 4M-edge target).
     """
     import numpy as np
     import pandas as pd
