@@ -1761,7 +1761,10 @@ FROM buckets GROUP BY c
 # ===========================================================================
 
 
-def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audio_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized PCM-ramp WAV corpus → 63-bit two-band fingerprint
+    frame (doc_id, afp) — the shared front of the audio-modality
+    queries and the sf-scale capped probes."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -1769,7 +1772,6 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_fingerprints,
         make_test_wav,
     )
-    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id")
 
@@ -1793,7 +1795,13 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     synthesized = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     # persist: both self-join aliases read the frame (see image_neardup)
-    afp = persist_tracked(audio_fingerprints(synthesized))
+    return persist_tracked(audio_fingerprints(synthesized))
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import simhash_neardup_pairs
+
+    afp = _audio_fp_frame(spark, sf_dir)
     return simhash_neardup_pairs(afp, max_distance=3, sim_col="afp", bits=64)
 
 
@@ -1864,7 +1872,10 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 # ===========================================================================
 
 
-def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _video_fh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized motion-PNG video corpus → position-aligned frame
+    dHash frame (doc_id, slot, dhash) — the shared front of the
+    video-modality queries and the sf-scale capped probes."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -1873,7 +1884,6 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_test_video,
         video_frame_hashes,
     )
-    from dataengineering_spark.operators.dedup import video_neardup_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id")
 
@@ -1911,7 +1921,13 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: the per-slot pigeonhole self-join reads the frame-hash
     # frame on both aliases (see image_neardup)
-    fh = persist_tracked(video_frame_hashes(synthesized, n_samples=4))
+    return persist_tracked(video_frame_hashes(synthesized, n_samples=4))
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import video_neardup_pairs
+
+    fh = _video_fh_frame(spark, sf_dir)
     return video_neardup_pairs(fh, max_distance=3, min_matching=3)
 
 
