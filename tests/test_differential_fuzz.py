@@ -871,3 +871,54 @@ def test_kcore_peel_driver_gate_matches_distributed(spark, raw, k, iters):
     drv = {(r.node, r.degree) for r in kcore_peel(df, k, iters).collect()}
     release_tracked()
     assert dist == drv
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),        # video id
+            st.integers(0, 3),        # slot
+            st.integers(0, 1 << 20),  # frame hash (32-bit lane)
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1, 3),  # min_matching
+)
+def test_video_neardup_pairs_match_bruteforce(spark, rows, k):
+    """The slot-aligned pigeonhole pair builder vs a pure-Python brute
+    force over random frame-hash tables: a pair exists iff >= k slots
+    carry hashes within hamming 3 — the pigeonhole join must neither
+    invent nor lose slot matches at any table shape (missing slots,
+    single-frame videos, identical hashes across many videos)."""
+    from dataengineering_spark.operators.dedup import video_neardup_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, slot long, dhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.n_match)
+        for r in video_neardup_pairs(
+            df, max_distance=3, min_matching=k, bits=32
+        ).collect()
+    }
+    by_vid: dict[int, dict[int, int]] = {}
+    for v, s, h in rows:
+        by_vid.setdefault(v, {})[s] = h
+    want = set()
+    vids = sorted(by_vid)
+    for i, a in enumerate(vids):
+        for b in vids[i + 1:]:
+            n = sum(
+                1
+                for s in by_vid[a]
+                if s in by_vid[b]
+                and bin(by_vid[a][s] ^ by_vid[b][s]).count("1") <= 3
+            )
+            if n >= k:
+                want.add((a, b, n))
+    assert got == want
