@@ -781,10 +781,42 @@ _register_extra_queries()
 # green.  _DRIVER_PRIORITY remains only as an optional manual override that
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
-_DRIVER_PRIORITY: list[str] = []
+#
+# audio_neardup: pinned for r11 — its operator AND oracle changed in r10
+# (63-bit two-band fingerprint, commit 431ebb6) after its last driver green
+# (r9 checked the 31-bit form), so the shipped form has never seen a driver
+# row.  Remove once CORRECTNESS_r11 shows it green.  The signature stamp
+# below makes this class of gap mechanical from r11 onward.
+_DRIVER_PRIORITY: list[str] = ["audio_neardup"]
+
+
+def _query_signature(name: str) -> str:
+    """Content signature of one registry query: oracle SQL + callable source.
+
+    Stamped into driver_rounds.py at rotate time (the round's first action,
+    right after the driver ran the previous round's final commit — so the
+    stamp records the form the driver last checked).  _ordered_names ranks
+    a green query whose LIVE signature drifted from its stamp with the
+    reds: a driver green for code that no longer exists is not evidence
+    (the r10 audio_neardup lesson, VERDICT r10 "What's missing" #2).
+    """
+    import hashlib
+    import inspect
+
+    spec = QUERIES[name]
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):  # builtins / dynamically-built callables
+        src = f"{getattr(spec.fn, '__module__', '?')}.{getattr(spec.fn, '__qualname__', '?')}"
+    payload = (spec.sql or "") + "\x00" + src
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
 
 def _ordered_names() -> list[str]:
+    from dataengineering_spark.plans import driver_rounds
     from dataengineering_spark.plans.driver_rounds import DRIVER_HISTORY
+
+    stamps: dict[str, str] = getattr(driver_rounds, "DRIVER_SIGNATURES", {})
 
     head = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     registry_pos = {n: i for i, n in enumerate(QUERIES)}
@@ -794,12 +826,20 @@ def _ordered_names() -> list[str]:
         # regression) -> -1: first.  never-checked -> 0: next.  green ->
         # 1 + last green round: stalest first.  Ties break on registry
         # order so the window stays deterministic round-to-round.
+        # A green whose implementation changed since its stamp (oracle SQL
+        # or callable source differs from the rotate-time signature) is a
+        # red in disguise — its driver evidence describes code that no
+        # longer runs — and ranks with the reds.
         hist = DRIVER_HISTORY.get(name)
         if hist is None:
             rank = 0
         else:
             last_green, last_checked = hist
             rank = -1 if (last_green < 0 or last_checked > last_green) else 1 + last_green
+        if rank > 0:
+            stamp = stamps.get(name)
+            if stamp is not None and stamp != _query_signature(name):
+                rank = -1
         return (rank, registry_pos[name])
 
     rest = sorted((n for n in QUERIES if n not in head), key=sort_key)

@@ -26,7 +26,17 @@ def _rank(name: str) -> int:
     if hist is None:
         return 0
     last_green, last_checked = hist
-    return -1 if (last_green < 0 or last_checked > last_green) else 1 + last_green
+    rank = -1 if (last_green < 0 or last_checked > last_green) else 1 + last_green
+    if rank > 0:
+        # a green whose implementation changed since its rotate-time stamp
+        # ranks with the reds (VERDICT r10 #2 — the audio_neardup class)
+        from dataengineering_spark.plans import driver_rounds
+        from dataengineering_spark.plans.queries import _query_signature
+
+        stamp = getattr(driver_rounds, "DRIVER_SIGNATURES", {}).get(name)
+        if stamp is not None and name in QUERIES and stamp != _query_signature(name):
+            rank = -1
+    return rank
 
 
 def test_ordering_is_red_then_never_then_stalest():
@@ -114,6 +124,59 @@ def test_regression_ranks_red():
     finally:
         del DRIVER_HISTORY["__regressed__"]
         del DRIVER_HISTORY["__never_green__"]
+
+
+def test_signature_change_jumps_into_window():
+    """Editing a query's oracle (or callable) after its last driver green
+    must pull it into the 50-slot window immediately (VERDICT r10 task #2:
+    the audio_neardup gap is a class, not an instance)."""
+    from dataengineering_spark.plans import driver_rounds
+    from dataengineering_spark.plans.queries import QuerySpec, _ordered_names
+
+    stamps = getattr(driver_rounds, "DRIVER_SIGNATURES", {})
+    assert stamps, "rotate must stamp DRIVER_SIGNATURES"
+    # the freshest green is the query least likely to rotate in on its own
+    name = max(
+        (n for n in QUERIES if n in stamps and DRIVER_LAST_GREEN.get(n, -1) > 0),
+        key=lambda n: DRIVER_LAST_GREEN[n],
+    )
+    before = _ordered_names()
+    spec = QUERIES[name]
+    assert spec.sql is not None
+    QUERIES[name] = QuerySpec(spec.fn, spec.sql + " -- edited", spec.survey_ref)
+    try:
+        window = _ordered_names()[:50]
+        assert name in window, f"{name} edited after green but not re-checked"
+        assert _rank(name) == -1
+    finally:
+        QUERIES[name] = spec
+    assert _ordered_names() == before, "restore must be clean"
+
+
+def test_rotate_rerun_does_not_launder_stamps():
+    """Re-running the rebuild with NO newly-ingested round must preserve
+    existing stamps verbatim — otherwise a mid-round edit followed by a
+    second `make rotate` would silently re-green the changed query."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from rebuild_driver_priority import compute_signatures
+
+    old = {"some_query": "deadbeef", "video_neardup": "cafebabe"}
+    sigs = compute_signatures(old, new_rounds=[])
+    assert sigs.get("video_neardup") == "cafebabe"
+    # a query checked in a newly-ingested round IS refreshed
+    sigs2 = compute_signatures(old, new_rounds=[10])
+    assert sigs2.get("video_neardup") != "cafebabe"
+
+
+def test_driver_priority_pin_heads_window():
+    from dataengineering_spark.plans.queries import _DRIVER_PRIORITY, _ordered_names
+
+    # r11 pin: audio_neardup's oracle+operator changed in r10 after its last
+    # driver green (commit 431ebb6) — drop the pin once r11 shows it green
+    assert "audio_neardup" in _DRIVER_PRIORITY
+    assert _ordered_names()[0] == "audio_neardup"
 
 
 def test_every_query_has_an_oracle():
