@@ -505,6 +505,13 @@ def _driver_union_find(rows: list) -> dict[int, int]:
     return {n: set_min[find(n)] for n in parent}
 
 
+# _partition_forest holds one partition's full edge arrays in task
+# memory (16 B/edge + node-index arrays): ~8M edges ≈ 250 MB peak is
+# the documented per-task contract; repartition targets 4M for slack.
+_FOREST_PASS1_MAX_PER_PART = 8_000_000
+_FOREST_TARGET_EDGES_PER_PART = 4_000_000
+
+
 def _partition_forest(edges: DataFrame) -> DataFrame:
     """Per-partition SPANNING FOREST via local union-find — the
     contraction step of the unbroadcastable-CC path (Kiveris et al.
@@ -523,9 +530,12 @@ def _partition_forest(edges: DataFrame) -> DataFrame:
     held at once (16 B/edge + the node-index arrays), so size input
     partitions accordingly — at the default 128 MB parquet split
     that's ~8M edges ≈ 250 MB peak per task, well inside any sane
-    executor; a pathological single-partition frame should be
-    repartitioned first (the re-contraction loop in
-    connected_components does exactly that with a 4M-edge target).
+    executor; a pathological single-partition frame must be
+    repartitioned first — ``connected_components`` does this for BOTH
+    the first pass (when avg edges/partition exceeds 8M) and the
+    re-contraction loop (4M target); direct callers own pass-1 sizing.
+    Ids must already be int64 (``connected_components`` casts integral
+    ids up and routes non-integral ids to the minlabel engine).
     """
     import numpy as np
     import pandas as pd
@@ -582,6 +592,45 @@ def _partition_forest(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").mapInPandas(gen, "src long, dst long")
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a canonical (src > dst),
+    distinct edge frame; returns the next round's canonical distinct
+    edge set (unpersisted — the loop owns caching). Factored out so the
+    plan-shape regression can pin ONE round's physical plan (the eager
+    materialization in :func:`_star_rounds` hides it behind a
+    LogicalRDD scan)."""
+    # ---- large-star: (v, m) for every neighbor v > u -----------
+    both = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lmins = both.groupBy("src").agg(
+        F.min("dst").alias("_mn")
+    ).select(
+        F.col("src").alias("_u"),
+        F.least(F.col("src"), F.col("_mn")).alias("_m"),
+    )
+    large = (
+        both.join(lmins, both.src == F.col("_u"))
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # ---- small-star: (v, m) for smaller neighbors + (u, m) -----
+    smins = large.groupBy("src").agg(F.min("dst").alias("_m"))
+    children = (
+        large.join(smins, "src")
+        .filter(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    selves = smins.select("src", F.col("_m").alias("dst"))
+    return (
+        children.unionByName(selves)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def _star_rounds(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -613,7 +662,32 @@ def _star_rounds(
     (src > dst) throughout; per-round distinct is forest-sized.
     Lineage is cut with localCheckpoint every ``checkpoint_every``
     rounds, exactly as in the min-label loop.
+
+    Fixpoint detection (r11): the edge sets are distinct and canonical,
+    so set equality reduces to equal (count, Σ xxhash64(src,dst)) — ONE
+    aggregate job per round on the forest-sized frame, replacing the
+    r10 count + ``exceptAll().isEmpty()`` pair (the set-difference was
+    a second full shuffle of both frames whenever counts matched). The
+    hash sum runs in DECIMAL(38,0) (no overflow below ~10^18 rows); a
+    false fixpoint needs a 64-bit hash-sum collision between two
+    same-sized edge sets of the SAME monotone round sequence —
+    vanishing, and the differential fuzz suite cross-checks the
+    labeling against the driver union-find regardless.
+
+    Returns an eagerly-materialized (localCheckpoint) frame and
+    releases every persist it took, so callers hold no cached-frame
+    references (ADVICE r10: the final round's persisted edge frame
+    used to leak per call).
     """
+    def _stats(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("src", "dst").cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -623,51 +697,22 @@ def _star_rounds(
         .distinct()
         .persist()
     )
-    n_edges = e.count()
+    sig = _stats(e)
     converged = False
     for _round in range(max_iterations):
-        # ---- large-star: (v, m) for every neighbor v > u -----------
-        both = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        lmins = both.groupBy("src").agg(
-            F.min("dst").alias("_mn")
-        ).select(
-            F.col("src").alias("_u"),
-            F.least(F.col("src"), F.col("_mn")).alias("_m"),
-        )
-        large = (
-            both.join(lmins, both.src == F.col("_u"))
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        # ---- small-star: (v, m) for smaller neighbors + (u, m) -----
-        smins = large.groupBy("src").agg(F.min("dst").alias("_m"))
-        children = (
-            large.join(smins, "src")
-            .filter(F.col("dst") != F.col("_m"))
-            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-        )
-        selves = smins.select("src", F.col("_m").alias("dst"))
-        new_e = (
-            children.unionByName(selves)
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .persist()
-        )
-        new_count = new_e.count()
+        new_e = _star_round(e).persist()
+        new_sig = _stats(new_e)
         # fixpoint: the (distinct, canonical) edge set is unchanged.
         # new ⊆ old is NOT enough (a shrink is still progress), so
-        # equality = equal counts AND empty difference.
-        if new_count == n_edges and new_e.exceptAll(e).isEmpty():
+        # equality = equal counts AND equal order-insensitive hash sum
+        # (one aggregate — see the docstring's fixpoint note).
+        if new_sig == sig:
             new_e.unpersist()
             converged = True
             break
         e.unpersist()
         e = new_e
-        n_edges = new_count
+        sig = new_sig
         if checkpoint_every and (_round + 1) % checkpoint_every == 0:
             truncated = e.localCheckpoint(eager=True)
             e.unpersist()
@@ -696,7 +741,12 @@ def _star_rounds(
         e.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component"))
         .distinct()
     )
-    return labels
+    # node-sized: materialize cheaply, then release the cached edge
+    # frame — without this the final round's persist leaked for the
+    # life of the session (ADVICE r10)
+    out = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 def connected_components(
@@ -725,7 +775,10 @@ def connected_components(
       union-find endgame when the contracted forest fits under
       ``driver_threshold``. No broadcast, no edge doubling, no O(|E|)
       distinct; every shuffle after the contraction scan is
-      O(|V|)-bounded. Measured against the min-label loop on the same
+      O(|V|)-bounded. Int64-only internally: integral ids are cast up
+      to long (labels come back as long), non-integral ids (strings,
+      decimals) silently route to ``"minlabel"``, which orders on any
+      comparable type. Measured against the min-label loop on the same
       graphs, identical fixpoints: sf10 image graph (54M pairs / 453k
       nodes) 120 s vs 221 s; sf100 T=0.35 (10^9 pairs / 1.55M nodes,
       broadcast disabled) 2274 s vs 3753 s.
@@ -800,15 +853,47 @@ def connected_components(
     duplicate- and direction-agnostic, so it never doubles or
     distincts the edge frame at all.
     """
-    if driver_threshold and pairs.count() <= driver_threshold:
-        rows = pairs.select(id_a, id_b).collect()
-        mapping = _driver_union_find([(r[0], r[1]) for r in rows])
-        return pairs.sparkSession.createDataFrame(
-            sorted(mapping.items()), "doc_id long, component long"
-        )
-
     if strategy not in ("star", "minlabel"):
         raise ValueError(f"strategy must be star|minlabel, got {strategy!r}")
+
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    ids_integral = isinstance(pairs.schema[id_a].dataType, integral) and isinstance(
+        pairs.schema[id_b].dataType, integral
+    )
+
+    # the star engine's contraction lane is int64-only (vectorized numpy
+    # union-find over a `src long, dst long` mapInPandas schema) — ids of
+    # any other orderable type silently worked on the driver gate and the
+    # minlabel loop but raised inside a task here (ADVICE r10). Integral
+    # ids are cast up to long; everything else falls back to minlabel.
+    if strategy == "star" and not ids_integral:
+        strategy = "minlabel"
+
+    n_pairs = (
+        pairs.count() if (driver_threshold or strategy == "star") else None
+    )
+    if driver_threshold and n_pairs <= driver_threshold:
+        rows = pairs.select(id_a, id_b).collect()
+        mapping = _driver_union_find([(r[0], r[1]) for r in rows])
+        if ids_integral:
+            schema = "doc_id long, component long"
+        else:  # preserve the caller's id type (string keys etc.)
+            dt = pairs.schema[id_a].dataType
+            schema = StructType(
+                [StructField("doc_id", dt), StructField("component", dt)]
+            )
+        return pairs.sparkSession.createDataFrame(
+            sorted(mapping.items()), schema
+        )
 
     if strategy == "star":
         # DEFAULT DISTRIBUTED PATH (r10): one mapInPandas scan
@@ -826,11 +911,27 @@ def connected_components(
         # distinct (union-find is direction- and duplicate-agnostic),
         # so the input scan is the pair frame itself.
         edges = pairs.select(
-            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
         )
+        # pass-1 partition sizing (ADVICE r10): _partition_forest holds
+        # one partition's full edge arrays in memory, and the first pass
+        # consumes the RAW pair frame with whatever partitioning it has
+        # — only the re-contraction loop below applies the 4M-edge
+        # target. A coarsely-partitioned dense frame (few huge
+        # partitions) would OOM a task, so when the average exceeds the
+        # documented ~8M-edge / 250 MB-peak contract, repartition to the
+        # 4M target first. Parquet scans at default 128 MB splits never
+        # trigger this (the repartition is itself an O(|E|) shuffle —
+        # a safety valve, not the normal path).
+        n_parts = max(1, edges.rdd.getNumPartitions())
+        if n_pairs / n_parts > _FOREST_PASS1_MAX_PER_PART:
+            edges = edges.repartition(
+                int(n_pairs // _FOREST_TARGET_EDGES_PER_PART) + 1
+            )
         labels = (
-            pairs.select(F.col(id_a).alias("doc_id"))
-            .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
+            pairs.select(F.col(id_a).cast("long").alias("doc_id"))
+            .unionByName(pairs.select(F.col(id_b).cast("long").alias("doc_id")))
             .distinct()
             .persist()
         )
@@ -841,7 +942,7 @@ def connected_components(
         for _pass in range(4):
             if m_edges <= shrink_target:
                 break
-            parts = max(1, int(m_edges // 4_000_000) + 1)
+            parts = max(1, int(m_edges // _FOREST_TARGET_EDGES_PER_PART) + 1)
             recontracted = _partition_forest(
                 forest.repartition(parts)
             ).persist()
@@ -871,7 +972,11 @@ def connected_components(
         singles = labels.join(
             core.select("doc_id"), "doc_id", "left_anti"
         ).select("doc_id", F.col("doc_id").alias("component"))
-        out = core.unionByName(singles)
+        # materialize (node-sized) BEFORE releasing the persisted node
+        # frame — unpersisting first made the anti-join recompute the
+        # full pair-frame node scan on every downstream action
+        # (ADVICE r10)
+        out = core.unionByName(singles).localCheckpoint(eager=True)
         labels.unpersist()
         return out
 
@@ -1071,15 +1176,18 @@ def pigeonhole_bucket_stats(
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("n").cast("long").alias("max_bucket"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2)
-            .cast("long")
-            .alias("candidates"),
+            # n*(n-1) is even, so DIV 2 is exact — and the whole
+            # aggregation stays in bigint. `/ 2` would route through
+            # double, whose 53-bit mantissa silently loses exactness
+            # above ~9e15 total candidates while the DuckDB oracle
+            # (integer //) stays exact (ADVICE r10).
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("candidates"),
             F.sum(hot.cast("long")).alias("n_hot_buckets"),
             F.sum(F.when(hot, F.col("n")).otherwise(0))
             .cast("long")
             .alias("docs_in_hot"),
             F.sum(
-                F.when(hot, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+                F.when(hot, F.expr("n * (n - 1) DIV 2")).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("pairs_in_hot"),

@@ -127,18 +127,117 @@ def test_unknown_strategy_is_refused(spark):
 
 
 def test_star_round_plan_never_joins_an_unbounded_edge_frame(spark):
-    """Plan-shape pin for the new round engine: a star round's joins
-    key on the CURRENT (forest-sized) frame only — the plan must not
+    """Plan-shape pin for the round engine: a star round's joins key
+    on the CURRENT (forest-sized) frame only — the plan must not
     contain a BroadcastNestedLoopJoin or cartesian product, and the
     groupBy side is a partial (map-side combined) aggregate, so
-    per-round shuffle is bounded by the frame itself."""
-    df = spark.range(37, 2000).selectExpr("id AS src", "id % 37 AS dst")
-    labels = _star_rounds(df, max_iterations=10)
-    plan = labels._jdf.queryExecution().executedPlan().toString()
+    per-round shuffle is bounded by the frame itself. Pins ONE round's
+    plan via _star_round — the _star_rounds return value is an eagerly
+    materialized LogicalRDD since r11, which would make this vacuous."""
+    from dataengineering_spark.operators.dedup import _star_round
+
+    df = spark.range(37, 2000).selectExpr(
+        "id AS src", "id % 37 AS dst"
+    )
+    one_round = _star_round(df)
+    plan = one_round._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+    labels = _star_rounds(df, max_iterations=10)
     got = {r.doc_id: r.component for r in labels.collect()}
     expect = _driver_union_find(
         [(i, i % 37) for i in range(37, 2000)]
     )
     assert got == expect  # 37 residue-class star components
+
+
+def test_star_rounds_output_is_materialized_and_released(spark):
+    """ADVICE r10: _star_rounds leaked its final persisted edge frame
+    and connected_components unpersisted the node frame before the
+    output was consumed (recomputing the full pair scan downstream).
+    Both now return an eagerly-materialized LogicalRDD holding no
+    lineage back to the inputs — and no persisted frame from the call
+    survives it."""
+    import random
+
+    before = {
+        rid for rid in
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    random.seed(11)
+    edges = [(random.randrange(60), random.randrange(60)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = _star_path(pairs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    # every persist taken during the call is released by return time;
+    # only localCheckpoint block sets (storage of the materialized
+    # results, reclaimed on GC) may remain
+    after = {
+        rid for rid in
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    jsc = spark.sparkContext._jsc
+    leaked = []
+    for rid in after - before:
+        rdd = jsc.getPersistentRDDs().get(rid)
+        if rdd is not None and not rdd.rdd().isLocallyCheckpointed():
+            leaked.append(rid)
+    assert leaked == [], f"persisted frames leaked by connected_components: {leaked}"
+    assert {r.doc_id: r.component for r in out.collect()} == _driver_union_find(edges)
+
+
+def test_cc_star_string_ids_fall_back_to_minlabel(spark):
+    """ADVICE r10: the star engine is int64-only; non-integral ids must
+    route to the minlabel engine (any orderable type) instead of
+    raising inside a task — on BOTH the distributed and driver-gate
+    paths, preserving the caller's id type."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    expect = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == expect
+    # driver-gate path: schema was hardcoded "long" before r11
+    gated = connected_components(pairs)
+    assert gated.schema["doc_id"].dataType.simpleString() == "string"
+    assert {r.doc_id: r.component for r in gated.collect()} == expect
+
+
+def test_cc_star_int32_ids_cast_up_to_long(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 9)], "doc_a int, doc_b int"
+    )
+    out = connected_components(pairs, driver_threshold=0)
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_cc_star_pass1_repartition_branch(spark, monkeypatch):
+    """Force the pass-1 sizing branch (ADVICE r10: a coarsely
+    partitioned dense pair frame must be repartitioned before the
+    first contraction) by shrinking the thresholds; the labeling must
+    be unchanged."""
+    import random
+
+    from dataengineering_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_FOREST_PASS1_MAX_PER_PART", 10)
+    monkeypatch.setattr(dd, "_FOREST_TARGET_EDGES_PER_PART", 5)
+    random.seed(7)
+    edges = [(random.randrange(40), random.randrange(40)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        edges, "doc_a long, doc_b long"
+    ).coalesce(1)  # one huge partition — the shape the branch guards
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == _driver_union_find(edges)

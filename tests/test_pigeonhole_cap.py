@@ -136,3 +136,19 @@ def test_video_cap_binds_per_slot_bucket(spark):
     # capped: slot-0's degenerate bucket is gone; only the slot-1
     # cold-bucket match remains
     assert capped == {(0, 1, 1)}
+
+
+def test_bucket_stats_candidate_arithmetic_stays_bigint(spark):
+    """ADVICE r10: candidates/pairs_in_hot routed n*(n-1)/2 through
+    double (bigint `/` -> double) before casting back — exact only
+    below 2^53 total. The aggregation must stay in integer arithmetic
+    end to end (n*(n-1) DIV 2), matching the oracle's exact //."""
+    hashes = _fixture()
+    df = spark.createDataFrame(
+        sorted(hashes.items()), "doc_id long, simhash long"
+    )
+    stats = pigeonhole_bucket_stats(df, max_distance=DIST, max_bucket_size=CAP)
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "cast((n * (n - 1)) as double)" not in plan.lower()
+    for col in ("candidates", "pairs_in_hot", "docs_in_hot", "max_bucket"):
+        assert stats.schema[col].dataType.simpleString() == "bigint", col
