@@ -1696,6 +1696,21 @@ def require_pair_budget(
     (~16 B raw in shuffle/cache), so ~50 GB of scratch prices roughly
     3e9 pairs. Knobs in the error: raise the threshold, lower the cap,
     or grow C with the corpus (cells ≈ N/1000 keeps pair work linear).
+
+    MATERIALIZATION CONTRACT (r11, the sf100 video lesson): this
+    function prices PRE-VERIFY candidate volume, which is correct
+    exactly when candidates are materialized — and the SemDeDup path
+    is: ``semantic_dedup_members`` persists its candidate pair frame
+    before CC. For the pigeonhole/hamming lanes the verify predicate
+    folds into the join condition itself (Catalyst pushes
+    ``bit_count(a^b) <= d`` below the candidate distinct — pinned by
+    test), so candidates stream through codegen and only SURVIVORS
+    ever hit a shuffle; pricing those paths on candidate volume
+    over-refuses by the verify rejection factor (the sf100 video arm:
+    3.08B candidates priced over a 2B budget, actual materialized
+    volume 328,880 pairs, 35.6 s). Streaming-verify callers should use
+    :func:`require_survivor_budget` with a
+    :func:`sample_verify_rate`-measured rate instead.
     """
     sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     if max_cell_size is not None:
@@ -1715,6 +1730,150 @@ def require_pair_budget(
             f"the corpus (C ~ N/1000)."
         )
     return predicted
+
+def candidate_volume(
+    bucket_sizes: DataFrame,
+    max_bucket_size: int | None = None,
+    size_col: str = "n",
+) -> int:
+    """Exact Σ n·(n−1)/2 over a bucket-size frame (one row per join
+    bucket, ``size_col`` = members), optionally after dropping buckets
+    over ``max_bucket_size`` — the same arithmetic every price-then-cap
+    probe ran driver-side, as an O(#buckets) aggregate that never
+    materializes a pair. Integer end-to-end (``DIV 2``): exact at any
+    scale, unlike a double sum (ADVICE r10)."""
+    sizes = bucket_sizes.select(_bq(size_col).alias("n"))
+    if max_bucket_size is not None:
+        sizes = sizes.filter(F.col("n") <= max_bucket_size)
+    row = sizes.agg(
+        F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0)).alias("p")
+    ).collect()[0]
+    return int(row["p"])
+
+
+def sample_verify_rate(
+    sim: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    slot_col: str | None = None,
+    max_bucket_size: int | None = None,
+    bucket_sample: int = 64,
+    seed: int = 11,
+) -> tuple[float, int, int]:
+    """Measured verify pass rate for the pigeonhole/hamming candidate
+    join: on a deterministic 1-in-``bucket_sample`` hash-sample of
+    (chunk, value) buckets (plus ``slot_col`` when given — the video
+    lane's extra equi-key), run the SAME capped self-join the real
+    operator runs and count candidate occurrences vs occurrences
+    passing ``bit_count(xor) <= max_distance``. Returns
+    ``(rate, sampled_candidates, sampled_survivors)``.
+
+    The rate is measured at candidate-OCCURRENCE level (pre-distinct,
+    one row per shared chunk), which is exactly the stream the verify
+    filter sees and exactly what ``require_survivor_budget`` scales:
+    survivors × occurrence multiplicity is what enters the dedup
+    distinct's exchange. Sampling whole BUCKETS (not rows) keeps
+    within-bucket pair structure intact — a row sample would shrink
+    every bucket quadratically and bias the rate. Expected sample cost
+    is kept_volume / bucket_sample candidate occurrences, streamed
+    through one codegen aggregate; nothing persists. Zero sampled
+    candidates returns rate 1.0 — the conservative price.
+    """
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    cols = [_bq(id_col).alias("_id"), _bq(sim_col).alias("_sh")]
+    keys = ["c", "cv"]
+    if slot_col is not None:
+        cols.append(_bq(slot_col).alias("_sl"))
+        keys = ["_sl", "c", "cv"]
+    safe = sim.select(*cols)
+    chunks = safe.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c")
+    ).select(
+        "*", F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv")
+    )
+    # deterministic bucket sample on the join's own key — the whole
+    # bucket is in or out, preserving its pair structure
+    chunks = chunks.filter(
+        F.pmod(F.abs(F.xxhash64(*keys, F.lit(seed))), F.lit(bucket_sample))
+        == 0
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys)
+        chunks = (
+            chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a = chunks.select(
+        F.col("_id").alias("_ida"), F.col("_sh").alias("sh_a"), *keys
+    )
+    b = chunks.select(
+        F.col("_id").alias("_idb"), F.col("_sh").alias("sh_b"), *keys
+    )
+    row = (
+        a.join(b, on=keys)
+        .filter(F.col("_ida") < F.col("_idb"))
+        .agg(
+            F.count(F.lit(1)).alias("cand"),
+            F.coalesce(
+                F.sum(
+                    (F.expr("bit_count(sh_a ^ sh_b)") <= max_distance)
+                    .cast("long")
+                ),
+                F.lit(0),
+            ).alias("surv"),
+        )
+        .collect()[0]
+    )
+    cand, surv = int(row["cand"]), int(row["surv"])
+    if cand == 0:
+        return 1.0, 0, 0
+    return surv / cand, cand, surv
+
+
+def require_survivor_budget(
+    bucket_sizes: DataFrame,
+    max_pairs: int,
+    verify_rate: float,
+    max_bucket_size: int | None = None,
+    size_col: str = "n",
+) -> tuple[int, int]:
+    """The STREAMING-VERIFY half of the pair budget (r11 — the sf100
+    video lesson, SCALE.md r10): when the verify predicate folds into
+    the candidate join (the pigeonhole/hamming lanes — Catalyst pushes
+    ``bit_count <= d`` below the distinct, pinned by test), candidates
+    never materialize; the footprint that can kill a job is the
+    POST-VERIFY survivor volume entering the dedup distinct's
+    exchange. Price that: exact capped candidate volume from the
+    bucket histogram × a measured ``verify_rate``
+    (:func:`sample_verify_rate`). Returns
+    ``(predicted_candidates, predicted_survivors)`` when within
+    budget; raises with the numbers and the knobs otherwise.
+
+    Paths that persist, checkpoint, or collect their CANDIDATES must
+    keep pricing pre-verify volume via :func:`require_pair_budget` —
+    a survivor price there under-counts the real footprint."""
+    if not 0.0 <= verify_rate <= 1.0:
+        raise ValueError(f"verify_rate must be in [0, 1], got {verify_rate}")
+    predicted = candidate_volume(bucket_sizes, max_bucket_size, size_col)
+    survivors = int(predicted * verify_rate)
+    if survivors > max_pairs:
+        raise ValueError(
+            f"predicted post-verify survivor volume {survivors:,} "
+            f"({predicted:,} candidates x measured verify rate "
+            f"{verify_rate:.3g}) exceeds the pair budget {max_pairs:,}; "
+            f"refuse instead of disk-dying. Lower max_bucket_size "
+            f"(currently {max_bucket_size}), tighten max_distance, or "
+            f"shard the corpus."
+        )
+    return predicted, survivors
+
 
 def semantic_cell_stats(
     emb: DataFrame,

@@ -77,7 +77,10 @@ def media_neardup_batch_fn(
     Scale deployments that need the valve should run
     ``pigeonhole_bucket_stats`` over the accumulated index (it is the
     join key's own layout, O(#buckets)) and apply the cap in a batch
-    re-pair pass, where its recall contract is exact."""
+    re-pair pass, where its recall contract is exact —
+    :func:`repair_accumulated_pairs` / :func:`repair_accumulated_video_pairs`
+    implement that pass (r11), re-pairing from the 16 B/object index
+    with no payload re-decode."""
 
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
@@ -142,6 +145,82 @@ def accumulated_media_pairs(spark, pairs_dir: str) -> DataFrame:
         .parquet(pairs_dir)
         .distinct()
     )
+
+
+def repair_accumulated_pairs(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    max_bucket_size: int,
+    sim_col: str,
+    bits: int = 64,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+) -> int:
+    """Batch re-pair pass for a capped ACCUMULATED index — the
+    documented companion to the epoch loop's deliberate cap exclusion
+    (see ``media_neardup_batch_fn``): the hot-bucket cap is a function
+    of whole-corpus bucket sizes, so it can only be applied where the
+    whole corpus is visible. This reruns the pigeonhole chunk join
+    over the accumulated fingerprint index (16 B/object — NO payload
+    re-decode; the expensive lane was paid at ingest) with
+    ``max_bucket_size``, and REWRITES the pairs store to exactly the
+    capped-batch pair set. Returns the rewritten pair count.
+
+    Price before running: ``pigeonhole_bucket_stats`` over the same
+    index reports exactly what the cap forfeits (O(#buckets)), and
+    ``require_survivor_budget`` + ``sample_verify_rate`` bound the
+    survivor volume this pass will materialize. The pairs store is
+    derived state — recomputable from the index — so the in-place
+    overwrite is crash-safe in the only sense that matters: a lost
+    store is one re-pair away."""
+    index = (
+        spark.read.schema(f"`{id_col}` long, `{sim_col}` long")
+        .parquet(index_dir)
+        .distinct()  # foreachBatch replays re-append identical rows
+    )
+    pairs = simhash_neardup_pairs(
+        index, max_distance=max_distance, id_col=id_col, sim_col=sim_col,
+        bits=bits, max_bucket_size=max_bucket_size,
+    ).persist()
+    try:
+        n = pairs.count()  # materialize before touching the store
+        pairs.write.mode("overwrite").parquet(pairs_dir)
+    finally:
+        pairs.unpersist()
+    return n
+
+
+def repair_accumulated_video_pairs(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    max_bucket_size: int,
+    max_distance: int = 3,
+    min_matching: int = 3,
+    id_col: str = "doc_id",
+) -> int:
+    """Video-lane :func:`repair_accumulated_pairs`: re-pairs the
+    accumulated (doc_id, slot, dhash) frame-hash index with the
+    per-(slot, chunk, value) hot-bucket cap and rewrites the pairs
+    store to the capped-batch (doc_a, doc_b, n_match) set."""
+    from dataengineering_spark.operators.dedup import video_neardup_pairs
+
+    index = (
+        spark.read.schema(f"`{id_col}` long, slot int, dhash long")
+        .parquet(index_dir)
+        .distinct()
+    )
+    pairs = video_neardup_pairs(
+        index, max_distance=max_distance, min_matching=min_matching,
+        id_col=id_col, max_bucket_size=max_bucket_size,
+    ).persist()
+    try:
+        n = pairs.count()
+        pairs.write.mode("overwrite").parquet(pairs_dir)
+    finally:
+        pairs.unpersist()
+    return n
 
 
 def video_neardup_batch_fn(

@@ -1,0 +1,168 @@
+"""The materialization-aware pair budget (r11 — SCALE.md r10's sf100
+video lesson): pigeonhole/hamming lanes verify map-side inside the
+candidate join (candidates never materialize), so their budget prices
+post-verify survivor volume = exact capped candidate volume × a
+measured verify rate. Materializing paths (SemDeDup persists its
+candidate pairs) keep the exact pre-verify pricing.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataengineering_spark.operators.dedup import (
+    candidate_volume,
+    require_survivor_budget,
+    sample_verify_rate,
+    simhash_neardup_pairs,
+    video_neardup_pairs,
+)
+
+DIST = 3
+BITS = 32
+CHUNK_BITS = BITS // (DIST + 1)
+MASK = (1 << CHUNK_BITS) - 1
+
+
+def _fixture() -> dict[int, int]:
+    # deterministic fingerprints with clustered buckets: a hot cluster
+    # sharing chunk 0, plus a spread tail
+    hashes = {}
+    for i in range(40):
+        hashes[i] = (0xAB) | ((i % 7) << 8) | ((i % 11) << 16) | ((i % 5) << 24)
+    for i in range(40, 90):
+        hashes[i] = (i * 2654435761) & 0xFFFFFFFF
+    return hashes
+
+
+def _cv(h: int, c: int) -> int:
+    return (h >> (CHUNK_BITS * c)) & MASK
+
+
+def _occurrences(hashes, max_bucket_size=None):
+    """(candidate, survivor) occurrence counts the join produces:
+    one per shared (chunk, value) bucket membership pair."""
+    cand = surv = 0
+    for c in range(DIST + 1):
+        buckets: dict[int, list[int]] = {}
+        for doc, h in sorted(hashes.items()):
+            buckets.setdefault(_cv(h, c), []).append(doc)
+        for members in buckets.values():
+            if max_bucket_size is not None and len(members) > max_bucket_size:
+                continue
+            for a, b in combinations(members, 2):
+                cand += 1
+                if bin(hashes[a] ^ hashes[b]).count("1") <= DIST:
+                    surv += 1
+    return cand, surv
+
+
+def test_candidate_volume_matches_manual_histogram(spark):
+    hashes = _fixture()
+    sizes = Counter(
+        (_cv(h, c)) | (c << 40) for c in range(DIST + 1) for h in hashes.values()
+    )
+    buckets = spark.createDataFrame(
+        [(int(n),) for n in sizes.values()], "n long"
+    )
+    want = sum(n * (n - 1) // 2 for n in sizes.values())
+    assert candidate_volume(buckets) == want
+    cap = 10
+    want_capped = sum(n * (n - 1) // 2 for n in sizes.values() if n <= cap)
+    assert candidate_volume(buckets, max_bucket_size=cap) == want_capped
+    # empty frame prices zero, not null
+    assert candidate_volume(buckets.filter(F.col("n") < 0)) == 0
+
+
+def test_sample_verify_rate_full_sample_is_exact(spark):
+    """bucket_sample=1 keeps every bucket: the 'sampled' rate must be
+    the exact occurrence-level pass rate of the real join."""
+    hashes = _fixture()
+    df = spark.createDataFrame(
+        sorted(hashes.items()), "doc_id long, simhash long"
+    )
+    rate, cand, surv = sample_verify_rate(
+        df, max_distance=DIST, bits=BITS, bucket_sample=1
+    )
+    want_cand, want_surv = _occurrences(hashes)
+    assert (cand, surv) == (want_cand, want_surv)
+    assert rate == pytest.approx(want_surv / want_cand)
+
+
+def test_sample_verify_rate_respects_cap_and_subsamples(spark):
+    hashes = _fixture()
+    df = spark.createDataFrame(
+        sorted(hashes.items()), "doc_id long, simhash long"
+    )
+    cap = 8
+    rate, cand, surv = sample_verify_rate(
+        df, max_distance=DIST, bits=BITS, bucket_sample=1, max_bucket_size=cap
+    )
+    want_cand, want_surv = _occurrences(hashes, max_bucket_size=cap)
+    assert (cand, surv) == (want_cand, want_surv)
+    # a 1-in-4 bucket sample sees a strict subset of the UNCAPPED
+    # occurrence stream
+    full_cand, full_surv = _occurrences(hashes)
+    _, cand4, surv4 = sample_verify_rate(
+        df, max_distance=DIST, bits=BITS, bucket_sample=4
+    )
+    assert cand4 < full_cand and surv4 <= full_surv
+    # no sampled candidates -> conservative rate 1.0
+    empty = df.filter(F.col("doc_id") < 0)
+    assert sample_verify_rate(empty, max_distance=DIST, bits=BITS) == (1.0, 0, 0)
+
+
+def test_require_survivor_budget_contract(spark):
+    hashes = _fixture()
+    sizes = Counter(
+        (_cv(h, c)) | (c << 40) for c in range(DIST + 1) for h in hashes.values()
+    )
+    buckets = spark.createDataFrame(
+        [(int(n),) for n in sizes.values()], "n long"
+    )
+    total = sum(n * (n - 1) // 2 for n in sizes.values())
+    # within budget: returns (candidates, survivors)
+    cand, surv = require_survivor_budget(buckets, max_pairs=total, verify_rate=0.5)
+    assert cand == total and surv == total // 2
+    # a rate that prices the survivors over budget refuses with numbers
+    with pytest.raises(ValueError, match="survivor volume"):
+        require_survivor_budget(buckets, max_pairs=surv - 1, verify_rate=0.5)
+    # ...while the SAME budget passes at a lower measured rate — the
+    # materialization-aware behavior the r10 video arm needed
+    require_survivor_budget(buckets, max_pairs=surv - 1, verify_rate=0.01)
+    with pytest.raises(ValueError, match="verify_rate"):
+        require_survivor_budget(buckets, max_pairs=10, verify_rate=1.5)
+
+
+def test_verify_predicate_folds_into_candidate_join(spark):
+    """The premise of survivor pricing, pinned: Catalyst pushes the
+    hamming verify below the candidate distinct INTO the join
+    condition, so pre-verify candidates stream through codegen and
+    never reach an exchange — for both the simhash and the
+    slot-keyed video lanes."""
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("simhash")
+    )
+    plan = (
+        simhash_neardup_pairs(df, max_distance=DIST, bits=BITS)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    join_lines = [ln for ln in plan.splitlines() if "Join Inner" in ln]
+    assert join_lines and all("bit_count" in ln for ln in join_lines), plan
+
+    fh = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("slot"),
+        (F.col("id") % 53).alias("dhash"),
+    )
+    vplan = (
+        video_neardup_pairs(fh, max_distance=DIST, min_matching=1)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    vjoin = [ln for ln in vplan.splitlines() if "Join Inner" in ln]
+    assert vjoin and all("bit_count" in ln for ln in vjoin), vplan

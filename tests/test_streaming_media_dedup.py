@@ -175,3 +175,93 @@ def test_video_stream_pairs_equal_batch(spark, tmp_path):
     # epochs, so EVERY pair here crossed the index-join path
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.distinct().count() == N_DOCS * 4  # 4 slots per video
+
+
+def test_image_stream_then_repair_equals_capped_batch(spark, tmp_path):
+    """r11: the epoch loop deliberately excludes the hot-bucket cap
+    (an epoch-local cap breaks stream==batch); repair_accumulated_pairs
+    applies it in a batch pass over the accumulated index — the result
+    must equal the capped BATCH join over the same corpus, with no
+    payload re-decode."""
+    from dataengineering_spark.streaming.media_dedup import (
+        repair_accumulated_pairs,
+    )
+
+    corpus = _image_corpus(spark)
+    _drain(spark, tmp_path, corpus, dhash_images, "dhash", 64)
+    cap = 2
+    want_uncapped = {
+        tuple(r) for r in _batch_pairs(corpus, dhash_images, "dhash", 64).collect()
+    }
+    want = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            dhash_images(corpus), max_distance=3, sim_col="dhash", bits=64,
+            max_bucket_size=cap,
+        ).collect()
+    }
+    assert want != want_uncapped, "cap must bind on the fixture"
+    n = repair_accumulated_pairs(
+        spark,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        max_bucket_size=cap,
+        sim_col="dhash",
+    )
+    got = {
+        tuple(r)
+        for r in accumulated_media_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    assert got == want and n == len(want)
+
+
+def test_video_stream_then_repair_equals_capped_batch(spark, tmp_path):
+    from dataengineering_spark.functions.multimodal import video_frame_hashes
+    from dataengineering_spark.operators.dedup import video_neardup_pairs
+    from dataengineering_spark.streaming.media_dedup import (
+        accumulated_video_pairs,
+        repair_accumulated_video_pairs,
+        video_neardup_stream,
+    )
+
+    corpus = _video_corpus(spark)
+    src = str(tmp_path / "arrivals")
+    for ep in range(EPOCH_MOD):
+        (
+            corpus.filter(F.col("doc_id") % EPOCH_MOD == ep)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = video_neardup_stream(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    cap = 2
+    fh = video_frame_hashes(corpus)
+    want_uncapped = {tuple(r) for r in video_neardup_pairs(fh).collect()}
+    want = {
+        tuple(r)
+        for r in video_neardup_pairs(fh, max_bucket_size=cap).collect()
+    }
+    assert want != want_uncapped, "per-slot cap must bind on the fixture"
+    n = repair_accumulated_video_pairs(
+        spark,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        max_bucket_size=cap,
+    )
+    got = {
+        tuple(r)
+        for r in accumulated_video_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    assert got == want and n == len(want)
