@@ -1751,6 +1751,83 @@ def candidate_volume(
     return int(row["p"])
 
 
+def verify_rate_stats(
+    sim: DataFrame,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    slot_col: str | None = None,
+    max_bucket_size: int | None = None,
+    bucket_sample: int = 1,
+    seed: int = 11,
+) -> DataFrame:
+    """Per-chunk verify pass accounting for the pigeonhole/hamming
+    candidate join: one row per chunk id with the candidate
+    OCCURRENCES the (optionally capped, optionally bucket-sampled)
+    self-join produces for that chunk and how many pass the
+    ``bit_count(xor) <= max_distance`` verify — the measured
+    counterpart to ``pigeonhole_bucket_stats``' predicted candidate
+    arithmetic, and the frame :func:`sample_verify_rate` aggregates
+    into the survivor-budget rate.
+
+    ``bucket_sample`` > 1 keeps a deterministic 1-in-k hash-sample of
+    (chunk, value) buckets (plus ``slot_col`` when given — the video
+    lane's extra equi-key): whole buckets are in or out, preserving
+    within-bucket pair structure — a ROW sample would shrink every
+    bucket quadratically and bias the rate. Expected cost is
+    kept_volume / bucket_sample candidate occurrences streamed through
+    one codegen aggregate; nothing persists."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    cols = [_bq(id_col).alias("_id"), _bq(sim_col).alias("_sh")]
+    keys = ["c", "cv"]
+    if slot_col is not None:
+        cols.append(_bq(slot_col).alias("_sl"))
+        keys = ["_sl", "c", "cv"]
+    safe = sim.select(*cols)
+    chunks = safe.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c")
+    ).select(
+        "*", F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv")
+    )
+    if bucket_sample > 1:
+        chunks = chunks.filter(
+            F.pmod(
+                F.abs(F.xxhash64(*keys, F.lit(seed))), F.lit(bucket_sample)
+            )
+            == 0
+        )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys)
+        chunks = (
+            chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a = chunks.select(
+        F.col("_id").alias("_ida"), F.col("_sh").alias("sh_a"), *keys
+    )
+    b = chunks.select(
+        F.col("_id").alias("_idb"), F.col("_sh").alias("sh_b"), *keys
+    )
+    return (
+        a.join(b, on=keys)
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy(F.col("c").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("candidates"),
+            F.sum(
+                (F.expr("bit_count(sh_a ^ sh_b)") <= max_distance)
+                .cast("long")
+            ).alias("survivors"),
+        )
+    )
+
+
 def sample_verify_rate(
     sim: DataFrame,
     max_distance: int = 3,
@@ -1774,60 +1851,18 @@ def sample_verify_rate(
     one row per shared chunk), which is exactly the stream the verify
     filter sees and exactly what ``require_survivor_budget`` scales:
     survivors × occurrence multiplicity is what enters the dedup
-    distinct's exchange. Sampling whole BUCKETS (not rows) keeps
-    within-bucket pair structure intact — a row sample would shrink
-    every bucket quadratically and bias the rate. Expected sample cost
-    is kept_volume / bucket_sample candidate occurrences, streamed
-    through one codegen aggregate; nothing persists. Zero sampled
-    candidates returns rate 1.0 — the conservative price.
+    distinct's exchange. Zero sampled candidates returns rate 1.0 —
+    the conservative price. Per-chunk detail (and the sampling
+    mechanics) live in :func:`verify_rate_stats`.
     """
-    n_chunks = max_distance + 1
-    chunk_bits = bits // n_chunks
-    mask = (1 << chunk_bits) - 1
-    cols = [_bq(id_col).alias("_id"), _bq(sim_col).alias("_sh")]
-    keys = ["c", "cv"]
-    if slot_col is not None:
-        cols.append(_bq(slot_col).alias("_sl"))
-        keys = ["_sl", "c", "cv"]
-    safe = sim.select(*cols)
-    chunks = safe.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c")
-    ).select(
-        "*", F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv")
-    )
-    # deterministic bucket sample on the join's own key — the whole
-    # bucket is in or out, preserving its pair structure
-    chunks = chunks.filter(
-        F.pmod(F.abs(F.xxhash64(*keys, F.lit(seed))), F.lit(bucket_sample))
-        == 0
-    )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*keys)
-        chunks = (
-            chunks.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
-    a = chunks.select(
-        F.col("_id").alias("_ida"), F.col("_sh").alias("sh_a"), *keys
-    )
-    b = chunks.select(
-        F.col("_id").alias("_idb"), F.col("_sh").alias("sh_b"), *keys
-    )
     row = (
-        a.join(b, on=keys)
-        .filter(F.col("_ida") < F.col("_idb"))
+        verify_rate_stats(
+            sim, max_distance, id_col, sim_col, bits, slot_col,
+            max_bucket_size, bucket_sample, seed,
+        )
         .agg(
-            F.count(F.lit(1)).alias("cand"),
-            F.coalesce(
-                F.sum(
-                    (F.expr("bit_count(sh_a ^ sh_b)") <= max_distance)
-                    .cast("long")
-                ),
-                F.lit(0),
-            ).alias("surv"),
+            F.coalesce(F.sum("candidates"), F.lit(0)).alias("cand"),
+            F.coalesce(F.sum("survivors"), F.lit(0)).alias("surv"),
         )
         .collect()[0]
     )

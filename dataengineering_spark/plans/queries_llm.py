@@ -1748,6 +1748,60 @@ FROM buckets GROUP BY c
 
 
 # ===========================================================================
+# Q: image_verify_rate — the measured half of the materialization-aware
+# pair budget (r11): per chunk id, the candidate OCCURRENCES the capped
+# pigeonhole self-join actually produces and how many pass the hamming
+# verify (verify_rate_stats — what sample_verify_rate aggregates into
+# the require_survivor_budget rate). Complements image_bucket_accounting,
+# which PREDICTS candidate volume from the histogram; this measures the
+# verify pass rate on the same join, so together they price the
+# post-verify survivor volume that actually materializes on streaming-
+# verify lanes (the sf100 video lesson, SCALE.md r10). The oracle
+# replays the closed-form dHashes, the 16-bit chunking, the bucket cap,
+# and the capped self-join with its verify predicate.
+# ===========================================================================
+
+
+def q_image_verify_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import verify_rate_stats
+
+    dh = _image_dhash_frame(spark, sf_dir)
+    stats = verify_rate_stats(
+        dh, max_distance=3, sim_col="dhash", bits=64,
+        max_bucket_size=_BUCKET_CAP,
+    )
+    return stats.select(
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "candidates",
+        "survivors",
+        (F.col("survivors") / F.col("candidates")).alias("verify_rate"),
+    )
+
+
+SQL_IMAGE_VERIFY_RATE = _IMAGE_HASH_CTES + f"""
+, chunks AS (
+  SELECT doc_id, dhash, CAST(r.range AS INTEGER) AS c,
+         (dhash >> CAST(16 * r.range AS INTEGER)) & 65535 AS cv
+  FROM hashes CROSS JOIN range(0, 4) r
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY c, cv) AS bn FROM chunks
+),
+kept AS (SELECT * FROM sized WHERE bn <= {_BUCKET_CAP})
+SELECT a.c AS chunk_id,
+  CAST(COUNT(*) AS BIGINT) AS candidates,
+  CAST(SUM(CASE WHEN bit_count(xor(a.dhash, b.dhash)) <= 3
+           THEN 1 ELSE 0 END) AS BIGINT) AS survivors,
+  CAST(SUM(CASE WHEN bit_count(xor(a.dhash, b.dhash)) <= 3
+           THEN 1 ELSE 0 END) AS BIGINT)
+    / CAST(COUNT(*) AS BIGINT) AS verify_rate
+FROM kept a JOIN kept b
+  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+GROUP BY a.c
+"""
+
+
+# ===========================================================================
 # Q: audio_neardup — perceptual audio near-duplicates: REAL WAV decode
 # -> 32-window integer energy profile -> 31-bit energy-delta
 # fingerprint (dHash for audio) -> the SimHash pigeonhole chunk join
@@ -4100,6 +4154,11 @@ LLM_QUERIES: dict[str, tuple] = {
         q_image_bucket_accounting,
         SQL_IMAGE_BUCKET_ACCOUNTING,
         "north-star:multimodal dedup cap pricing",
+    ),
+    "image_verify_rate": (
+        q_image_verify_rate,
+        SQL_IMAGE_VERIFY_RATE,
+        "north-star:multimodal survivor-budget rate",
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META, "north-star:multimodal"),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE, "north-star:multimodal"),
