@@ -139,6 +139,8 @@ HEADLINE = (
     # pigeonhole hot-bucket cap accounting
     "video_neardup",
     "image_bucket_accounting",
+    # round-11: the measured verify-rate half of the survivor budget
+    "image_verify_rate",
 )
 
 

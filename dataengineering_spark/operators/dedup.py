@@ -1910,6 +1910,100 @@ def require_survivor_budget(
     return predicted, survivors
 
 
+def authorize_pigeonhole_cap(
+    sim: DataFrame,
+    caps: "tuple[int, ...] | list[int]",
+    budget: int,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    slot_col: str | None = None,
+    compute_cap: int | None = None,
+    sample_target: int = 50_000_000,
+    seed: int = 11,
+) -> dict:
+    """The price-then-cap workflow as ONE operator (r11): given a
+    fingerprint frame and a ladder of hot-bucket caps, authorize the
+    LARGEST cap whose predicted post-verify survivor volume fits
+    ``budget`` — the materialization-aware policy the sf100 probes run
+    (SCALE.md r10/r11). Per cap, largest first: exact capped candidate
+    volume from the bucket histogram (``candidate_volume``), then a
+    measured verify pass rate on an adaptively-sized whole-bucket
+    sample (``sample_verify_rate``; ~``sample_target`` occurrences),
+    then ``require_survivor_budget``. Returns the decision record::
+
+        {"cap", "candidates", "rate", "predicted_survivors",
+         "priced": [one row per cap considered]}
+
+    ``compute_cap`` optionally bounds the STREAMED candidate volume
+    too (wall-clock, not materialization — candidates cost one codegen
+    hamming verify each even though they never persist); caps over it
+    are skipped with a priced row, not silently. Raises ``ValueError``
+    with the full pricing table when no cap fits — a refusal with the
+    numbers, never a mid-job disk-death. O(#buckets) driver state plus
+    one streamed sample aggregate per cap considered; no pair is ever
+    materialized."""
+    n_chunks = max_distance + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    cols = [_bq(sim_col).alias("_sh")]
+    keys = ["c", "cv"]
+    if slot_col is not None:
+        cols.append(_bq(slot_col).alias("_sl"))
+        keys = ["_sl", "c", "cv"]
+    buckets = (
+        sim.select(*cols)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+        )
+        .select(
+            "*",
+            F.expr(f"shiftright(_sh, {chunk_bits} * c) & {mask}").alias("cv"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    priced: list[dict] = []
+    chosen: dict | None = None
+    try:
+        for cap in sorted(caps, reverse=True):
+            cand = candidate_volume(buckets, max_bucket_size=cap)
+            if compute_cap is not None and cand > compute_cap:
+                priced.append(
+                    {"cap": cap, "candidates": cand,
+                     "verdict": "over_compute_cap"}
+                )
+                continue
+            k = max(1, int(cand // sample_target) or 1)
+            rate, s_cand, s_surv = sample_verify_rate(
+                sim, max_distance, id_col, sim_col, bits, slot_col,
+                max_bucket_size=cap, bucket_sample=k, seed=seed,
+            )
+            survivors = int(cand * rate)
+            row = {"cap": cap, "candidates": cand, "rate": rate,
+                   "sampled": (s_cand, s_surv),
+                   "predicted_survivors": survivors}
+            if survivors <= budget:
+                row["verdict"] = "authorized"
+                priced.append(row)
+                chosen = row
+                break
+            row["verdict"] = "refused"
+            priced.append(row)
+    finally:
+        buckets.unpersist()
+    if chosen is None:
+        raise ValueError(
+            f"no cap in {sorted(caps, reverse=True)} fits the survivor "
+            f"budget {budget:,}; pricing table: {priced}. Tighten "
+            f"max_distance, shard the corpus, or raise the budget."
+        )
+    return {**chosen, "priced": priced}
+
+
 def semantic_cell_stats(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -166,3 +166,43 @@ def test_verify_predicate_folds_into_candidate_join(spark):
     )
     vjoin = [ln for ln in vplan.splitlines() if "Join Inner" in ln]
     assert vjoin and all("bit_count" in ln for ln in vjoin), vplan
+
+
+def test_authorize_pigeonhole_cap_picks_largest_fitting(spark):
+    """The one-call price-then-cap workflow: generous budget -> the
+    largest cap authorized without sampling smaller ones; tight budget
+    -> descends to a smaller cap; impossible budget -> priced refusal
+    listing every cap considered."""
+    from dataengineering_spark.operators.dedup import (
+        authorize_pigeonhole_cap,
+    )
+
+    hashes = _fixture()
+    df = spark.createDataFrame(
+        sorted(hashes.items()), "doc_id long, simhash long"
+    )
+    full_cand, full_surv = _occurrences(hashes)
+    caps = [40, 8, 2]
+    # cap 40 keeps everything on this fixture (max bucket 40)
+    got = authorize_pigeonhole_cap(df, caps, budget=full_surv, bits=BITS)
+    assert got["cap"] == 40 and got["verdict"] == "authorized"
+    assert got["candidates"] == full_cand
+    assert got["predicted_survivors"] == full_surv  # exact sample (k=1)
+    assert [r["cap"] for r in got["priced"]] == [40]
+
+    cand8, surv8 = _occurrences(hashes, max_bucket_size=8)
+    tight = authorize_pigeonhole_cap(df, caps, budget=surv8, bits=BITS)
+    assert tight["cap"] == 8
+    assert [r["verdict"] for r in tight["priced"]] == ["refused", "authorized"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pricing table"):
+        authorize_pigeonhole_cap(df, caps, budget=-1, bits=BITS)
+
+    # compute_cap skips (priced, not silent) instead of sampling
+    skipped = authorize_pigeonhole_cap(
+        df, caps, budget=full_surv, bits=BITS, compute_cap=cand8
+    )
+    assert skipped["cap"] == 8
+    assert skipped["priced"][0]["verdict"] == "over_compute_cap"
