@@ -878,9 +878,13 @@ def connected_components(
     if strategy == "star" and not ids_integral:
         strategy = "minlabel"
 
-    n_pairs = (
-        pairs.count() if (driver_threshold or strategy == "star") else None
-    )
+    # ONE counted job when the driver gate is on (every default call);
+    # it doubles as the star path's pass-1 sizing input. A forced
+    # driver_threshold=0 (probes/fuzz) deliberately skips it — an extra
+    # count re-evaluates the whole unpersisted pair join (the r11 sf10
+    # A/B measured +~80 s on the 54M-pair image graph), so gate-off
+    # callers own input partition sizing (documented below).
+    n_pairs = pairs.count() if driver_threshold else None
     if driver_threshold and n_pairs <= driver_threshold:
         rows = pairs.select(id_a, id_b).collect()
         mapping = _driver_union_find([(r[0], r[1]) for r in rows])
@@ -923,12 +927,16 @@ def connected_components(
         # documented ~8M-edge / 250 MB-peak contract, repartition to the
         # 4M target first. Parquet scans at default 128 MB splits never
         # trigger this (the repartition is itself an O(|E|) shuffle —
-        # a safety valve, not the normal path).
-        n_parts = max(1, edges.rdd.getNumPartitions())
-        if n_pairs / n_parts > _FOREST_PASS1_MAX_PER_PART:
-            edges = edges.repartition(
-                int(n_pairs // _FOREST_TARGET_EDGES_PER_PART) + 1
-            )
+        # a safety valve, not the normal path). Uses the driver gate's
+        # count; callers that force driver_threshold=0 skip the gate AND
+        # this valve (the count would re-evaluate the whole pair join)
+        # and own their input partition sizing.
+        if n_pairs is not None:
+            n_parts = max(1, edges.rdd.getNumPartitions())
+            if n_pairs / n_parts > _FOREST_PASS1_MAX_PER_PART:
+                edges = edges.repartition(
+                    int(n_pairs // _FOREST_TARGET_EDGES_PER_PART) + 1
+                )
         labels = (
             pairs.select(F.col(id_a).cast("long").alias("doc_id"))
             .unionByName(pairs.select(F.col(id_b).cast("long").alias("doc_id")))

@@ -236,8 +236,12 @@ def test_cc_star_pass1_repartition_branch(spark, monkeypatch):
     pairs = spark.createDataFrame(
         edges, "doc_a long, doc_b long"
     ).coalesce(1)  # one huge partition — the shape the branch guards
+    # driver_threshold=1: keeps the gate's count (which feeds pass-1
+    # sizing) without triggering the driver endgame; a forced
+    # driver_threshold=0 skips the valve by design (the count would
+    # re-evaluate the whole pair join — the r11 sf10 A/B lesson)
     got = {
         r.doc_id: r.component
-        for r in connected_components(pairs, driver_threshold=0).collect()
+        for r in connected_components(pairs, driver_threshold=1).collect()
     }
     assert got == _driver_union_find(edges)
