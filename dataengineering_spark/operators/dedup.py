@@ -1060,7 +1060,12 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    # same release discipline as the star path (ADVICE r10): the final
+    # round's labels frame is persisted — materialize the node-sized
+    # result, then release, so no cached frame outlives the call
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 

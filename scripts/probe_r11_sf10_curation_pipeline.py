@@ -116,18 +116,28 @@ def main():
     def _with_payload(frame):
         import pandas as pd
 
-        from dataengineering_spark.functions.multimodal import (
-            make_gradient_png,
-        )
+        from dataengineering_spark.functions.multimodal import make_diag_png
 
+        # the _image_dhash_frame parameterization: per-group diagonal
+        # slopes keep hash entropy scaling with the corpus (a flat
+        # gradient family collapses to a handful of dHash values — the
+        # first run of this probe measured 461M accumulated media pairs
+        # by epoch 1 from exactly that degenerate fixture, the
+        # low-entropy hazard the hot-bucket cap exists for)
         def gen(batches):
             for pdf in batches:
                 payloads = []
                 for doc_id in pdf["doc_id"]:
-                    grp = int(doc_id) // 3
-                    w = 100 + grp % 23 + (1 if doc_id % 3 == 2 else 0)
+                    doc_id = int(doc_id)
+                    grp = doc_id // 3
                     payloads.append(
-                        make_gradient_png(w, 8 + grp % 13, (grp * 97) % 251)
+                        make_diag_png(
+                            72 + grp % 31 + (1 if doc_id % 3 == 2 else 0),
+                            12 + grp % 7,
+                            (grp * 97) % 251,
+                            1 + (grp * 7) % 113,
+                            (grp * 13) % 251,
+                        )
                     )
                 pdf = pdf.copy()
                 pdf["payload"] = pd.Series(payloads, index=pdf.index)

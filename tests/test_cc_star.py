@@ -187,6 +187,25 @@ def test_star_rounds_output_is_materialized_and_released(spark):
             leaked.append(rid)
     assert leaked == [], f"persisted frames leaked by connected_components: {leaked}"
     assert {r.doc_id: r.component for r in out.collect()} == _driver_union_find(edges)
+    # the minlabel engine follows the same release discipline (r11)
+    out_ml = connected_components(
+        pairs, driver_threshold=0, strategy="minlabel"
+    )
+    ml_plan = out_ml._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in ml_plan, ml_plan
+    after_ml = {
+        rid for rid in
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    leaked_ml = []
+    for rid in after_ml - after:
+        rdd = jsc.getPersistentRDDs().get(rid)
+        if rdd is not None and not rdd.rdd().isLocallyCheckpointed():
+            leaked_ml.append(rid)
+    assert leaked_ml == [], f"minlabel leaked persisted frames: {leaked_ml}"
+    assert {
+        r.doc_id: r.component for r in out_ml.collect()
+    } == _driver_union_find(edges)
 
 
 def test_cc_star_string_ids_fall_back_to_minlabel(spark):
