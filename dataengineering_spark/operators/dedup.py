@@ -518,13 +518,18 @@ def _partition_forest(edges: DataFrame) -> DataFrame:
     SoCC'14 §6 'local contraction'; also Rastogi et al.'s
     hash-to-min preprocessing). mapInPandas streams each partition's
     edge batches through one union-find and emits (node, root) star
-    edges: at most (distinct nodes in the partition − #local
-    components) rows, connectivity-equivalent to the partition's full
-    edge set. The union of per-partition spanning forests has exactly
-    the original graph's connected components, so downstream rounds
-    operate on a forest-sized frame — O(Σ_p |V_p|), independent of the
-    pair density that makes dense dedup graphs |E| >> |V|. No join,
-    no shuffle: one scan of the edge frame wherever it already lives.
+    edges — exactly one row per distinct node in the partition, with
+    roots as explicit (node, node) self-rows (r11) so the forest
+    carries the COMPLETE node set and downstream never re-scans the
+    pair frame for it. Connectivity-equivalent to the partition's
+    full edge set: the union of per-partition spanning forests has
+    exactly the original graph's connected components, so downstream
+    rounds operate on a forest-sized frame — O(Σ_p |V_p|), independent
+    of the pair density that makes dense dedup graphs |E| >> |V|. No
+    join, no shuffle: one scan of the edge frame wherever it already
+    lives — and for the star engine it is the ONLY pass over the pair
+    frame (the r11 sf100 phase decomposition measured the removed
+    second pass, the labels-from-pairs distinct, at 1820 s of 2750 s).
 
     Executor memory contract: the whole partition's edge arrays are
     held at once (16 B/edge + the node-index arrays), so size input
@@ -581,11 +586,19 @@ def _partition_forest(edges: DataFrame) -> DataFrame:
                 if bool(np.all(pp == parent)):
                     break
                 parent = pp
-        keep = parent != np.arange(len(nodes), dtype=np.int64)
+        # roots come out as explicit (n, n) self-rows, so the forest
+        # carries the partition's COMPLETE node set (r11): downstream
+        # derives nodes from the forest instead of re-scanning the
+        # pair frame — the r11 sf100 phase decomposition measured that
+        # second scan at 1820 s of the 2750 s total. Self-rows pass
+        # re-contraction unchanged (a (n, n) row is a self-loop: no-op
+        # union, node still emitted as its own root) and the star
+        # rounds filter src != dst, so only the node-set bookkeeping
+        # sees them.
         yield pd.DataFrame(
             {
-                "src": pd.Series(nodes[keep], dtype="int64"),
-                "dst": pd.Series(nodes[parent[keep]], dtype="int64"),
+                "src": pd.Series(nodes, dtype="int64"),
+                "dst": pd.Series(nodes[parent], dtype="int64"),
             }
         )
 
@@ -937,15 +950,17 @@ def connected_components(
                 edges = edges.repartition(
                     int(n_pairs // _FOREST_TARGET_EDGES_PER_PART) + 1
                 )
-        labels = (
-            pairs.select(F.col(id_a).cast("long").alias("doc_id"))
-            .unionByName(pairs.select(F.col(id_b).cast("long").alias("doc_id")))
-            .distinct()
-            .persist()
-        )
-        n_nodes = labels.count()
+        # ONE pass over the pair frame, total (r11): the forest's
+        # explicit root self-rows carry the complete node set, so the
+        # node frame derives from the (node-sized) forest instead of a
+        # second full evaluation of the pair frame. The sf100 phase
+        # decomposition measured that second scan — the old
+        # labels-from-pairs distinct — at 1820 s of the 2750 s total:
+        # on a lazy 1e9-pair frame it re-ran the entire candidate
+        # join. Every aggregate below is forest-sized.
         forest = _partition_forest(edges).persist()
         m_edges = forest.count()
+        n_nodes = forest.select("src").distinct().count()
         shrink_target = max(driver_threshold, 4 * n_nodes)
         for _pass in range(4):
             if m_edges <= shrink_target:
@@ -962,30 +977,30 @@ def connected_components(
                 break
             m_edges = m2
         if driver_threshold and m_edges <= driver_threshold:
+            # self-rows ride along, so the union-find labels singleton
+            # nodes too — the mapping is already complete
             rows = forest.collect()
             forest.unpersist()
             mapping = _driver_union_find([(r[0], r[1]) for r in rows])
-            core = pairs.sparkSession.createDataFrame(
+            return pairs.sparkSession.createDataFrame(
                 sorted(mapping.items()), "doc_id long, component long"
             )
-        else:
-            core = _star_rounds(
-                forest,
-                max_iterations=max_iterations,
-                checkpoint_every=checkpoint_every,
-            )
-            forest.unpersist()
-        # nodes whose every edge was a self-loop never reach the
-        # forest — re-attach them as their own (singleton) component
-        singles = labels.join(
+        core = _star_rounds(
+            forest,
+            max_iterations=max_iterations,
+            checkpoint_every=checkpoint_every,
+        )
+        # star rounds drop self-rows (src != dst), so nodes whose every
+        # edge was a self-loop — still present in the forest as (n, n)
+        # roots — re-attach as their own singleton component. The node
+        # set comes from the persisted FOREST (node-sized), never from
+        # the pair frame; materialize before releasing it (ADVICE r10).
+        nodes = forest.select(F.col("src").alias("doc_id")).distinct()
+        singles = nodes.join(
             core.select("doc_id"), "doc_id", "left_anti"
         ).select("doc_id", F.col("doc_id").alias("component"))
-        # materialize (node-sized) BEFORE releasing the persisted node
-        # frame — unpersisting first made the anti-join recompute the
-        # full pair-frame node scan on every downstream action
-        # (ADVICE r10)
         out = core.unionByName(singles).localCheckpoint(eager=True)
-        labels.unpersist()
+        forest.unpersist()
         return out
 
     # strategy == "minlabel": the broadcast min-label loop — kept for

@@ -65,9 +65,11 @@ def test_star_path_keeps_self_loop_singletons(spark):
 
 def test_partition_forest_is_connectivity_preserving_and_bounded(spark):
     """The contraction invariants: per partition the output is a
-    spanning forest (<= local nodes - local components edges, so
-    globally <= sum of per-partition node counts), and the union of
-    forests has exactly the input graph's components."""
+    spanning forest with roots as explicit (n, n) self-rows — exactly
+    one row per local node, so globally <= sum of per-partition node
+    counts — and the union of forests has exactly the input graph's
+    components. The self-rows mean downstream derives the complete
+    node set from the forest and never re-scans the pair frame (r11)."""
     random.seed(21)
     edges = [
         (random.randrange(120), random.randrange(120)) for _ in range(2000)
@@ -76,16 +78,20 @@ def test_partition_forest_is_connectivity_preserving_and_bounded(spark):
     df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
     forest = _partition_forest(df)
     rows = [(r.src, r.dst) for r in forest.collect()]
-    n_nodes = len({x for e in edges for x in e})
-    # forest-sized: for a dense graph (2000 edges, <=120 nodes) the
-    # contracted frame must be at most 8 partitions x nodes, and far
-    # below the edge count
-    assert len(rows) <= 8 * n_nodes
+    node_set = {x for e in edges for x in e}
+    # one row per (partition-local) node: for a dense graph (2000
+    # edges, <=120 nodes) the contracted frame must be at most
+    # 8 partitions x nodes, and far below the edge count
+    assert len(rows) <= 8 * len(node_set)
     assert len(rows) < len(edges)
     assert _driver_union_find(rows) == _driver_union_find(edges)
-    # star output shape: every emitted edge points node -> local root,
-    # and roots are local minima (np.unique index order == id order)
-    assert all(s > d for s, d in rows)
+    # the src column carries the COMPLETE node set
+    assert {s for s, _d in rows} == node_set
+    # star output shape: every edge points node -> local root (roots
+    # self-referencing), and roots are local minima (np.unique index
+    # order == id order)
+    assert all(s >= d for s, d in rows)
+    assert any(s == d for s, d in rows)  # roots present as self-rows
 
 
 def test_star_rounds_fixpoint_on_star_forest_is_immediate(spark):
