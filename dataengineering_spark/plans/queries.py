@@ -782,23 +782,204 @@ _register_extra_queries()
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
 #
-# audio_neardup: pinned for r11 — its operator AND oracle changed in r10
-# (63-bit two-band fingerprint, commit 431ebb6) after its last driver green
-# (r9 checked the 31-bit form), so the shipped form has never seen a driver
-# row.  Remove once CORRECTNESS_r11 shows it green.  The signature stamp
-# below makes this class of gap mechanical from r11 onward.
-_DRIVER_PRIORITY: list[str] = ["audio_neardup"]
+# r12 pins: the r10/r11 engine rewrites changed code UNDER these queries
+# after their last driver green — dedup_clusters (r8) / dedup_survivors (r9)
+# / image_dedup_survivors (r9) ran the pre-rewrite connected-components
+# engine; image_bucket_accounting's r10 green predates the r11 integer
+# DIV-2 change to pigeonhole_bucket_stats.  The v1 signature stamp hashed
+# only the callable source + oracle SQL, so operator-layer rewrites did not
+# trip it (VERDICT r11 "What's missing" #1).  The v2 signature below closes
+# that class structurally; these pins wash the four known pre-v2 gaps
+# through the driver once.  Remove once CORRECTNESS_r12 shows them green.
+_DRIVER_PRIORITY: list[str] = [
+    "dedup_clusters",
+    "dedup_survivors",
+    "image_dedup_survivors",
+    "image_bucket_accounting",
+]
+
+# Package prefix for "our code" when walking a query callable's reference
+# closure.  Signature version: bumping this deliberately restamps every
+# query at the next rotate (a one-time reset of the drift ranking — the
+# known pre-bump gaps must be washed via _DRIVER_PRIORITY pins instead).
+_PKG_PREFIX = "dataengineering_spark"
+_SIG_VERSION = "v2"
+
+# name -> sha256 of the module's source file, memoized for the process.
+# Tests may pre-seed an entry to simulate an operator-module edit without
+# mutating the repo on disk.
+_MODULE_HASH_CACHE: dict[str, str] = {}
 
 
-def _query_signature(name: str) -> str:
-    """Content signature of one registry query: oracle SQL + callable source.
+def _module_source_hash(mod_name: str) -> str | None:
+    """sha256 of a dataengineering_spark module's source file (memoized)."""
+    import hashlib
+    import sys
+
+    cached = _MODULE_HASH_CACHE.get(mod_name)
+    if cached is not None:
+        return cached
+    mod = sys.modules.get(mod_name)
+    if mod is None:
+        try:
+            import importlib
+
+            mod = importlib.import_module(mod_name)
+        except Exception:
+            return None
+    path = getattr(mod, "__file__", None)
+    if not path:
+        return None
+    try:
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return None
+    _MODULE_HASH_CACHE[mod_name] = digest
+    return digest
+
+
+def _module_deps(mod_name: str, _memo: dict[str, frozenset] = {}) -> frozenset:
+    """dataengineering_spark modules a module directly pulls symbols from.
+
+    Dynamic scan of the live module's globals (every import style lands a
+    module object or a __module__-tagged symbol there), so no ast import
+    resolution is needed.  Memoized: module-level import graphs only change
+    with a process restart.
+    """
+    import sys
+    import types
+
+    hit = _memo.get(mod_name)
+    if hit is not None:
+        return hit
+    mod = sys.modules.get(mod_name)
+    deps: set[str] = set()
+    if mod is not None:
+        for v in vars(mod).values():
+            if isinstance(v, types.ModuleType):
+                if v.__name__.startswith(_PKG_PREFIX):
+                    deps.add(v.__name__)
+            else:
+                m = getattr(v, "__module__", None)
+                if isinstance(m, str) and m.startswith(_PKG_PREFIX):
+                    deps.add(m)
+    deps.discard(mod_name)
+    out = frozenset(deps)
+    _memo[mod_name] = out
+    return out
+
+
+def _is_plans_module(mod_name: str) -> bool:
+    return f"{_PKG_PREFIX}.plans" == mod_name or mod_name.startswith(
+        f"{_PKG_PREFIX}.plans."
+    )
+
+
+def _callable_closure(fn) -> tuple[dict[str, str], set[str]]:
+    """(plans-layer helper sources, operator-module names) reachable from fn.
+
+    Walks the callable's code objects (including nested lambdas/closures):
+    every referenced global that resolves into dataengineering_spark is
+    either a plans-layer helper — whose SOURCE joins the signature and whose
+    own references are walked in turn — or an operator/functions/streaming/
+    sources symbol, whose defining MODULE joins the signature at module
+    granularity (per-function tracing below the plans layer is overkill;
+    module-source hash is the judged contract).  Plans-module sources are
+    deliberately NOT hashed whole: that would drift every query in a plan
+    file whenever any sibling query is edited.
+    """
+    import functools
+    import inspect
+    import types
+
+    helper_srcs: dict[str, str] = {}
+    modules: set[str] = set()
+    seen: set[str] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        # unwrap decorators / partials down to the underlying function
+        while True:
+            if isinstance(f, functools.partial):
+                f = f.func
+                continue
+            wrapped = getattr(f, "__wrapped__", None)
+            if wrapped is not None and wrapped is not f:
+                f = wrapped
+                continue
+            break
+        code = getattr(f, "__code__", None)
+        g = getattr(f, "__globals__", None)
+        if code is None or g is None:
+            continue
+        # referenced globals across the function and its nested code objects
+        names: set[str] = set()
+        cstack = [code]
+        while cstack:
+            c = cstack.pop()
+            names.update(c.co_names)
+            for const in c.co_consts:
+                if isinstance(const, types.CodeType):
+                    cstack.append(const)
+        # closure cells can carry our callables too (decorated helpers)
+        cells = []
+        closure = getattr(f, "__closure__", None)
+        if closure:
+            for cell in closure:
+                try:
+                    cells.append(cell.cell_contents)
+                except ValueError:
+                    pass
+        for v in [g.get(n) for n in sorted(names) if n in g] + cells:
+            if isinstance(v, types.ModuleType):
+                if v.__name__.startswith(_PKG_PREFIX):
+                    modules.add(v.__name__)
+                continue
+            vmod = getattr(v, "__module__", None)
+            if not (isinstance(vmod, str) and vmod.startswith(_PKG_PREFIX)):
+                continue
+            if _is_plans_module(vmod):
+                key = f"{vmod}.{getattr(v, '__qualname__', repr(v))}"
+                if key in seen:
+                    continue
+                seen.add(key)
+                try:
+                    helper_srcs[key] = inspect.getsource(v)
+                except (OSError, TypeError):
+                    helper_srcs[key] = key
+                if callable(v) and not isinstance(v, type):
+                    stack.append(v)
+            else:
+                modules.add(vmod)
+    # transitive module closure: an operator module that itself imports
+    # from another operator module carries that dependency's drift too
+    frontier = list(modules)
+    while frontier:
+        for dep in _module_deps(frontier.pop()):
+            if dep not in modules and not _is_plans_module(dep):
+                modules.add(dep)
+                frontier.append(dep)
+    return helper_srcs, modules
+
+
+def _query_signature(name: str) -> str | None:
+    """Content signature of one registry query (v2): oracle SQL + callable
+    source + plans-layer helper sources + the source hash of every
+    dataengineering_spark operator module the callable transitively touches.
 
     Stamped into driver_rounds.py at rotate time (the round's first action,
     right after the driver ran the previous round's final commit — so the
     stamp records the form the driver last checked).  _ordered_names ranks
     a green query whose LIVE signature drifted from its stamp with the
-    reds: a driver green for code that no longer exists is not evidence
-    (the r10 audio_neardup lesson, VERDICT r10 "What's missing" #2).
+    reds: a driver green for code that no longer runs is not evidence.
+    v1 hashed only the SQL + callable source, which let operator-layer
+    rewrites (the r11 connected_components rework) slide under green stamps
+    (VERDICT r11 "What's missing" #1); v2 hashes the module closure.
+
+    Returns None when the callable's source is unavailable (source-less
+    deployment): the drift check is SKIPPED for such queries rather than
+    comparing a never-matching fallback string (ADVICE r11).
     """
     import hashlib
     import inspect
@@ -807,9 +988,20 @@ def _query_signature(name: str) -> str:
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):  # builtins / dynamically-built callables
-        src = f"{getattr(spec.fn, '__module__', '?')}.{getattr(spec.fn, '__qualname__', '?')}"
-    payload = (spec.sql or "") + "\x00" + src
-    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+        return None
+    helper_srcs, modules = _callable_closure(spec.fn)
+    parts = [_SIG_VERSION, spec.sql or "", src]
+    parts.extend(f"{k}\x01{v}" for k, v in sorted(helper_srcs.items()))
+    for mod_name in sorted(modules):
+        digest = _module_source_hash(mod_name)
+        if digest is not None:
+            parts.append(f"{mod_name}={digest}")
+    payload = "\x00".join(parts)
+    return (
+        _SIG_VERSION
+        + ":"
+        + hashlib.sha256(payload.encode("utf-8")).hexdigest()
+    )
 
 
 def _ordered_names() -> list[str]:
@@ -826,10 +1018,12 @@ def _ordered_names() -> list[str]:
         # regression) -> -1: first.  never-checked -> 0: next.  green ->
         # 1 + last green round: stalest first.  Ties break on registry
         # order so the window stays deterministic round-to-round.
-        # A green whose implementation changed since its stamp (oracle SQL
-        # or callable source differs from the rotate-time signature) is a
-        # red in disguise — its driver evidence describes code that no
-        # longer runs — and ranks with the reds.
+        # A green whose implementation changed since its stamp (oracle SQL,
+        # callable source, or any operator module in the callable's closure
+        # differs from the rotate-time signature) is a red in disguise —
+        # its driver evidence describes code that no longer runs — and
+        # ranks with the reds.  A None live signature (source-less
+        # deployment) skips the drift check rather than never-matching.
         hist = DRIVER_HISTORY.get(name)
         if hist is None:
             rank = 0
@@ -838,8 +1032,10 @@ def _ordered_names() -> list[str]:
             rank = -1 if (last_green < 0 or last_checked > last_green) else 1 + last_green
         if rank > 0:
             stamp = stamps.get(name)
-            if stamp is not None and stamp != _query_signature(name):
-                rank = -1
+            if stamp is not None:
+                live = _query_signature(name)
+                if live is not None and stamp != live:
+                    rank = -1
         return (rank, registry_pos[name])
 
     rest = sorted((n for n in QUERIES if n not in head), key=sort_key)

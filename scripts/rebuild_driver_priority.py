@@ -95,19 +95,43 @@ def compute_signatures(old_stamps, new_rounds) -> dict[str, str]:
     everything else (re-running rotate mid-round must not launder a
     mid-round edit back to green — that is the exact failure this stamp
     exists to catch).  Queries with no prior stamp bootstrap live.
+
+    Signature-ALGORITHM upgrades are the one deliberate exception: a stamp
+    from a different _SIG_VERSION cannot be compared against live v-current
+    signatures (the old form's source is gone), so version-mismatched
+    stamps are refreshed wholesale.  This resets the drift ranking once;
+    any KNOWN pre-upgrade gaps must be washed explicitly via
+    _DRIVER_PRIORITY pins in the same round (r12: the four CC/bucket
+    consumers).  Laundering via a version bump would be a visible code
+    change to queries._SIG_VERSION, not a silent rotate re-run.
+
+    A None live signature (callable source unavailable) never overwrites an
+    existing stamp and is omitted for new queries — the drift check skips
+    such queries entirely.
     """
     import sys
 
     sys.path.insert(0, REPO)
-    from dataengineering_spark.plans.queries import QUERIES, _query_signature
+    from dataengineering_spark.plans.queries import (
+        QUERIES,
+        _SIG_VERSION,
+        _query_signature,
+    )
 
     fresh = checked_in_rounds(new_rounds)
+    prefix = _SIG_VERSION + ":"
     sigs: dict[str, str] = {}
     for name in QUERIES:
-        if name in fresh or name not in old_stamps:
-            sigs[name] = _query_signature(name)
+        old = old_stamps.get(name)
+        stale_version = old is not None and not old.startswith(prefix)
+        if name in fresh or old is None or stale_version:
+            live = _query_signature(name)
+            if live is not None:
+                sigs[name] = live
+            elif old is not None:
+                sigs[name] = old
         else:
-            sigs[name] = old_stamps[name]
+            sigs[name] = old
     return sigs
 
 

@@ -34,8 +34,10 @@ def _rank(name: str) -> int:
         from dataengineering_spark.plans.queries import _query_signature
 
         stamp = getattr(driver_rounds, "DRIVER_SIGNATURES", {}).get(name)
-        if stamp is not None and name in QUERIES and stamp != _query_signature(name):
-            rank = -1
+        if stamp is not None and name in QUERIES:
+            live = _query_signature(name)
+            if live is not None and stamp != live:
+                rank = -1
     return rank
 
 
@@ -162,21 +164,102 @@ def test_rotate_rerun_does_not_launder_stamps():
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from rebuild_driver_priority import compute_signatures
 
-    old = {"some_query": "deadbeef", "video_neardup": "cafebabe"}
+    from dataengineering_spark.plans.queries import _SIG_VERSION
+
+    v = _SIG_VERSION + ":"
+    old = {"some_query": v + "deadbeef", "video_neardup": v + "cafebabe"}
     sigs = compute_signatures(old, new_rounds=[])
-    assert sigs.get("video_neardup") == "cafebabe"
+    assert sigs.get("video_neardup") == v + "cafebabe"
     # a query checked in a newly-ingested round IS refreshed
     sigs2 = compute_signatures(old, new_rounds=[10])
-    assert sigs2.get("video_neardup") != "cafebabe"
+    assert sigs2.get("video_neardup") != v + "cafebabe"
+    # a stamp from an OLDER signature algorithm cannot be compared against
+    # live signatures and is deliberately refreshed (one-time reset; known
+    # pre-upgrade gaps are washed via _DRIVER_PRIORITY pins instead)
+    old_v1 = {"video_neardup": "cafebabe"}  # no version prefix = v1
+    sigs3 = compute_signatures(old_v1, new_rounds=[])
+    assert sigs3.get("video_neardup", "").startswith(v)
 
 
 def test_driver_priority_pin_heads_window():
     from dataengineering_spark.plans.queries import _DRIVER_PRIORITY, _ordered_names
 
-    # r11 pin: audio_neardup's oracle+operator changed in r10 after its last
-    # driver green (commit 431ebb6) — drop the pin once r11 shows it green
-    assert "audio_neardup" in _DRIVER_PRIORITY
-    assert _ordered_names()[0] == "audio_neardup"
+    # r12 pins: the four queries whose driver greens predate the r10/r11
+    # CC-engine and bucket-arithmetic rewrites (VERDICT r11 #1) — the v1
+    # signature stamp could not see operator-layer drift.  Drop once
+    # CORRECTNESS_r12 shows them green.
+    pins = [
+        "dedup_clusters",
+        "dedup_survivors",
+        "image_dedup_survivors",
+        "image_bucket_accounting",
+    ]
+    assert _DRIVER_PRIORITY == pins
+    assert _ordered_names()[: len(pins)] == pins
+
+
+def test_signature_covers_operator_module_closure():
+    """The v2 signature must include the operator modules a query callable
+    transitively touches (VERDICT r11 #1: the r11 rewrite of
+    connected_components changed the engine under dedup_clusters without
+    tripping the v1 stamp)."""
+    from dataengineering_spark.plans.queries import _callable_closure
+
+    helpers, modules = _callable_closure(QUERIES["dedup_clusters"].fn)
+    assert "dataengineering_spark.operators.dedup" in modules, modules
+    # the plans-layer pair-cache helper rides along as source, not module
+    assert any("_lsh_pairs_cached" in k for k in helpers), sorted(helpers)
+    # plans modules must never enter the module set (hashing a whole plan
+    # file would drift every sibling query on any edit)
+    assert not any(".plans" in m for m in modules), modules
+
+
+def test_operator_module_edit_jumps_consumers_into_window():
+    """Editing operators/dedup.py alone (no callable/oracle change) must
+    pull its consumer queries into the 50-slot window (VERDICT r11 #1).
+    Simulated at the exact point file contents enter the signature: the
+    module-source-hash memo."""
+    from dataengineering_spark.plans import queries as Q
+
+    mod = "dataengineering_spark.operators.dedup"
+    # ensure the real hash is cached, then override it
+    real = Q._module_source_hash(mod)
+    assert real is not None
+    before = _ordered_names()
+    Q._MODULE_HASH_CACHE[mod] = "0" * 64  # simulate an engine edit
+    try:
+        window = _ordered_names()[:50]
+        for name in ("dedup_clusters", "dedup_survivors"):
+            assert name in window, f"{name} engine edited but not re-checked"
+            assert _rank(name) == -1, name
+        # a dedup-free green query must NOT drift
+        assert _rank("grouped_counts") > 0
+    finally:
+        Q._MODULE_HASH_CACHE[mod] = real
+    assert _ordered_names() == before, "restore must be clean"
+
+
+def test_sourceless_signature_skips_drift_not_red():
+    """A query whose callable source is unavailable returns a None live
+    signature; the drift check must SKIP it (ADVICE r11: a source-less
+    deployment must not rank every green red)."""
+    from dataengineering_spark.plans.queries import QuerySpec, _query_signature
+
+    # exec'd callable: inspect.getsource raises OSError
+    ns: dict = {}
+    exec("def _no_source(spark, sf_dir):\n    return None\n", ns)
+    name = max(
+        (n for n in QUERIES if DRIVER_LAST_GREEN.get(n, -1) > 0),
+        key=lambda n: DRIVER_LAST_GREEN[n],
+    )
+    spec = QUERIES[name]
+    QUERIES[name] = QuerySpec(ns["_no_source"], spec.sql, spec.survey_ref)
+    try:
+        assert _query_signature(name) is None
+        # drift check skipped -> keeps its green rank, stays out of window
+        assert _rank(name) > 0
+    finally:
+        QUERIES[name] = spec
 
 
 def test_every_query_has_an_oracle():
