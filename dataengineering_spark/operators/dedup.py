@@ -644,6 +644,20 @@ def _star_round(e: DataFrame) -> DataFrame:
     )
 
 
+def _sig_fixpoint(old: tuple, new: tuple) -> bool:
+    """True iff a star round left the edge set unchanged, judged by the
+    (count, Σ xxhash64) signature pair.  A NULL hash sum — DECIMAL(38,0)
+    overflow with ANSI off, or sum() over zero rows — is treated as NOT
+    EQUAL to anything including another NULL, so overflow degrades to
+    extra rounds rather than a count-only false fixpoint (ADVICE r11).
+    The one legitimate NULL==NULL case is two EMPTY edge sets, which is
+    trivially a fixpoint.
+    """
+    if old[0] == 0 and new[0] == 0:
+        return True
+    return old[1] is not None and new[1] is not None and old == new
+
+
 def _star_rounds(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -685,7 +699,11 @@ def _star_rounds(
     false fixpoint needs a 64-bit hash-sum collision between two
     same-sized edge sets of the SAME monotone round sequence —
     vanishing, and the differential fuzz suite cross-checks the
-    labeling against the driver union-find regardless.
+    labeling against the driver union-find regardless.  Should the
+    DECIMAL(38,0) sum ever overflow (ANSI off -> NULL), a NULL hash is
+    treated as NOT EQUAL to anything, including another NULL — overflow
+    degrades to extra rounds (running to max_iterations), never to a
+    count-only false fixpoint (ADVICE r11).
 
     Returns an eagerly-materialized (localCheckpoint) frame and
     releases every persist it took, so callers hold no cached-frame
@@ -718,8 +736,9 @@ def _star_rounds(
         # fixpoint: the (distinct, canonical) edge set is unchanged.
         # new ⊆ old is NOT enough (a shrink is still progress), so
         # equality = equal counts AND equal order-insensitive hash sum
-        # (one aggregate — see the docstring's fixpoint note).
-        if new_sig == sig:
+        # (one aggregate — see the docstring's fixpoint note).  NULL
+        # hash handling lives in _sig_fixpoint (ADVICE r11).
+        if _sig_fixpoint(sig, new_sig):
             new_e.unpersist()
             converged = True
             break
@@ -1900,6 +1919,27 @@ def sample_verify_rate(
     return surv / cand, cand, surv
 
 
+def rate_upper_bound(successes: int, trials: int, z: float = 3.0) -> float:
+    """One-sided Wilson score upper bound on a sampled pass rate.
+
+    ``authorize_pigeonhole_cap`` prices survivor volume off a SAMPLED
+    verify rate; a point estimate from a small or skewed sample can
+    under-measure and authorize a cap whose true post-verify volume
+    blows the budget (ADVICE r11).  The Wilson bound at z=3 (~99.87%
+    one-sided) inflates the rate by the sampling uncertainty, so thin
+    samples price conservatively and dense samples converge to the
+    point estimate.  trials == 0 returns 1.0 — the conservative price.
+    """
+    if trials <= 0:
+        return 1.0
+    p = successes / trials
+    z2 = z * z
+    denom = 1.0 + z2 / trials
+    centre = p + z2 / (2.0 * trials)
+    spread = z * ((p * (1.0 - p) / trials + z2 / (4.0 * trials * trials)) ** 0.5)
+    return min(1.0, (centre + spread) / denom)
+
+
 def require_survivor_budget(
     bucket_sizes: DataFrame,
     max_pairs: int,
@@ -1950,6 +1990,8 @@ def authorize_pigeonhole_cap(
     compute_cap: int | None = None,
     sample_target: int = 50_000_000,
     seed: int = 11,
+    min_sampled_candidates: int = 10_000,
+    z: float = 3.0,
 ) -> dict:
     """The price-then-cap workflow as ONE operator (r11): given a
     fingerprint frame and a ladder of hot-bucket caps, authorize the
@@ -1961,8 +2003,18 @@ def authorize_pigeonhole_cap(
     sample (``sample_verify_rate``; ~``sample_target`` occurrences),
     then ``require_survivor_budget``. Returns the decision record::
 
-        {"cap", "candidates", "rate", "predicted_survivors",
+        {"cap", "candidates", "rate", "rate_ub", "margin",
+         "predicted_survivors", "predicted_survivors_ub",
          "priced": [one row per cap considered]}
+
+    Authorization prices on ``rate_ub`` — the one-sided Wilson upper
+    bound (:func:`rate_upper_bound`, default z=3) of the sampled rate —
+    never the point estimate: an under-measured rate from a thin or
+    skewed sample must not authorize a cap whose true post-verify
+    volume exceeds the budget (ADVICE r11).  When a 1-in-k bucket
+    sample lands fewer than ``min_sampled_candidates`` occurrences the
+    sampling densifies (k -> k // 8) and re-measures before the rate is
+    trusted; a census (k == 1) is exact and carries zero margin.
 
     ``compute_cap`` optionally bounds the STREAMED candidate volume
     too (wall-clock, not materialization — candidates cost one codegen
@@ -2006,15 +2058,27 @@ def authorize_pigeonhole_cap(
                 )
                 continue
             k = max(1, int(cand // sample_target) or 1)
-            rate, s_cand, s_surv = sample_verify_rate(
-                sim, max_distance, id_col, sim_col, bits, slot_col,
-                max_bucket_size=cap, bucket_sample=k, seed=seed,
-            )
+            while True:
+                rate, s_cand, s_surv = sample_verify_rate(
+                    sim, max_distance, id_col, sim_col, bits, slot_col,
+                    max_bucket_size=cap, bucket_sample=k, seed=seed,
+                )
+                # thin sample -> densify before trusting the rate
+                # (ADVICE r11: a skewed 1-in-k bucket draw can
+                # under-measure); k == 1 is a census, always trusted
+                if k == 1 or s_cand >= min_sampled_candidates:
+                    break
+                k = max(1, k // 8)
+            # a census is exact; a sample prices on its Wilson bound
+            rate_ub = rate if k == 1 else rate_upper_bound(s_surv, s_cand, z)
             survivors = int(cand * rate)
+            survivors_ub = int(cand * rate_ub)
             row = {"cap": cap, "candidates": cand, "rate": rate,
+                   "rate_ub": rate_ub, "margin": rate_ub - rate,
                    "sampled": (s_cand, s_surv),
-                   "predicted_survivors": survivors}
-            if survivors <= budget:
+                   "predicted_survivors": survivors,
+                   "predicted_survivors_ub": survivors_ub}
+            if survivors_ub <= budget:
                 row["verdict"] = "authorized"
                 priced.append(row)
                 chosen = row

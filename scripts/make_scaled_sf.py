@@ -14,7 +14,11 @@ set) — it is not driver data and is never used for correctness
 oracles. Writes to the target dir (default /tmp/sf1); never touches
 /root/testdata.
 
-Usage: python scripts/make_scaled_sf.py [src_dir] [dst_dir] [k]
+Usage: python scripts/make_scaled_sf.py [src_dir] [dst_dir] [k] [tables]
+
+``tables`` (comma-separated, optional) restricts generation to the
+listed tables — the scale probes usually need only documents and/or
+embeddings, and lineitem x1000 alone costs ~an hour.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 # (table, [key columns to shift by copy * max_key])
 SHIFTS = {
@@ -65,6 +70,8 @@ def main() -> None:
             maxes[k] = maxes[ref_k]
 
     for t, keys in SHIFTS.items():
+        if ONLY is not None and t not in ONLY:
+            continue
         src = f"read_parquet('{SRC}/{t}.parquet')"
         if not keys:
             con.execute(f"COPY (SELECT * FROM {src}) TO '{DST}/{t}.parquet'")

@@ -270,3 +270,19 @@ def test_cc_star_pass1_repartition_branch(spark, monkeypatch):
         for r in connected_components(pairs, driver_threshold=1).collect()
     }
     assert got == _driver_union_find(edges)
+
+
+def test_sig_fixpoint_null_hash_forces_round():
+    """A NULL (count, Σ xxhash64) hash — DECIMAL(38,0) overflow with
+    ANSI off — must never satisfy the star fixpoint check: overflow
+    degrades to extra rounds, not to a count-only false fixpoint
+    (ADVICE r11). The only NULL==NULL fixpoint is two EMPTY edge sets."""
+    from dataengineering_spark.operators.dedup import _sig_fixpoint
+
+    assert _sig_fixpoint((0, None), (0, None))  # empty edge sets
+    assert not _sig_fixpoint((5, None), (5, None))  # overflow: force round
+    assert not _sig_fixpoint((5, 123), (5, None))
+    assert not _sig_fixpoint((5, None), (5, 123))
+    assert _sig_fixpoint((5, 123), (5, 123))
+    assert not _sig_fixpoint((5, 123), (5, 124))
+    assert not _sig_fixpoint((5, 123), (4, 123))

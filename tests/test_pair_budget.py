@@ -206,3 +206,85 @@ def test_authorize_pigeonhole_cap_picks_largest_fitting(spark):
     )
     assert skipped["cap"] == 8
     assert skipped["priced"][0]["verdict"] == "over_compute_cap"
+
+
+def test_rate_upper_bound_contract():
+    """Wilson one-sided upper bound (ADVICE r11): >= point estimate,
+    <= 1, shrinks with sample size, conservative on empty samples."""
+    from dataengineering_spark.operators.dedup import rate_upper_bound
+
+    assert rate_upper_bound(0, 0) == 1.0  # no evidence -> price at 1
+    # always above the point estimate, capped at 1
+    for s, n in [(0, 10), (1, 10), (5, 10), (10, 10), (50, 1000)]:
+        ub = rate_upper_bound(s, n)
+        assert s / n <= ub <= 1.0, (s, n, ub)
+    assert rate_upper_bound(0, 10) > 0.0  # zero successes != zero risk
+    # the margin shrinks as the sample densifies at fixed rate
+    margins = [rate_upper_bound(n // 10, n) - 0.1 for n in (10, 100, 10_000)]
+    assert margins[0] > margins[1] > margins[2] > 0
+    # a huge sample converges to the point estimate
+    assert rate_upper_bound(100_000, 1_000_000) - 0.1 < 1e-3
+
+
+def test_authorize_prices_on_wilson_upper_bound(spark):
+    """Authorization must use the Wilson UPPER bound of a sampled rate,
+    never the point estimate (ADVICE r11): a budget that fits the point
+    prediction but not the UCB prediction is refused."""
+    import pytest as _pytest
+
+    from dataengineering_spark.operators.dedup import (
+        authorize_pigeonhole_cap,
+    )
+
+    hashes = _fixture()
+    df = spark.createDataFrame(
+        sorted(hashes.items()), "doc_id long, simhash long"
+    )
+    full_cand, _ = _occurrences(hashes)
+    # force a genuine 1-in-k sample (k > 1) and trust it despite being
+    # thin, so the UCB machinery is exercised
+    kwargs = dict(
+        bits=BITS,
+        sample_target=max(1, full_cand // 4),
+        min_sampled_candidates=1,
+    )
+    got = authorize_pigeonhole_cap(df, [40], budget=full_cand, **kwargs)
+    row = got["priced"][0]
+    s_cand, _s_surv = row["sampled"]
+    assert 0 < s_cand < full_cand, "fixture must yield a strict sample"
+    assert row["rate_ub"] > row["rate"]
+    assert row["margin"] == row["rate_ub"] - row["rate"]
+    assert row["predicted_survivors_ub"] > row["predicted_survivors"]
+    # a budget between the point and UCB predictions must refuse
+    between = row["predicted_survivors_ub"] - 1
+    if between > row["predicted_survivors"]:
+        with _pytest.raises(ValueError, match="pricing table"):
+            authorize_pigeonhole_cap(df, [40], budget=between, **kwargs)
+
+
+def test_authorize_densifies_thin_samples_to_census(spark):
+    """A sample below min_sampled_candidates densifies (k -> k // 8)
+    until it is trustworthy; on this small fixture that means a census,
+    which is exact and carries zero margin (ADVICE r11)."""
+    from dataengineering_spark.operators.dedup import (
+        authorize_pigeonhole_cap,
+    )
+
+    hashes = _fixture()
+    df = spark.createDataFrame(
+        sorted(hashes.items()), "doc_id long, simhash long"
+    )
+    full_cand, full_surv = _occurrences(hashes)
+    got = authorize_pigeonhole_cap(
+        df,
+        [40],
+        budget=full_surv,
+        bits=BITS,
+        sample_target=max(1, full_cand // 4),  # initial k > 1 ...
+        # ... but the default min_sampled_candidates (10k) far exceeds
+        # this fixture's candidate volume, so sampling densifies to k=1
+    )
+    row = got["priced"][0]
+    assert row["sampled"][0] == full_cand, "must have densified to census"
+    assert row["margin"] == 0.0
+    assert row["predicted_survivors_ub"] == row["predicted_survivors"] == full_surv
