@@ -244,6 +244,94 @@ def curation_pipeline_stream(
     return writer.start()
 
 
+def compact_pairs_to_forest(
+    spark: SparkSession,
+    pairs_dir: str,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    max_passes: int = 3,
+) -> dict:
+    """Contract an accumulated pair store to a SPANNING FOREST of its
+    graph and rewrite the store in place — the bounded-state companion
+    to the append-only pair sinks (SCALE.md r11: on replica-structured
+    corpora the accumulated pair stores grow super-linearly, Σ over
+    clusters of n_i·(n_i−1)/2, while every drain-time consumer reads
+    them ONLY through connected components).  A spanning forest has
+    exactly the same connected components by construction and is O(|V|)
+    rows, so ``drain(compacted store) == drain(raw store)`` while the
+    store stops scaling with pair density.  Run it periodically (every
+    k epochs) from the ingest loop's maintenance window; later epochs
+    keep appending raw pairs and the next compaction folds them in.
+
+    Contraction is :func:`~dataengineering_spark.operators.dedup._partition_forest`
+    — one mapInPandas scan per pass, no joins — with the same pass-1
+    partition-sizing valve as ``connected_components`` (the ~8M-edge
+    per-task memory contract) and geometric re-contraction until the
+    frame stops shrinking.  Root self-rows are dropped at the rewrite:
+    every component in a PAIR store has ≥ 2 nodes, so each root still
+    appears as the dst of a child edge and no node set is lost.
+
+    The rewritten store keeps ``(a_col, b_col)`` only; extra columns
+    (the media lane's ``hamming``) read back as NULL under the
+    explicit-schema readers, which only ever select the id pair.  The
+    store is derived state — recomputable from the fingerprint/cell
+    index — so the in-place overwrite is crash-safe in the same sense
+    as ``repair_accumulated_pairs``.  Returns
+    ``{"rows_before", "rows_after", "passes"}``."""
+    from dataengineering_spark.operators.dedup import (
+        _FOREST_PASS1_MAX_PER_PART,
+        _FOREST_TARGET_EDGES_PER_PART,
+        _partition_forest,
+    )
+
+    if not _path_exists(spark, pairs_dir):
+        return {"rows_before": 0, "rows_after": 0, "passes": 0}
+    edges = (
+        spark.read.schema(f"`{a_col}` long, `{b_col}` long")
+        .parquet(pairs_dir)
+        .distinct()
+        .select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    n_before = edges.count()
+    if n_before == 0:
+        return {"rows_before": 0, "rows_after": 0, "passes": 0}
+    # pass-1 sizing valve (same contract as connected_components):
+    # mapInPandas holds a whole partition's edge arrays in task memory
+    n_parts = edges.rdd.getNumPartitions()
+    if n_parts and n_before / n_parts > _FOREST_PASS1_MAX_PER_PART:
+        edges = edges.repartition(
+            max(1, n_before // _FOREST_TARGET_EDGES_PER_PART)
+        )
+    cur, n_cur, passes = edges, n_before, 0
+    prev_ckpt = None
+    while passes < max_passes:
+        nxt = _partition_forest(cur).localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = nxt
+        n_nxt = nxt.count()
+        passes += 1
+        shrinking = n_nxt < 0.9 * n_cur
+        cur, n_cur = nxt, n_nxt
+        if not shrinking:
+            break
+        if n_cur > _FOREST_TARGET_EDGES_PER_PART:
+            cur = cur.repartition(
+                max(1, n_cur // _FOREST_TARGET_EDGES_PER_PART)
+            )
+    out = (
+        cur.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias(a_col), F.col("dst").alias(b_col))
+        .localCheckpoint(eager=True)  # sever lineage before overwrite
+    )
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    n_after = out.count()
+    out.write.mode("overwrite").parquet(pairs_dir)
+    out.unpersist()
+    return {"rows_before": n_before, "rows_after": n_after, "passes": passes}
+
+
 def semantic_survivor_ids(
     cells: DataFrame, pairs: DataFrame
 ) -> DataFrame:
@@ -282,6 +370,53 @@ def semantic_survivor_ids(
     return cells.select("vec_id").join(dropped, "vec_id", "left_anti")
 
 
+def authorized_media_repair(
+    spark: SparkSession,
+    media_index_dir: str,
+    media_pairs_dir: str,
+    caps: "tuple[int, ...] | list[int]",
+    pair_budget: int,
+    bits: int = 64,
+    max_distance: int = 3,
+    sim_col: str = "dhash",
+    id_col: str = "doc_id",
+    compute_cap: int | None = None,
+) -> dict:
+    """Price → authorize → re-pair as ONE library call (r12 — the sf100
+    probes composed this by hand, VERDICT r11 #5): run
+    ``authorize_pigeonhole_cap`` over the drained stream's ACCUMULATED
+    fingerprint index (16 B/object — no payload re-decode), then
+    ``repair_accumulated_pairs`` at the authorized hot-bucket cap, so
+    the pairs store entering the drain's connected components is
+    exactly the capped-batch pair set whose post-verify survivor
+    volume was priced within ``pair_budget`` (Wilson-bounded rate).
+    Raises the priced refusal when no cap in ``caps`` fits — before
+    any pair materializes.  Returns the authorization decision record
+    plus ``pairs_after_repair``."""
+    from dataengineering_spark.operators.dedup import (
+        authorize_pigeonhole_cap,
+    )
+    from dataengineering_spark.streaming.media_dedup import (
+        repair_accumulated_pairs,
+    )
+
+    index = (
+        spark.read.schema(f"`{id_col}` long, `{sim_col}` long")
+        .parquet(media_index_dir)
+        .distinct()
+    )
+    decision = authorize_pigeonhole_cap(
+        index, caps, pair_budget, max_distance=max_distance,
+        id_col=id_col, sim_col=sim_col, bits=bits, compute_cap=compute_cap,
+    )
+    n = repair_accumulated_pairs(
+        spark, media_index_dir, media_pairs_dir,
+        max_bucket_size=decision["cap"], sim_col=sim_col, bits=bits,
+        max_distance=max_distance, id_col=id_col,
+    )
+    return {**decision, "pairs_after_repair": n}
+
+
 def curation_finish(
     spark: SparkSession,
     cent_rows: list,
@@ -294,6 +429,8 @@ def curation_finish(
     id_col: str = "doc_id",
     ordered: bool = False,
     media_pairs_dir: str | None = None,
+    media_index_dir: str | None = None,
+    media_cap_policy: "tuple | None" = None,
 ) -> DataFrame:
     """Drain-time finisher: survivors → DSIR selection → token shards.
     Returns the final shard assignment (doc_id, n_chars, cum_before,
@@ -310,7 +447,28 @@ def curation_finish(
     longest-first within source — the curriculum_order registry
     query) computed over the SELECTED corpus, and the shards are
     packed in position order, so the emitted shard stream IS the
-    training order. Output rows gain a ``position`` column."""
+    training order. Output rows gain a ``position`` column.
+
+    ``media_cap_policy=(caps, pair_budget)`` (requires
+    ``media_index_dir`` and ``media_pairs_dir``) runs
+    :func:`authorized_media_repair` FIRST — the ingest loop's epoch
+    hook deliberately never applies the hot-bucket cap (it is a
+    whole-corpus function), so the drain is where the accumulated
+    index gets priced, the largest budget-fitting cap authorized, and
+    the pairs store rewritten to the capped-batch set before the
+    media connected components run.  This makes the 100 TB posture a
+    library call instead of a probe-script composition (VERDICT r11
+    #5); the priced refusal propagates when no cap fits."""
+    if media_cap_policy is not None:
+        if not (media_index_dir and media_pairs_dir):
+            raise ValueError(
+                "media_cap_policy requires media_index_dir and "
+                "media_pairs_dir"
+            )
+        caps, pair_budget = media_cap_policy
+        authorized_media_repair(
+            spark, media_index_dir, media_pairs_dir, caps, pair_budget
+        )
     from dataengineering_spark.caching import persist_tracked
     from dataengineering_spark.operators.chunking import token_budget_shards
     from dataengineering_spark.operators.robust import global_discrete_pcts

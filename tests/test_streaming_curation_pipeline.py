@@ -428,3 +428,181 @@ def test_multimodal_stream_with_media_leg_equals_batch(spark, tmp_path):
     release_tracked()
     assert got_shards == ref
     assert mdropped.count() > 0  # the media leg actually dropped docs
+
+
+def test_media_cap_policy_authorized_repair_equals_capped_batch(
+    spark, tmp_path
+):
+    """VERDICT r11 #5: the drain accepts a (caps, budget) policy and
+    runs the authorized re-pair BEFORE the media connected components —
+    stream → authorized re-pair → drain must equal the capped-batch
+    plan end-to-end, with the pairs store rewritten to exactly the
+    capped-batch pair set. Also: an unsatisfiable budget is a priced
+    refusal raised from the drain before any pair materializes."""
+    import time
+
+    import pytest as _pytest
+
+    from dataengineering_spark.functions.multimodal import (
+        dhash_images,
+        make_diag_png,
+    )
+    from dataengineering_spark.operators.dedup import (
+        connected_components,
+        simhash_neardup_pairs,
+    )
+
+    CAP = 2  # drops every bucket the 3-member dup groups fill
+
+    cent_rows = _frozen_quantizer(spark)
+    docs, joined = _corpus(spark)
+
+    def _payload_col():
+        import pandas as pd
+
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    doc_id = int(doc_id)
+                    grp = doc_id // 3
+                    rows.append(
+                        (doc_id, make_diag_png(
+                            72 + grp % 31 + (1 if doc_id % 3 == 2 else 0),
+                            12 + grp % 7, (grp * 97) % 251,
+                            1 + (grp * 7) % 113, (grp * 13) % 251,
+                        ))
+                    )
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        return docs.select("doc_id").mapInPandas(
+            synth, schema="doc_id long, payload binary"
+        )
+
+    media = _payload_col()
+    arrivals = joined.join(media, "doc_id")
+    src = str(tmp_path / "arrivals")
+    for ep in range(EPOCH_MOD):
+        (
+            arrivals.filter(F.col("doc_id") % EPOCH_MOD == ep)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long, embedding array<float>, payload binary"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = curation_pipeline_stream(
+        stream,
+        _benchmark(docs),
+        cent_rows,
+        quarantine_dir=str(tmp_path / "quarantine"),
+        clean_dir=str(tmp_path / "clean"),
+        pairs_dir=str(tmp_path / "pairs"),
+        index_dir=str(tmp_path / "index"),
+        dsir_partials_dir=str(tmp_path / "dsir"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n=N_GRAM,
+        threshold=THRESHOLD,
+        media_payload_col="payload",
+        media_index_dir=str(tmp_path / "midx"),
+        media_pairs_dir=str(tmp_path / "mpairs"),
+    )
+    q.awaitTermination(180)
+
+    # an unsatisfiable budget refuses, priced, BEFORE the CC runs
+    with _pytest.raises(ValueError, match="pricing table"):
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+            media_pairs_dir=str(tmp_path / "mpairs"),
+            media_index_dir=str(tmp_path / "midx"),
+            media_cap_policy=([CAP], -1),
+        )
+    release_tracked()
+
+    got_shards = _rows(
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+            media_pairs_dir=str(tmp_path / "mpairs"),
+            media_index_dir=str(tmp_path / "midx"),
+            media_cap_policy=([CAP], 10_000_000),
+        )
+    )
+    release_tracked()
+
+    # batch arm: gate -> SemDeDup survivors -> CAPPED media keep-rule
+    # over the whole clean corpus -> DSIR selection -> shards
+    hits = benchmark_overlap(docs, _benchmark(docs), n=N_GRAM)
+    clean = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    emb = read_table(spark, "embeddings", SF).join(
+        clean.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    members = semantic_dedup_members(
+        emb, n_centroids=C, n_iters=ITERS, dim=DIM,
+        threshold=THRESHOLD, cent_rows=cent_rows,
+    )
+    dropped = members.filter(~F.col("keep")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = clean.join(dropped, "doc_id", "left_anti")
+    ref_mpairs = simhash_neardup_pairs(
+        dhash_images(media.join(clean.select("doc_id"), "doc_id")).persist(),
+        max_distance=3, sim_col="dhash", bits=64, max_bucket_size=CAP,
+    ).select("doc_a", "doc_b")
+
+    # the drain rewrote the pairs store to exactly the capped-batch set
+    store = (
+        spark.read.schema("doc_a long, doc_b long")
+        .parquet(str(tmp_path / "mpairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    assert _rows(store) == _rows(ref_mpairs.distinct())
+
+    mcomp = connected_components(ref_mpairs, distinct_edges=False)
+    present = mcomp.join(survivors.select("doc_id"), "doc_id")
+    mdropped = (
+        present.withColumn(
+            "_keep_id",
+            F.min("doc_id").over(Window.partitionBy("component")),
+        )
+        .filter(F.col("doc_id") != F.col("_keep_id"))
+        .select("doc_id")
+    )
+    survivors = survivors.join(mdropped, "doc_id", "left_anti")
+    counts = dsir_bucket_counts(dsir_bucket_frame(clean))
+    weights = dsir_scores(survivors, dsir_bucket_frame(survivors), counts)
+    cut = global_discrete_pcts(
+        weights, "score_fp", "doc_id", [SELECT_PCT], ["cut"]
+    )["cut"]
+    selected = weights.filter(F.col("score_fp") >= cut).join(
+        survivors.select("doc_id", "n_chars"), "doc_id"
+    )
+    ref = _rows(
+        token_budget_shards(selected, "n_chars", "doc_id", BUDGET).select(
+            "doc_id", "n_chars", "cum_before", "seq_id", "offset_in_seq"
+        )
+    )
+    release_tracked()
+    assert got_shards == ref
+    assert mdropped.count() > 0  # the capped media leg still drops docs
