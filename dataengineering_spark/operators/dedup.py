@@ -662,6 +662,7 @@ def _star_rounds(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 2,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14, Alg. 3
@@ -729,10 +730,16 @@ def _star_rounds(
         .persist()
     )
     sig = _stats(e)
+    # convergence telemetry rides the aggregates the fixpoint check
+    # already runs (VERDICT r11 #7): edge-count trajectory + rounds to
+    # fixpoint, so convergence regressions are visible in probe JSON
+    # without any extra job.
+    traj = [sig[0]]
     converged = False
     for _round in range(max_iterations):
         new_e = _star_round(e).persist()
         new_sig = _stats(new_e)
+        traj.append(new_sig[0])
         # fixpoint: the (distinct, canonical) edge set is unchanged.
         # new ⊆ old is NOT enough (a shrink is still progress), so
         # equality = equal counts AND equal order-insensitive hash sum
@@ -758,6 +765,10 @@ def _star_rounds(
                 edges.sparkSession.sparkContext._jvm.System.gc()
             except Exception:  # noqa: BLE001 — best-effort
                 pass
+    if telemetry is not None:
+        telemetry["star_edge_trajectory"] = traj
+        telemetry["star_rounds_to_fixpoint"] = len(traj) - 1
+        telemetry["star_converged"] = converged
     if not converged:
         import warnings
 
@@ -791,6 +802,7 @@ def connected_components(
     broadcast_nodes_max: int = 4_000_000,
     distinct_edges: bool = True,
     strategy: str = "star",
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """(doc_id, component) labels for the near-duplicate pair graph:
     component = min doc id reachable from the doc. This is the final
@@ -875,6 +887,15 @@ def connected_components(
     a JVM GC after each lineage checkpoint so the ContextCleaner
     reaps dereferenced shuffle files between rounds instead of at the
     periodicGC interval.
+
+    ``telemetry`` (optional dict, star path): filled in place with the
+    convergence record — ``n_pairs``/``n_nodes``,
+    ``forest_edge_trajectory`` (contraction passes),
+    ``star_edge_trajectory`` + ``star_rounds_to_fixpoint`` +
+    ``star_converged`` (from the aggregates the fixpoint check already
+    runs — zero extra jobs), and ``endgame`` ("driver" | "star").
+    Probes persist it to JSON so convergence regressions — not just
+    wall time — are visible round-over-round (VERDICT r11 #7).
 
     ``distinct_edges=False`` (minlabel only) skips the O(|E|) distinct
     shuffle on the doubled edge frame: min-label propagation is
@@ -980,6 +1001,10 @@ def connected_components(
         forest = _partition_forest(edges).persist()
         m_edges = forest.count()
         n_nodes = forest.select("src").distinct().count()
+        if telemetry is not None:
+            telemetry["n_pairs"] = n_pairs
+            telemetry["n_nodes"] = n_nodes
+            telemetry["forest_edge_trajectory"] = [m_edges]
         shrink_target = max(driver_threshold, 4 * n_nodes)
         for _pass in range(4):
             if m_edges <= shrink_target:
@@ -989,6 +1014,8 @@ def connected_components(
                 forest.repartition(parts)
             ).persist()
             m2 = recontracted.count()
+            if telemetry is not None:
+                telemetry["forest_edge_trajectory"].append(m2)
             forest.unpersist()
             forest = recontracted
             if m2 >= m_edges:  # no progress — already forest-shaped
@@ -998,16 +1025,21 @@ def connected_components(
         if driver_threshold and m_edges <= driver_threshold:
             # self-rows ride along, so the union-find labels singleton
             # nodes too — the mapping is already complete
+            if telemetry is not None:
+                telemetry["endgame"] = "driver"
             rows = forest.collect()
             forest.unpersist()
             mapping = _driver_union_find([(r[0], r[1]) for r in rows])
             return pairs.sparkSession.createDataFrame(
                 sorted(mapping.items()), "doc_id long, component long"
             )
+        if telemetry is not None:
+            telemetry["endgame"] = "star"
         core = _star_rounds(
             forest,
             max_iterations=max_iterations,
             checkpoint_every=checkpoint_every,
+            telemetry=telemetry,
         )
         # star rounds drop self-rows (src != dst), so nodes whose every
         # edge was a self-loop — still present in the forest as (n, n)

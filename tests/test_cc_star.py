@@ -286,3 +286,43 @@ def test_sig_fixpoint_null_hash_forces_round():
     assert _sig_fixpoint((5, 123), (5, 123))
     assert not _sig_fixpoint((5, 123), (5, 124))
     assert not _sig_fixpoint((5, 123), (4, 123))
+
+
+def test_cc_telemetry_records_convergence(spark):
+    """telemetry= fills the convergence record off the aggregates the
+    engine already runs (VERDICT r11 #7): edge trajectories, rounds to
+    fixpoint, endgame — probes persist it so convergence regressions
+    are visible, not just wall time."""
+    import random
+
+    from dataengineering_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [
+        (a, b)
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(500)
+        )
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    tel: dict = {}
+    labeled = connected_components(
+        df, driver_threshold=0, telemetry=tel
+    ).collect()
+    assert tel["endgame"] == "star"
+    assert tel["n_nodes"] == len({r["doc_id"] for r in labeled})
+    assert tel["forest_edge_trajectory"][0] > 0
+    assert tel["star_converged"] is True
+    assert tel["star_rounds_to_fixpoint"] == (
+        len(tel["star_edge_trajectory"]) - 1
+    )
+    # trajectory is monotone non-increasing after the first round
+    t = tel["star_edge_trajectory"]
+    assert all(b <= a for a, b in zip(t[1:], t[2:]))
+    # driver endgame records too
+    tel2: dict = {}
+    small = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    connected_components(small, telemetry=tel2).collect()
+    assert "endgame" not in tel2 or tel2["endgame"] == "driver"
