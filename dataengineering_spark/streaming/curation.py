@@ -431,6 +431,7 @@ def curation_finish(
     media_pairs_dir: str | None = None,
     media_index_dir: str | None = None,
     media_cap_policy: "tuple | None" = None,
+    media_policy_out: dict | None = None,
 ) -> DataFrame:
     """Drain-time finisher: survivors → DSIR selection → token shards.
     Returns the final shard assignment (doc_id, n_chars, cum_before,
@@ -466,9 +467,11 @@ def curation_finish(
                 "media_pairs_dir"
             )
         caps, pair_budget = media_cap_policy
-        authorized_media_repair(
+        decision = authorized_media_repair(
             spark, media_index_dir, media_pairs_dir, caps, pair_budget
         )
+        if media_policy_out is not None:  # probes record the decision
+            media_policy_out.update(decision)
     from dataengineering_spark.caching import persist_tracked
     from dataengineering_spark.operators.chunking import token_budget_shards
     from dataengineering_spark.operators.robust import global_discrete_pcts
