@@ -141,6 +141,9 @@ HEADLINE = (
     "image_bucket_accounting",
     # round-11: the measured verify-rate half of the survivor budget
     "image_verify_rate",
+    # round-12: pair-store compaction parity (CC over the explicit
+    # spanning-forest contraction of the LSH pair graph)
+    "dedup_clusters_forest",
 )
 
 

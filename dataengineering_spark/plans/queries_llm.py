@@ -658,6 +658,30 @@ FROM reach GROUP BY src
 # ===========================================================================
 
 
+def q_dedup_clusters_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` routed through an EXPLICIT spanning-forest
+    contraction first (r12): canonical LSH pair edges -> per-partition
+    union-find forest (``_partition_forest``, root self-rows dropped)
+    -> connected components over the forest instead of the raw pairs.
+    Same labels by construction — the forest preserves connectivity
+    exactly — so the oracle is the identical recursive closure.  This
+    is the pair-store COMPACTION semantics
+    (``streaming.curation.compact_pairs_to_forest``) as a
+    driver-checkable query: a drift in the contraction lane ranks here
+    red instead of hiding behind pytest-only evidence."""
+    from dataengineering_spark.operators.dedup import _partition_forest
+
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    forest = _partition_forest(edges).filter(F.col("src") != F.col("dst"))
+    return connected_components(
+        forest, id_a="src", id_b="dst", distinct_edges=False
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, distinct_edges=False)
@@ -4245,6 +4269,11 @@ LLM_QUERIES: dict[str, tuple] = {
         "north-star:similarity diagnostics",
     ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS, "north-star:dedup"),
+    "dedup_clusters_forest": (
+        q_dedup_clusters_forest,
+        SQL_DEDUP_CLUSTERS,
+        "north-star:dedup pair-store compaction parity",
+    ),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP, "north-star:dedup"),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK, "north-star:similarity"),
