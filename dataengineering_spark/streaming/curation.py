@@ -79,6 +79,7 @@ def curation_pipeline_batch_fn(
     media_payload_col: str | None = None,
     media_index_dir: str | None = None,
     media_pairs_dir: str | None = None,
+    compact_every: int | None = None,
 ):
     """Build the composed foreachBatch hook. ``batch`` rows must carry
     the document columns (``id_col``, ``text_col``, ``lang``) AND the
@@ -99,7 +100,17 @@ def curation_pipeline_batch_fn(
     self-join plus cross-batch join against the persisted fingerprint
     index). Accumulated media pairs feed ``curation_finish``'s media
     keep-rule at drain time, so a document can be dropped for LOOKING
-    like an earlier one even when its text and embedding survive."""
+    like an earlier one even when its text and embedding survive.
+
+    ``compact_every=k`` runs :func:`compact_pairs_to_forest` on the
+    pair store(s) after every k-th epoch — the bounded-state
+    maintenance window as part of the loop itself (the r12 sf10 probe
+    measured 180×/97× store contraction with identical drain output).
+    Replay-safe: a replayed epoch re-appends its pairs onto the
+    compacted forest, whose union has the same connected components
+    (the epoch's connectivity is already inside the forest), so every
+    drain-time consumer is unchanged — asserted stream==batch
+    end-to-end in tests/test_streaming_curation_pipeline.py."""
     dsir_fn = dsir_partials_batch_fn(dsir_partials_dir)
     if media_payload_col is not None and not (
         media_index_dir and media_pairs_dir
@@ -200,6 +211,15 @@ def curation_pipeline_batch_fn(
                     fp.unpersist()
             # DSIR leg — model the clean corpus only
             dsir_fn(clean, epoch_id)
+            # pair-store maintenance window (r12): contract the
+            # accumulated stores to their spanning forest — O(|V|)
+            # rows, CC-equivalent, so drain results are unchanged
+            if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+                compact_pairs_to_forest(spark, pairs_dir)
+                if media_pairs_dir is not None:
+                    compact_pairs_to_forest(
+                        spark, media_pairs_dir, a_col="doc_a", b_col="doc_b"
+                    )
         finally:
             clean.unpersist()
             hits.unpersist()

@@ -67,7 +67,7 @@ def _frozen_quantizer(spark):
     return ivf_train_rows(e, C, ITERS, DIM)
 
 
-def _drain(spark, tmp_path, cent_rows, quality_gate=False):
+def _drain(spark, tmp_path, cent_rows, quality_gate=False, **extra):
     docs, joined = _corpus(spark)
     src = str(tmp_path / "arrivals")
     for ep in range(EPOCH_MOD):
@@ -103,6 +103,7 @@ def _drain(spark, tmp_path, cent_rows, quality_gate=False):
             if quality_gate
             else {}
         ),
+        **extra,
     )
     q.awaitTermination(180)
     return docs
@@ -606,3 +607,42 @@ def test_media_cap_policy_authorized_repair_equals_capped_batch(
     release_tracked()
     assert got_shards == ref
     assert mdropped.count() > 0  # the capped media leg still drops docs
+
+
+def test_stream_with_epoch_compaction_equals_batch(spark, tmp_path):
+    """compact_every=1 contracts the pair store after EVERY epoch; the
+    drained pipeline must still equal the composed batch plan (the
+    forest preserves connectivity exactly), with the store held at
+    O(|V|) rows."""
+    cent_rows = _frozen_quantizer(spark)
+    docs = _drain(spark, tmp_path, cent_rows, compact_every=1)
+
+    got_shards = _rows(
+        curation_finish(
+            spark,
+            cent_rows,
+            clean_dir=str(tmp_path / "clean"),
+            pairs_dir=str(tmp_path / "pairs"),
+            index_dir=str(tmp_path / "index"),
+            dsir_partials_dir=str(tmp_path / "dsir"),
+            select_pct=SELECT_PCT,
+            budget=BUDGET,
+        )
+    )
+    release_tracked()
+
+    _hits, _dropped, ref_shards, _ordered = _batch_reference(spark, docs)
+    ref_shard_rows = _rows(ref_shards)
+    release_tracked()
+    assert got_shards == ref_shard_rows and len(got_shards) > 0
+
+    # the store is forest-sized: at most one row per paired vector
+    store = spark.read.parquet(str(tmp_path / "pairs"))
+    n_rows = store.count()
+    n_nodes = (
+        store.selectExpr("vec_a AS v")
+        .union(store.selectExpr("vec_b AS v"))
+        .distinct()
+        .count()
+    )
+    assert n_rows < n_nodes  # strictly: forest edges = nodes - trees
