@@ -888,14 +888,16 @@ def connected_components(
     reaps dereferenced shuffle files between rounds instead of at the
     periodicGC interval.
 
-    ``telemetry`` (optional dict, star path): filled in place with the
+    ``telemetry`` (optional dict): filled in place with the
     convergence record — ``n_pairs``/``n_nodes``,
     ``forest_edge_trajectory`` (contraction passes),
     ``star_edge_trajectory`` + ``star_rounds_to_fixpoint`` +
-    ``star_converged`` (from the aggregates the fixpoint check already
-    runs — zero extra jobs), and ``endgame`` ("driver" | "star").
-    Probes persist it to JSON so convergence regressions — not just
-    wall time — are visible round-over-round (VERDICT r11 #7).
+    ``star_converged`` on the star path, or
+    ``minlabel_changed_trajectory`` on the legacy path (all from the
+    aggregates the engines already run — zero extra jobs), and
+    ``endgame`` ("driver" | "star" | "minlabel").  Probes persist it
+    to JSON so convergence regressions — not just wall time — are
+    visible round-over-round (VERDICT r11 #7).
 
     ``distinct_edges=False`` (minlabel only) skips the O(|E|) distinct
     shuffle on the doubled edge frame: min-label propagation is
@@ -1092,6 +1094,10 @@ def connected_components(
         except Exception:  # noqa: BLE001 — best-effort on exotic backends
             pass
 
+    if telemetry is not None:
+        telemetry["endgame"] = "minlabel"
+        telemetry["n_nodes"] = n_nodes
+        telemetry["minlabel_changed_trajectory"] = []
     changed = 0
     for _round in range(max_iterations):
         new_labels = _cc_round(edges, labels, bcast).persist()
@@ -1101,6 +1107,8 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        if telemetry is not None:
+            telemetry["minlabel_changed_trajectory"].append(changed)
         labels.unpersist()
         labels = new_labels
         if changed == 0:

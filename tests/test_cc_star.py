@@ -326,3 +326,20 @@ def test_cc_telemetry_records_convergence(spark):
     small = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     connected_components(small, telemetry=tel2).collect()
     assert "endgame" not in tel2 or tel2["endgame"] == "driver"
+
+
+def test_cc_minlabel_telemetry_records_convergence(spark):
+    from dataengineering_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    tel: dict = {}
+    connected_components(
+        df, driver_threshold=0, strategy="minlabel", telemetry=tel
+    ).collect()
+    assert tel["endgame"] == "minlabel"
+    assert tel["n_nodes"] == 6
+    traj = tel["minlabel_changed_trajectory"]
+    assert traj[-1] == 0  # reached fixpoint
+    assert all(isinstance(c, int) for c in traj)
