@@ -147,3 +147,28 @@ def test_compact_media_pairs_drops_extra_columns_safely(spark, tmp_path):
     assert {r["doc_id"]: r["component"] for r in after.collect()} == (
         before_labels
     )
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_compact_preserves_labels_on_random_graphs(spark, tmp_path, seed):
+    """Differential fuzz for the REWRITE path: random pair graphs
+    (mixed density, self-contained components, isolated 2-cliques) —
+    CC labels over the store must be identical before and after
+    compaction, for any graph shape."""
+    import random
+
+    rng = random.Random(seed)
+    n_nodes = rng.randint(40, 120)
+    edges = set()
+    for _ in range(rng.randint(30, 400)):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs_dir = str(tmp_path / f"pairs_{seed}")
+    spark.createDataFrame(
+        sorted(edges), "vec_a long, vec_b long"
+    ).write.mode("append").parquet(pairs_dir)
+    before = _labels(spark, pairs_dir)
+    stats = compact_pairs_to_forest(spark, pairs_dir)
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert _labels(spark, pairs_dir) == before
