@@ -142,8 +142,11 @@ HEADLINE = (
     # round-11: the measured verify-rate half of the survivor budget
     "image_verify_rate",
     # round-12: pair-store compaction parity (CC over the explicit
-    # spanning-forest contraction of the LSH pair graph)
+    # spanning-forest contraction of the LSH pair graph), tokenizer
+    # vocab-coverage curve, RAG sliding-window chunking
     "dedup_clusters_forest",
+    "unk_rate_at_k",
+    "overlap_chunks",
 )
 
 

@@ -4074,6 +4074,154 @@ FROM r
 """
 
 
+# ===========================================================================
+# Q: unk_rate_at_k — tokenizer-design curve: for vocabulary cutoffs K,
+# the fraction of token OCCURRENCES a top-K frequency vocabulary fails
+# to cover (the UNK rate a word-level tokenizer with that vocab would
+# emit). Top-K selection is a sort+limit (per-partition top-K merge,
+# never a global window); per-K coverage is conditional sums over the
+# K_MAX-row ranked frame. Exact integer occurrence counts; the rate is
+# one IEEE double division, identical on any engine.
+# ===========================================================================
+
+UNK_KS = (100, 1000, 5000)
+
+
+def q_unk_rate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.functions.text import word_array
+
+    k_max = max(UNK_KS)
+    freqs = (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_array("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("token")).limit(k_max)
+    # rank without a global window: pack the K_MAX survivors into one
+    # sorted array and posexplode (the zipf_curve shape)
+    ranked = (
+        top.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("freq")).alias("nf"), "token"))
+            ).alias("ts")
+        )
+        .select(F.posexplode("ts").alias("rk0", "t"))
+        .select((F.col("rk0") + 1).alias("rank"), (-F.col("t.nf")).alias("freq"))
+    )
+    cov = ranked.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= k, F.col("freq"))), F.lit(0)
+            ).alias(f"_c{k}")
+            for k in UNK_KS
+        ]
+    )
+    tot = freqs.agg(F.sum("freq").alias("_t"))
+    # deliberate 1-row x 1-row totals attach (the dsir_weights pattern)
+    both = cov.crossJoin(tot)
+    per_k = both.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.col(f"_c{k}").cast("long").alias("covered_occ"),
+                        F.col("_t").cast("long").alias("total_occ"),
+                    )
+                    for k in UNK_KS
+                ]
+            )
+        ).alias("r")
+    ).select("r.k", "r.covered_occ", "r.total_occ")
+    return per_k.select(
+        "k",
+        "covered_occ",
+        "total_occ",
+        (
+            F.lit(1.0)
+            - F.col("covered_occ").cast("double")
+            / F.col("total_occ").cast("double")
+        ).alias("unk_rate"),
+    )
+
+
+SQL_UNK_RATE_AT_K = f"""
+WITH t AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+f AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM t WHERE length(token) > 0 GROUP BY token
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+         freq
+  FROM f ORDER BY freq DESC, token LIMIT {max(UNK_KS)}
+),
+ks AS (SELECT unnest({list(UNK_KS)}) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+  (SELECT CAST(COALESCE(SUM(freq), 0) AS BIGINT) FROM r
+   WHERE rank <= ks.k) AS covered_occ,
+  (SELECT CAST(SUM(freq) AS BIGINT) FROM f) AS total_occ,
+  1.0 - CAST((SELECT COALESCE(SUM(freq), 0) FROM r WHERE rank <= ks.k)
+             AS DOUBLE)
+      / CAST((SELECT SUM(freq) FROM f) AS DOUBLE) AS unk_rate
+FROM ks
+"""
+
+
+# ===========================================================================
+# Q: overlap_chunks — RAG-style sliding-window chunking: fixed-width
+# character chunks on a stride smaller than the width, so consecutive
+# chunks overlap (retrieval context continuity). Pure codegen —
+# sequence + posexplode + substring, no UDF; chunk count per doc is
+# ceil(len/stride), spelled as an inclusive 0..(len-1) DIV stride
+# sequence so both engines agree exactly. The tail chunk clips.
+# ===========================================================================
+
+CHUNK_W, CHUNK_S = 240, 180
+
+
+def q_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.expr(f"CAST((length(text) - 1) DIV {CHUNK_S} AS INT)"),
+        )
+    ).alias("chunk_idx")
+    chunks = d.select("doc_id", idx, "text")
+    start1 = (F.col("chunk_idx") * CHUNK_S + 1).cast("int")
+    chunk_text = F.expr(
+        f"substring(text, chunk_idx * {CHUNK_S} + 1, {CHUNK_W})"
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start1.alias("chunk_start"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).cast("int").alias("chunk_len"),
+    )
+
+
+SQL_OVERLAP_CHUNKS = f"""
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {CHUNK_S} + 1 AS INT) AS chunk_start,
+       substr(text, CAST(i * {CHUNK_S} + 1 AS INT), {CHUNK_W}) AS chunk_text,
+       CAST(length(substr(text, CAST(i * {CHUNK_S} + 1 AS INT), {CHUNK_W}))
+            AS INT) AS chunk_len
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(
+         0, (length(text) - 1) // {CHUNK_S})) AS i)
+WHERE length(text) > 0
+"""
+
+
 LLM_QUERIES: dict[str, tuple] = {
     "decontaminate_split": (
         q_decontaminate_split,
@@ -4273,6 +4421,16 @@ LLM_QUERIES: dict[str, tuple] = {
         q_dedup_clusters_forest,
         SQL_DEDUP_CLUSTERS,
         "north-star:dedup pair-store compaction parity",
+    ),
+    "unk_rate_at_k": (
+        q_unk_rate_at_k,
+        SQL_UNK_RATE_AT_K,
+        "north-star:text tokenizer vocab coverage",
+    ),
+    "overlap_chunks": (
+        q_overlap_chunks,
+        SQL_OVERLAP_CHUNKS,
+        "north-star:text RAG sliding-window chunking",
     ),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH, "north-star:dedup"),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP, "north-star:dedup"),
