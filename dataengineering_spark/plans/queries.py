@@ -782,21 +782,12 @@ _register_extra_queries()
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
 #
-# r12 pins: the r10/r11 engine rewrites changed code UNDER these queries
-# after their last driver green — dedup_clusters (r8) / dedup_survivors (r9)
-# / image_dedup_survivors (r9) ran the pre-rewrite connected-components
-# engine; image_bucket_accounting's r10 green predates the r11 integer
-# DIV-2 change to pigeonhole_bucket_stats.  The v1 signature stamp hashed
-# only the callable source + oracle SQL, so operator-layer rewrites did not
-# trip it (VERDICT r11 "What's missing" #1).  The v2 signature below closes
-# that class structurally; these pins wash the four known pre-v2 gaps
-# through the driver once.  Remove once CORRECTNESS_r12 shows them green.
-_DRIVER_PRIORITY: list[str] = [
-    "dedup_clusters",
-    "dedup_survivors",
-    "image_dedup_survivors",
-    "image_bucket_accounting",
-]
+# r13: the four r12 CC pins (dedup_clusters, dedup_survivors,
+# image_dedup_survivors, image_bucket_accounting) washed green in
+# CORRECTNESS_r12, so the pin list is empty again — the mechanical order
+# (red-first, never-checked, stalest-green, signature-drift) is the whole
+# ranking.
+_DRIVER_PRIORITY: list[str] = []
 
 # Package prefix for "our code" when walking a query callable's reference
 # closure.  Signature version: bumping this deliberately restamps every
