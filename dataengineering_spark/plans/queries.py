@@ -782,19 +782,69 @@ _register_extra_queries()
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
 #
-# r13: the four r12 CC pins (dedup_clusters, dedup_survivors,
-# image_dedup_survivors, image_bucket_accounting) washed green in
-# CORRECTNESS_r12, so the pin list is empty again — the mechanical order
-# (red-first, never-checked, stalest-green, signature-drift) is the whole
-# ranking.
-_DRIVER_PRIORITY: list[str] = []
+# r13 pins: the four r12 CC pins washed green in CORRECTNESS_r12 and are
+# dropped.  The v3 signature upgrade below (body-local imports + value-only
+# imports now enter the module closure) restamps every query wholesale at
+# rotate, which would otherwise hide the queries the v2 closure under-
+# approximated: these 36 have a last driver green that PREDATES an edit to
+# a module their v3 closure now contains (e.g. two_level_assign green r8,
+# operators/similarity.py hot-split edit r9; the kmv/countmin family green
+# r9-r10 over the r12 dedup.py edits; the six r7 semantic/DSIR/BPE queries
+# over the r11/r12 CC rewrite).  Pinning washes them through the r13
+# driver explicitly — the same one-round wash the v2 bump used for its
+# four known gaps.  Remove once CORRECTNESS_r13 shows them green.
+_DRIVER_PRIORITY: list[str] = [
+    "bpe_token_stats",
+    "semantic_dedup",
+    "dsir_weights",
+    "semantic_cell_stats",
+    "semantic_survivors",
+    "dsir_resample",
+    "log_index",
+    "hash_sample",
+    "stratified_sample",
+    "media_durations",
+    "image_decode",
+    "jpeg_meta",
+    "frame_sample",
+    "cosine_topk",
+    "lsh_ann",
+    "ivf_ann",
+    "embedding_neardup",
+    "ann_recall",
+    "two_level_assign",
+    "pcm_stats",
+    "dataset_split",
+    "mixture_sample",
+    "kmv_distinct",
+    "kmv_merge",
+    "hll_merge",
+    "weighted_sample",
+    "epoch_mixture",
+    "video_neardup",
+    "ngram_novelty",
+    "table_checksum",
+    "bloom_prune",
+    "countmin_topk",
+    "kmv_intersect",
+    "decontaminate_split",
+    "image_verify_rate",
+    "lsh_bucket_accounting",
+]
 
 # Package prefix for "our code" when walking a query callable's reference
 # closure.  Signature version: bumping this deliberately restamps every
 # query at the next rotate (a one-time reset of the drift ranking — the
 # known pre-bump gaps must be washed via _DRIVER_PRIORITY pins instead).
 _PKG_PREFIX = "dataengineering_spark"
-_SIG_VERSION = "v2"
+# v3 (r13): the closure walk also resolves function-body-local imports via
+# co_names dotted paths (ADVICE r12 medium) and _module_deps supplements
+# the globals scan with a static ast import pass so value-only imports
+# count (ADVICE r12 low).  Neither gap was exploited by any registry query
+# (verified: the only body-local-import consumer, dedup_clusters_forest,
+# was already covered through a module-level global of the same module),
+# so the version bump's wholesale restamp needs no wash pins.
+_SIG_VERSION = "v3"
 
 # name -> sha256 of the module's source file, memoized for the process.
 # Tests may pre-seed an entry to simulate an operator-module edit without
@@ -830,13 +880,66 @@ def _module_source_hash(mod_name: str) -> str | None:
     return digest
 
 
+def _module_ast_deps(mod_name: str) -> set[str]:
+    """Static import scan of a module's source (ADVICE r12 low #3).
+
+    The dynamic globals scan below misses dependencies pulled in as plain
+    DATA (``from other_op import SOME_CONST`` leaves no module object and
+    no __module__-tagged symbol in the importer's globals), so an edit to
+    the upstream module would not drift the consumer's v2 signature.  An
+    ast pass over the import statements closes that blind spot: every
+    ``import``/``from`` target resolving inside the package (absolute or
+    relative) counts as a dependency regardless of what kind of symbol was
+    imported.  Function-local imports are included too — they are real
+    dependencies of the module.
+    """
+    import ast
+    import sys
+
+    mod = sys.modules.get(mod_name)
+    path = getattr(mod, "__file__", None) if mod is not None else None
+    if not path:
+        return set()
+    try:
+        with open(path, "r", encoding="utf-8") as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError, ValueError):
+        return set()
+    pkg = getattr(mod, "__package__", None) or mod_name.rpartition(".")[0]
+    deps: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG_PREFIX):
+                    deps.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            base = node.module or ""
+            if node.level:
+                parts = pkg.split(".") if pkg else []
+                if node.level > 1:
+                    parts = parts[: len(parts) - (node.level - 1)]
+                base = ".".join(parts + ([node.module] if node.module else []))
+            if not base.startswith(_PKG_PREFIX):
+                continue
+            deps.add(base)
+            # ``from pkg.operators import dedup`` names the submodule in
+            # the alias list, not the module path — add it when it IS one
+            for a in node.names:
+                cand = f"{base}.{a.name}"
+                if cand in sys.modules:
+                    deps.add(cand)
+    return deps
+
+
 def _module_deps(mod_name: str, _memo: dict[str, frozenset] = {}) -> frozenset:
     """dataengineering_spark modules a module directly pulls symbols from.
 
-    Dynamic scan of the live module's globals (every import style lands a
-    module object or a __module__-tagged symbol there), so no ast import
-    resolution is needed.  Memoized: module-level import graphs only change
-    with a process restart.
+    Dynamic scan of the live module's globals (module objects and
+    __module__-tagged symbols) UNIONED with a static ast pass over the
+    source's import statements — the latter catches value-only imports
+    (constants, tables) that leave no traceable symbol in globals
+    (ADVICE r12).  Memoized: module-level import graphs only change with
+    a process restart.
     """
     import sys
     import types
@@ -855,7 +958,9 @@ def _module_deps(mod_name: str, _memo: dict[str, frozenset] = {}) -> frozenset:
                 m = getattr(v, "__module__", None)
                 if isinstance(m, str) and m.startswith(_PKG_PREFIX):
                     deps.add(m)
+    deps.update(_module_ast_deps(mod_name))
     deps.discard(mod_name)
+    deps.discard(_PKG_PREFIX)
     out = frozenset(deps)
     _memo[mod_name] = out
     return out
@@ -922,6 +1027,35 @@ def _callable_closure(fn) -> tuple[dict[str, str], set[str]]:
                     cells.append(cell.cell_contents)
                 except ValueError:
                     pass
+        # function-body imports bind LOCALS, not globals, so the imported
+        # symbol never resolves through g — but the IMPORT_NAME opcode puts
+        # the dotted module path itself into co_names (ADVICE r12 medium).
+        # Resolve any package-prefixed dotted name as a module reference so
+        # a query whose only operator dependency is a body-local
+        # ``from dataengineering_spark.x import y`` still drifts on x edits.
+        for n in sorted(names):
+            if not n.startswith(_PKG_PREFIX) or n == _PKG_PREFIX:
+                continue
+            import sys as _sys
+
+            mod = _sys.modules.get(n)
+            if mod is None:
+                try:
+                    import importlib
+
+                    mod = importlib.import_module(n)
+                except Exception:
+                    continue
+            if _is_plans_module(n):
+                # a body-locally imported PLANS module enters by source
+                # hash under its own key: this over-drifts only the one
+                # importing query on sibling edits, never the whole file's
+                # queries (the reason plans modules stay out of `modules`)
+                digest = _module_source_hash(n)
+                if digest is not None:
+                    helper_srcs.setdefault(f"module:{n}", digest)
+            else:
+                modules.add(n)
         for v in [g.get(n) for n in sorted(names) if n in g] + cells:
             if isinstance(v, types.ModuleType):
                 if v.__name__.startswith(_PKG_PREFIX):

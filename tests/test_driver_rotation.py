@@ -184,18 +184,82 @@ def test_rotate_rerun_does_not_launder_stamps():
 def test_driver_priority_pin_heads_window():
     from dataengineering_spark.plans.queries import _DRIVER_PRIORITY, _ordered_names
 
-    # r12 pins: the four queries whose driver greens predate the r10/r11
-    # CC-engine and bucket-arithmetic rewrites (VERDICT r11 #1) — the v1
-    # signature stamp could not see operator-layer drift.  Drop once
-    # CORRECTNESS_r12 shows them green.
-    pins = [
-        "dedup_clusters",
-        "dedup_survivors",
-        "image_dedup_survivors",
-        "image_bucket_accounting",
+    # r13 pins: the 36 queries whose last driver green predates an edit to
+    # a module their (new, v3) closure contains — the set the v3 wholesale
+    # restamp would otherwise launder.  Must head the window verbatim and
+    # lead with the six r7-stale semantic/DSIR/BPE queries (VERDICT r12
+    # #1).  Drop once CORRECTNESS_r13 shows them green.
+    pins = _DRIVER_PRIORITY
+    assert len(pins) == 36
+    assert pins[:6] == [
+        "bpe_token_stats",
+        "semantic_dedup",
+        "dsir_weights",
+        "semantic_cell_stats",
+        "semantic_survivors",
+        "dsir_resample",
     ]
-    assert _DRIVER_PRIORITY == pins
+    assert len(pins) <= 50, "pins must fit the driver window"
     assert _ordered_names()[: len(pins)] == pins
+
+
+def test_closure_sees_function_local_imports():
+    """A callable whose ONLY reference to an operator module is a
+    function-body ``from pkg.mod import sym`` must still contribute that
+    module to the v3 signature (ADVICE r12 medium: the dotted path sits in
+    co_names but never resolves through __globals__)."""
+    from dataengineering_spark.plans.queries import _callable_closure
+
+    def only_local_import(spark, sf_dir):
+        from dataengineering_spark.operators.sketches import kmv_sketch
+
+        return kmv_sketch
+
+    helpers, modules = _callable_closure(only_local_import)
+    assert "dataengineering_spark.operators.sketches" in modules, modules
+    # a body-local PLANS import enters as a source-hash helper key, never
+    # the module set (whole-plan-file hashing must stay out of `modules`)
+    def local_plans_import(spark, sf_dir):
+        from dataengineering_spark.plans.queries_llm import QUERIES as q
+
+        return q
+
+    helpers2, modules2 = _callable_closure(local_plans_import)
+    assert not any(".plans" in m for m in modules2), modules2
+    assert "module:dataengineering_spark.plans.queries_llm" in helpers2
+
+
+def test_module_ast_deps_sees_value_only_imports(tmp_path):
+    """_module_deps must count a dependency pulled in as plain data
+    (ADVICE r12 low: ``from other_op import SOME_CONST`` leaves no module
+    object or __module__-tagged symbol in globals)."""
+    import sys
+    import types
+
+    from dataengineering_spark.plans.queries import _module_ast_deps
+
+    src = tmp_path / "fake_mod.py"
+    src.write_text(
+        "from dataengineering_spark.operators.dedup import PAIR_THRESHOLD\n"
+        "from .similarity import SOME_TABLE\n"
+        "import dataengineering_spark.functions.text\n"
+        "def f():\n"
+        "    from dataengineering_spark.caching import persist_tracked\n"
+        "    return persist_tracked\n"
+    )
+    name = "dataengineering_spark.operators._test_astdep"
+    mod = types.ModuleType(name)
+    mod.__file__ = str(src)
+    mod.__package__ = "dataengineering_spark.operators"
+    sys.modules[name] = mod
+    try:
+        deps = _module_ast_deps(name)
+    finally:
+        del sys.modules[name]
+    assert "dataengineering_spark.operators.dedup" in deps, deps  # value-only
+    assert "dataengineering_spark.operators.similarity" in deps, deps  # relative
+    assert "dataengineering_spark.functions.text" in deps, deps  # plain import
+    assert "dataengineering_spark.caching" in deps, deps  # function-local
 
 
 def test_signature_covers_operator_module_closure():
