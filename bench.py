@@ -147,6 +147,9 @@ HEADLINE = (
     "dedup_clusters_forest",
     "unk_rate_at_k",
     "overlap_chunks",
+    # round-13: representatives-only incremental ingest join (the
+    # O(#components) cross-epoch join shape)
+    "semantic_reps_incremental",
 )
 
 

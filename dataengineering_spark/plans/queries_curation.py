@@ -843,7 +843,150 @@ FROM r JOIN s ON r.source = s.source CROSS JOIN n
 """
 
 
+# ===========================================================================
+# Q: semantic_reps_incremental — the representatives-only incremental
+# ingest join (r13, VERDICT r12 #2) as a driver-checkable query: epoch
+# 1 (even vec_ids) builds within-cell threshold pairs, the pair set is
+# contracted to its spanning forest (the pair-store compaction lane,
+# streaming.curation.pairs_to_forest_frame), components are labeled and
+# every NON-ROOT member leaves the join index; epoch 2 (odd vec_ids)
+# then pairs within itself plus against the REPS index only — one row
+# per known component instead of every accumulated member (per-epoch
+# join volume O(#components), the 100 TB ingest-loop shape).  Final
+# labels are connected components over forest ∪ epoch-2 pairs.  The
+# oracle replays the identical two-stage recursive closure over the
+# full pair sets (the forest is CC-equivalent to epoch 1's pairs by
+# construction), so a drift anywhere in the contraction / reps /
+# incremental-join lane ranks red at the driver instead of hiding
+# behind pytest-only evidence.
+# Reference parity: the reference's dedup maintenance is a DELETE-and-
+# reload sweep (clickhouse/v1/operator.py:440-499); this query is the
+# engine's scale path for the same maintenance contract.
+# ===========================================================================
+
+def q_semantic_reps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.operators.dedup import (
+        connected_components,
+        semantic_candidate_pairs,
+    )
+    from dataengineering_spark.streaming.curation import pairs_to_forest_frame
+    from dataengineering_spark.streaming.semdedup import _batch_cells
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = _sem_cent_rows(spark, sf_dir)
+    cells1 = _batch_cells(
+        emb.filter(F.col("vec_id") % 2 == 0), cent_rows, "vec_id", "embedding"
+    )
+    cells2 = _batch_cells(
+        emb.filter(F.col("vec_id") % 2 == 1), cent_rows, "vec_id", "embedding"
+    )
+    pairs1 = semantic_candidate_pairs(cells1, threshold=SEM_THRESHOLD)
+    forest, _passes = pairs_to_forest_frame(
+        pairs1.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+    )
+    forest_pairs = forest.filter(F.col("src") != F.col("dst"))
+    comp1 = connected_components(
+        forest_pairs, id_a="src", id_b="dst", distinct_edges=False
+    )
+    nonroots = comp1.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    reps_cells = cells1.join(nonroots, "vec_id", "left_anti")
+    pairs2 = semantic_candidate_pairs(
+        cells2, threshold=SEM_THRESHOLD
+    ).unionByName(
+        semantic_candidate_pairs(
+            cells2, index_cells=reps_cells, threshold=SEM_THRESHOLD
+        )
+    )
+    all_pairs = forest_pairs.select(
+        F.col("src").alias("vec_a"), F.col("dst").alias("vec_b")
+    ).unionByName(pairs2)
+    return connected_components(all_pairs, id_a="vec_a", id_b="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+
+
+def _semantic_reps_incremental_sql(
+    n_centroids: int, n_iters: int, dim: int, threshold: float
+) -> str:
+    """Two-stage recursive closure: epoch-1 components over even-id
+    within-cell pairs, non-roots leave the index, epoch-2 pairs are
+    intra-odd plus odd×reps, final closure over the union.  The Spark
+    side runs the forest contraction between the stages; the oracle
+    uses epoch 1's raw pairs — CC-equivalent by construction, same
+    node set (every ≥2-node component keeps all members as forest
+    rows)."""
+    dd = _dd
+    joined, _cents = _cells_cte_chain(n_centroids, n_iters, dim)
+    cos_cond = (
+        f"{dd('a.v', 'b.v')} >= {threshold} * "
+        f"sqrt({dd('a.v', 'a.v')} * {dd('b.v', 'b.v')})"
+    )
+    cos_cond_reps = (
+        f"{dd('a.v', 'r.v')} >= {threshold} * "
+        f"sqrt({dd('a.v', 'a.v')} * {dd('r.v', 'r.v')})"
+    )
+    return f"""
+WITH RECURSIVE {joined},
+p1 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND {cos_cond}
+),
+e1 AS (
+  SELECT vec_a AS src, vec_b AS dst FROM p1
+  UNION SELECT vec_b AS src, vec_a AS dst FROM p1
+),
+r1 AS (
+  SELECT src, dst FROM e1
+  UNION
+  SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+),
+nonroots AS (
+  SELECT src AS vec_id FROM r1 GROUP BY src HAVING MIN(dst) < src
+),
+p2 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 1 AND {cos_cond}
+  UNION
+  SELECT LEAST(a.vec_id, r.vec_id) AS vec_a,
+         GREATEST(a.vec_id, r.vec_id) AS vec_b
+  FROM cells a JOIN cells r ON a.cid = r.cid
+  WHERE a.vec_id % 2 = 1 AND r.vec_id % 2 = 0
+    AND r.vec_id NOT IN (SELECT vec_id FROM nonroots)
+    AND {cos_cond_reps}
+),
+alle AS (
+  SELECT vec_a AS src, vec_b AS dst FROM p1
+  UNION SELECT vec_b AS src, vec_a AS dst FROM p1
+  UNION SELECT vec_a AS src, vec_b AS dst FROM p2
+  UNION SELECT vec_b AS src, vec_a AS dst FROM p2
+),
+ra AS (
+  SELECT src, dst FROM alle
+  UNION
+  SELECT r.src, e.dst FROM ra r JOIN alle e ON r.dst = e.src
+)
+SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+FROM ra GROUP BY src
+"""
+
+
+SQL_SEMANTIC_REPS_INCREMENTAL = _semantic_reps_incremental_sql(
+    SEM_C, SEM_ITERS, DIM, SEM_THRESHOLD
+)
+
+
 CURATION_QUERIES = {
+    "semantic_reps_incremental": (
+        q_semantic_reps_incremental,
+        SQL_SEMANTIC_REPS_INCREMENTAL,
+        "curation:representatives-only incremental dedup join",
+    ),
     "curriculum_order": (
         q_curriculum_order,
         SQL_CURRICULUM_ORDER,

@@ -80,6 +80,8 @@ def curation_pipeline_batch_fn(
     media_index_dir: str | None = None,
     media_pairs_dir: str | None = None,
     compact_every: int | None = None,
+    reps_index_dir: str | None = None,
+    media_reps_index_dir: str | None = None,
 ):
     """Build the composed foreachBatch hook. ``batch`` rows must carry
     the document columns (``id_col``, ``text_col``, ``lang``) AND the
@@ -110,7 +112,23 @@ def curation_pipeline_batch_fn(
     compacted forest, whose union has the same connected components
     (the epoch's connectivity is already inside the forest), so every
     drain-time consumer is unchanged — asserted stream==batch
-    end-to-end in tests/test_streaming_curation_pipeline.py."""
+    end-to-end in tests/test_streaming_curation_pipeline.py.
+
+    ``reps_index_dir`` / ``media_reps_index_dir`` (r13, requires
+    ``compact_every``) switch the cross-epoch candidate join to a
+    REPRESENTATIVES index: incoming rows join one row per known
+    duplicate component (plus everything not yet compacted) instead of
+    every accumulated member, making per-epoch pair volume
+    O(#components), flat across epochs on replica corpora — see
+    :func:`refresh_reps_index` for the exactness/conservativeness
+    contract.  The full index keeps growing append-only (the drain
+    still reads it); only the JOIN input is repped.
+
+    Concurrency: foreachBatch serializes epochs per stream, and the
+    maintenance window (compaction + reps refresh) runs at the END of
+    the epoch hook, after the epoch's own appends — store rewrites
+    never race an appender in this design; external writers must fence
+    themselves (see compact_pairs_to_forest)."""
     dsir_fn = dsir_partials_batch_fn(dsir_partials_dir)
     if media_payload_col is not None and not (
         media_index_dir and media_pairs_dir
@@ -118,11 +136,27 @@ def curation_pipeline_batch_fn(
         raise ValueError(
             "media_payload_col requires media_index_dir and media_pairs_dir"
         )
+    if (reps_index_dir or media_reps_index_dir) and not compact_every:
+        raise ValueError(
+            "reps_index_dir/media_reps_index_dir require compact_every: the "
+            "reps index is refreshed from the compacted pair store"
+        )
+    if media_reps_index_dir is not None and media_payload_col is None:
+        raise ValueError("media_reps_index_dir requires media_payload_col")
 
     def batch_fn(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        # heal any store torn by a crash mid-maintenance BEFORE this
+        # epoch appends (an append would otherwise recreate the live
+        # dir and recovery would later reap the rolled-aside original)
+        from dataengineering_spark.streaming.store import recover_store
+
+        for d in (pairs_dir, media_pairs_dir, reps_index_dir,
+                  media_reps_index_dir):
+            if d is not None:
+                recover_store(spark, d)
         hits = benchmark_overlap(
             batch, benchmark, n=n, id_col=id_col, text_col=text_col
         ).persist()
@@ -157,9 +191,18 @@ def curation_pipeline_batch_fn(
             cells = _batch_cells(clean, cent_rows, id_col, vec_col).persist()
             try:
                 pairs = semantic_candidate_pairs(cells, threshold=threshold)
-                if _path_exists(spark, index_dir):
+                # reps mode: join the representatives index (one row
+                # per known component + everything since the last
+                # compaction) instead of the full accumulated index
+                join_dir = (
+                    reps_index_dir
+                    if reps_index_dir is not None
+                    and _path_exists(spark, reps_index_dir)
+                    else index_dir
+                )
+                if _path_exists(spark, join_dir):
                     index_cells = spark.read.schema(CELL_INDEX_SCHEMA).parquet(
-                        index_dir
+                        join_dir
                     )
                     pairs = pairs.unionByName(
                         semantic_candidate_pairs(
@@ -167,9 +210,12 @@ def curation_pipeline_batch_fn(
                         )
                     )
                 pairs.distinct().write.mode("append").parquet(pairs_dir)
-                cells.select("vec_id", "cid", "v", "dd").write.mode(
-                    "append"
-                ).parquet(index_dir)
+                cells_out = cells.select("vec_id", "cid", "v", "dd")
+                cells_out.write.mode("append").parquet(index_dir)
+                if reps_index_dir is not None:
+                    # new rows stay individually matchable until the
+                    # next refresh folds them into components
+                    cells_out.write.mode("append").parquet(reps_index_dir)
             finally:
                 cells.unpersist()
             # media dedup leg — clean slice's payloads through the
@@ -193,10 +239,16 @@ def curation_pipeline_batch_fn(
                     mpairs = simhash_neardup_pairs(
                         fp, max_distance=3, sim_col="dhash", bits=64
                     )
-                    if _path_exists(spark, media_index_dir):
+                    mjoin_dir = (
+                        media_reps_index_dir
+                        if media_reps_index_dir is not None
+                        and _path_exists(spark, media_reps_index_dir)
+                        else media_index_dir
+                    )
+                    if _path_exists(spark, mjoin_dir):
                         midx = spark.read.schema(
                             "doc_id long, dhash long"
-                        ).parquet(media_index_dir)
+                        ).parquet(mjoin_dir)
                         mpairs = mpairs.unionByName(
                             simhash_neardup_cross_pairs(
                                 midx, fp, max_distance=3,
@@ -207,6 +259,10 @@ def curation_pipeline_batch_fn(
                         media_pairs_dir
                     )
                     fp.write.mode("append").parquet(media_index_dir)
+                    if media_reps_index_dir is not None:
+                        fp.select("doc_id", "dhash").write.mode(
+                            "append"
+                        ).parquet(media_reps_index_dir)
                 finally:
                     fp.unpersist()
             # DSIR leg — model the clean corpus only
@@ -216,10 +272,22 @@ def curation_pipeline_batch_fn(
             # rows, CC-equivalent, so drain results are unchanged
             if compact_every and (int(epoch_id) + 1) % compact_every == 0:
                 compact_pairs_to_forest(spark, pairs_dir)
+                if reps_index_dir is not None:
+                    refresh_reps_index(
+                        spark, pairs_dir, index_dir, reps_index_dir
+                    )
                 if media_pairs_dir is not None:
                     compact_pairs_to_forest(
                         spark, media_pairs_dir, a_col="doc_a", b_col="doc_b"
                     )
+                    if media_reps_index_dir is not None:
+                        refresh_reps_index(
+                            spark, media_pairs_dir, media_index_dir,
+                            media_reps_index_dir,
+                            index_schema="doc_id long, dhash long",
+                            index_id_col="doc_id",
+                            a_col="doc_a", b_col="doc_b",
+                        )
         finally:
             clean.unpersist()
             hits.unpersist()
@@ -264,65 +332,38 @@ def curation_pipeline_stream(
     return writer.start()
 
 
-def compact_pairs_to_forest(
-    spark: SparkSession,
-    pairs_dir: str,
-    a_col: str = "vec_a",
-    b_col: str = "vec_b",
-    max_passes: int = 3,
-) -> dict:
-    """Contract an accumulated pair store to a SPANNING FOREST of its
-    graph and rewrite the store in place — the bounded-state companion
-    to the append-only pair sinks (SCALE.md r11: on replica-structured
-    corpora the accumulated pair stores grow super-linearly, Σ over
-    clusters of n_i·(n_i−1)/2, while every drain-time consumer reads
-    them ONLY through connected components).  A spanning forest has
-    exactly the same connected components by construction and is O(|V|)
-    rows, so ``drain(compacted store) == drain(raw store)`` while the
-    store stops scaling with pair density.  Run it periodically (every
-    k epochs) from the ingest loop's maintenance window; later epochs
-    keep appending raw pairs and the next compaction folds them in.
+def pairs_to_forest_frame(
+    edges: DataFrame, n_edges: int | None = None, max_passes: int = 3
+) -> "tuple[DataFrame, int]":
+    """Contract a (src, dst) edge frame to a spanning forest of its
+    graph — the frame-level core of :func:`compact_pairs_to_forest`,
+    shared with the reps-index refresh and the ``semantic_reps_incremental``
+    registry query so the driver exercises the identical contraction
+    lane.  Returns ``(forest, passes)``; the forest is eagerly
+    materialized (localCheckpoint) with root self-rows still present —
+    callers drop ``src == dst`` when they want pair-store shape.
 
     Contraction is :func:`~dataengineering_spark.operators.dedup._partition_forest`
     — one mapInPandas scan per pass, no joins — with the same pass-1
     partition-sizing valve as ``connected_components`` (the ~8M-edge
     per-task memory contract) and geometric re-contraction until the
-    frame stops shrinking.  Root self-rows are dropped at the rewrite:
-    every component in a PAIR store has ≥ 2 nodes, so each root still
-    appears as the dst of a child edge and no node set is lost.
-
-    The rewritten store keeps ``(a_col, b_col)`` only; extra columns
-    (the media lane's ``hamming``) read back as NULL under the
-    explicit-schema readers, which only ever select the id pair.  The
-    store is derived state — recomputable from the fingerprint/cell
-    index — so the in-place overwrite is crash-safe in the same sense
-    as ``repair_accumulated_pairs``.  Returns
-    ``{"rows_before", "rows_after", "passes"}``."""
+    frame stops shrinking."""
     from dataengineering_spark.operators.dedup import (
         _FOREST_PASS1_MAX_PER_PART,
         _FOREST_TARGET_EDGES_PER_PART,
         _partition_forest,
     )
 
-    if not _path_exists(spark, pairs_dir):
-        return {"rows_before": 0, "rows_after": 0, "passes": 0}
-    edges = (
-        spark.read.schema(f"`{a_col}` long, `{b_col}` long")
-        .parquet(pairs_dir)
-        .distinct()
-        .select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    )
-    n_before = edges.count()
-    if n_before == 0:
-        return {"rows_before": 0, "rows_after": 0, "passes": 0}
+    if n_edges is None:
+        n_edges = edges.count()
     # pass-1 sizing valve (same contract as connected_components):
     # mapInPandas holds a whole partition's edge arrays in task memory
     n_parts = edges.rdd.getNumPartitions()
-    if n_parts and n_before / n_parts > _FOREST_PASS1_MAX_PER_PART:
+    if n_parts and n_edges / n_parts > _FOREST_PASS1_MAX_PER_PART:
         edges = edges.repartition(
-            max(1, n_before // _FOREST_TARGET_EDGES_PER_PART)
+            max(1, n_edges // _FOREST_TARGET_EDGES_PER_PART)
         )
-    cur, n_cur, passes = edges, n_before, 0
+    cur, n_cur, passes = edges, n_edges, 0
     prev_ckpt = None
     while passes < max_passes:
         nxt = _partition_forest(cur).localCheckpoint(eager=True)
@@ -339,17 +380,186 @@ def compact_pairs_to_forest(
             cur = cur.repartition(
                 max(1, n_cur // _FOREST_TARGET_EDGES_PER_PART)
             )
+    return cur, passes
+
+
+def compact_pairs_to_forest(
+    spark: SparkSession,
+    pairs_dir: str,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    max_passes: int = 3,
+) -> dict:
+    """Contract an accumulated pair store to a SPANNING FOREST of its
+    graph and rewrite the store — the bounded-state companion to the
+    append-only pair sinks (SCALE.md r11: on replica-structured
+    corpora the accumulated pair stores grow super-linearly, Σ over
+    clusters of n_i·(n_i−1)/2, while every drain-time consumer reads
+    them ONLY through connected components).  A spanning forest has
+    exactly the same connected components by construction and is O(|V|)
+    rows, so ``drain(compacted store) == drain(raw store)`` while the
+    store stops scaling with pair density.  Run it periodically (every
+    k epochs) from the ingest loop's maintenance window; later epochs
+    keep appending raw pairs and the next compaction folds them in.
+
+    Concurrency contract: the rewrite assumes NO concurrent appender —
+    the ingest loop runs it BETWEEN epochs (foreachBatch hooks are
+    serialized per stream by Structured Streaming, and ``compact_every``
+    fires at the end of the epoch hook, after the epoch's own append).
+    An append racing the rewrite could land rows in the pre-rename dir
+    and be lost with it; multi-writer deployments must fence the
+    maintenance window externally (pinned by
+    ``tests/test_pair_store_maintenance.py::test_compaction_runs_between_epochs``).
+
+    Root self-rows are dropped at the rewrite: every component in a
+    PAIR store has ≥ 2 nodes, so each root still appears as the dst of
+    a child edge and no node set is lost.  The rewritten store keeps
+    ``(a_col, b_col)`` only; extra columns (the media lane's
+    ``hamming``) read back as NULL under the explicit-schema readers,
+    which only ever select the id pair.
+
+    Crash safety (r13, ADVICE r12): the rewrite goes through
+    :func:`~dataengineering_spark.streaming.store.atomic_rewrite` —
+    tmp dir + rename with mechanical torn-state recovery — so a crash
+    at ANY point leaves either the old store or the new one, never a
+    partial edge set.  Returns ``{"rows_before", "rows_after",
+    "passes"}``."""
+    from dataengineering_spark.streaming.store import (
+        atomic_rewrite,
+        store_exists,
+    )
+
+    if not store_exists(spark, pairs_dir):
+        return {"rows_before": 0, "rows_after": 0, "passes": 0}
+    edges = (
+        spark.read.schema(f"`{a_col}` long, `{b_col}` long")
+        .parquet(pairs_dir)
+        .distinct()
+        .select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    n_before = edges.count()
+    if n_before == 0:
+        return {"rows_before": 0, "rows_after": 0, "passes": 0}
+    cur, passes = pairs_to_forest_frame(edges, n_edges=n_before)
     out = (
         cur.filter(F.col("src") != F.col("dst"))
         .select(F.col("src").alias(a_col), F.col("dst").alias(b_col))
-        .localCheckpoint(eager=True)  # sever lineage before overwrite
+        .localCheckpoint(eager=True)  # sever lineage before the rewrite
     )
-    if prev_ckpt is not None:
-        prev_ckpt.unpersist()
+    cur.unpersist()
     n_after = out.count()
-    out.write.mode("overwrite").parquet(pairs_dir)
+    atomic_rewrite(spark, out, pairs_dir)
     out.unpersist()
     return {"rows_before": n_before, "rows_after": n_after, "passes": passes}
+
+
+def repair_accumulated_semantic_pairs(
+    spark: SparkSession,
+    index_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.35,
+) -> int:
+    """Semantic-lane :func:`~dataengineering_spark.streaming.media_dedup.repair_accumulated_pairs`
+    (r13 — the media lane had this as one call since r10; the semantic
+    re-pair was prose, VERDICT r12 #4): recompute the candidate pair
+    set from the accumulated CELL INDEX — the within-cell threshold
+    self-join over every indexed vector, exactly the batch pair builder
+    — and atomically rewrite the pairs store to it.  Because the
+    stream's accumulated pairs provably equal the batch self-join under
+    the same frozen quantizer (tests/test_streaming_semdedup.py), the
+    rewritten store equals the distinct accumulated store: a lost or
+    torn pairs store is one call away from whole again, no payload or
+    embedding re-read (the index already carries the vectors).
+    Returns the rewritten pair count."""
+    from dataengineering_spark.streaming.store import (
+        atomic_rewrite,
+        store_exists,
+    )
+
+    if not store_exists(spark, index_dir):
+        return 0
+    cells = (
+        spark.read.schema(CELL_INDEX_SCHEMA).parquet(index_dir).distinct()
+    )
+    pairs = semantic_candidate_pairs(cells, threshold=threshold).persist()
+    try:
+        n = pairs.count()  # materialize before touching the store
+        atomic_rewrite(spark, pairs, pairs_dir)
+    finally:
+        pairs.unpersist()
+    return n
+
+
+def refresh_reps_index(
+    spark: SparkSession,
+    pairs_dir: str,
+    index_dir: str,
+    reps_index_dir: str,
+    index_schema: str = CELL_INDEX_SCHEMA,
+    index_id_col: str = "vec_id",
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+) -> dict:
+    """Rebuild the REPRESENTATIVES index — the full fingerprint/cell
+    index minus every non-root member of an already-known duplicate
+    component (r13, VERDICT r12 #2: compaction bounded the pair STORE,
+    but each epoch's incoming rows still joined the full, linearly
+    growing index, so per-epoch pair volume grew O(e) per replica
+    cluster).  With the ingest loop joining new rows against this
+    index instead, a replica cluster contributes ONE indexed row (its
+    min-id root) to the cross-epoch join regardless of how many
+    members have accumulated: per-epoch join volume is O(#components +
+    #rows-since-last-compaction), flat across epochs on
+    replica-structured corpora.
+
+    Correctness contract: a new document that matches the
+    representative gains a (new, root) pair — connected to the FULL
+    component through the compacted forest, so drain-time connected
+    components reconstruct exactly the clusters the full-index join
+    builds whenever duplicates match their component's root (exact
+    replicas trivially do: identical vectors/fingerprints).  In the
+    general near-dup case the reps join is CONSERVATIVE — it can only
+    UNDER-merge (its pair set is a subset of the full join's), never
+    invent a spurious merge; corpora where near-dups routinely miss
+    their root's threshold ball should stay on the full-index join.
+    Equivalence on the replica regime is asserted in
+    tests/test_streaming_curation_pipeline.py.
+
+    Run AFTER :func:`compact_pairs_to_forest` in the maintenance
+    window: component membership is computed over the (now
+    forest-sized) pair store — star rounds over O(|V|) edges — and the
+    reps index is rewritten atomically (tmp + rename).  Between
+    refreshes, the ingest loop appends each epoch's new rows to BOTH
+    indexes, so not-yet-compacted documents stay individually
+    matchable.  Returns ``{"index_rows", "reps_rows"}``."""
+    from dataengineering_spark.streaming.store import (
+        atomic_rewrite,
+        store_exists,
+    )
+
+    full = spark.read.schema(index_schema).parquet(index_dir).distinct()
+    if store_exists(spark, pairs_dir):
+        comp = connected_components(
+            spark.read.schema(f"`{a_col}` long, `{b_col}` long")
+            .parquet(pairs_dir)
+            .distinct(),
+            id_a=a_col,
+            id_b=b_col,
+            distinct_edges=False,
+        )
+        nonroots = comp.filter(
+            F.col("doc_id") != F.col("component")
+        ).select(F.col("doc_id").alias(index_id_col))
+        reps = full.join(nonroots, index_id_col, "left_anti")
+    else:
+        reps = full
+    reps = reps.persist()
+    try:
+        n_reps = reps.count()  # materialize before the rewrite
+        atomic_rewrite(spark, reps, reps_index_dir)
+    finally:
+        reps.unpersist()
+    return {"index_rows": full.count(), "reps_rows": n_reps}
 
 
 def semantic_survivor_ids(
@@ -514,7 +724,9 @@ def curation_finish(
             surv_ids.select(F.col("vec_id").alias(id_col)), id_col
         )
     )
-    if media_pairs_dir is not None and _path_exists(spark, media_pairs_dir):
+    from dataengineering_spark.streaming.store import store_exists
+
+    if media_pairs_dir is not None and store_exists(spark, media_pairs_dir):
         # media keep-rule: min doc id per perceptual-dup cluster keeps,
         # chosen AMONG DOCS STILL PRESENT IN SURVIVORS (ADVICE r9): the
         # cluster's global min may already have been dropped by the

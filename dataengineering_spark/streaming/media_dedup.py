@@ -171,9 +171,11 @@ def repair_accumulated_pairs(
     index reports exactly what the cap forfeits (O(#buckets)), and
     ``require_survivor_budget`` + ``sample_verify_rate`` bound the
     survivor volume this pass will materialize. The pairs store is
-    derived state — recomputable from the index — so the in-place
-    overwrite is crash-safe in the only sense that matters: a lost
-    store is one re-pair away."""
+    derived state — recomputable from the index — and the rewrite is
+    atomic (streaming/store.py tmp + rename, r13): a crash at any
+    point leaves the old pair set or the new one, never a partial."""
+    from dataengineering_spark.streaming.store import atomic_rewrite
+
     index = (
         spark.read.schema(f"`{id_col}` long, `{sim_col}` long")
         .parquet(index_dir)
@@ -185,7 +187,7 @@ def repair_accumulated_pairs(
     ).persist()
     try:
         n = pairs.count()  # materialize before touching the store
-        pairs.write.mode("overwrite").parquet(pairs_dir)
+        atomic_rewrite(spark, pairs, pairs_dir)
     finally:
         pairs.unpersist()
     return n
@@ -202,9 +204,10 @@ def repair_accumulated_video_pairs(
 ) -> int:
     """Video-lane :func:`repair_accumulated_pairs`: re-pairs the
     accumulated (doc_id, slot, dhash) frame-hash index with the
-    per-(slot, chunk, value) hot-bucket cap and rewrites the pairs
-    store to the capped-batch (doc_a, doc_b, n_match) set."""
+    per-(slot, chunk, value) hot-bucket cap and atomically rewrites
+    the pairs store to the capped-batch (doc_a, doc_b, n_match) set."""
     from dataengineering_spark.operators.dedup import video_neardup_pairs
+    from dataengineering_spark.streaming.store import atomic_rewrite
 
     index = (
         spark.read.schema(f"`{id_col}` long, slot int, dhash long")
@@ -217,7 +220,7 @@ def repair_accumulated_video_pairs(
     ).persist()
     try:
         n = pairs.count()
-        pairs.write.mode("overwrite").parquet(pairs_dir)
+        atomic_rewrite(spark, pairs, pairs_dir)
     finally:
         pairs.unpersist()
     return n

@@ -160,7 +160,13 @@ def semantic_neardup_stream(
 def accumulated_semantic_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """Distinct accumulated (vec_a, vec_b) candidates from a drained
     (or live) stream's pair sink — the frame to compare against the
-    batch pair set or to feed ``connected_components``."""
+    batch pair set or to feed ``connected_components``.  Runs the
+    torn-store recovery first (streaming/store.py): a crash during a
+    maintenance rewrite can never surface here as a partial edge set
+    (ADVICE r12)."""
+    from dataengineering_spark.streaming.store import recover_store
+
+    recover_store(spark, pairs_dir)
     return (
         spark.read.schema("vec_a long, vec_b long")
         .parquet(pairs_dir)

@@ -1,0 +1,470 @@
+"""Round-13 maintenance hardening of the streaming curation state:
+
+1. ``streaming/store.py`` — atomic tmp+rename rewrites with mechanical
+   torn-state recovery (ADVICE r12: a crash mid-``mode("overwrite")``
+   used to leave a partial pair store that a later drain would read as
+   a partial edge set).
+2. ``repair_accumulated_semantic_pairs`` — the semantic lane's
+   one-call re-pair from the cell index (the media lane had
+   ``repair_accumulated_pairs`` since r10; the semantic path was
+   prose, VERDICT r12 #4).
+3. Representatives-only incremental ingest join (VERDICT r12 #2):
+   ``reps_index_dir`` bounds the per-epoch cross-join to one row per
+   known duplicate component; the drained pipeline must equal the
+   full-index join on the replica regime while appending strictly
+   fewer pairs.
+4. The compaction concurrency contract: the maintenance window runs
+   BETWEEN epochs, after the epoch's own appends (VERDICT r12 #7).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineering_spark.operators.dedup import connected_components
+from dataengineering_spark.streaming import curation as curation_mod
+from dataengineering_spark.streaming.curation import (
+    compact_pairs_to_forest,
+    curation_finish,
+    curation_pipeline_batch_fn,
+    refresh_reps_index,
+    repair_accumulated_semantic_pairs,
+)
+from dataengineering_spark.streaming.semdedup import (
+    CELL_INDEX_SCHEMA,
+    accumulated_semantic_pairs,
+)
+from dataengineering_spark.streaming.store import (
+    OLD_SUFFIX,
+    TMP_SUFFIX,
+    atomic_rewrite,
+    recover_store,
+    store_exists,
+)
+
+# ---------------------------------------------------------------------------
+# streaming/store.py protocol
+# ---------------------------------------------------------------------------
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "vec_a long, vec_b long").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _read(spark, path):
+    return {
+        tuple(r)
+        for r in spark.read.schema("vec_a long, vec_b long")
+        .parquet(path)
+        .collect()
+    }
+
+
+def test_atomic_rewrite_replaces_and_leaves_no_residue(spark, tmp_path):
+    p = str(tmp_path / "store")
+    _write(spark, p, [(1, 2), (3, 4)])
+    new = spark.createDataFrame([(9, 10)], "vec_a long, vec_b long")
+    atomic_rewrite(spark, new, p)
+    assert _read(spark, p) == {(9, 10)}
+    assert not os.path.exists(p + TMP_SUFFIX)
+    assert not os.path.exists(p + OLD_SUFFIX)
+    # first-ever rewrite (no live store yet) also works
+    p2 = str(tmp_path / "fresh")
+    atomic_rewrite(spark, new, p2)
+    assert _read(spark, p2) == {(9, 10)}
+
+
+def test_recover_rolls_forward_complete_tmp(spark, tmp_path):
+    """Crash between rename-aside and rename-into-place, with the new
+    store fully committed (_SUCCESS present): roll forward."""
+    p = str(tmp_path / "store")
+    _write(spark, p, [(1, 2)])            # old content
+    _write(spark, p + TMP_SUFFIX, [(9, 10)])  # complete new store
+    os.rename(p, p + OLD_SUFFIX)          # the crash point
+    assert recover_store(spark, p) == "rolled_forward"
+    assert _read(spark, p) == {(9, 10)}
+    assert not os.path.exists(p + TMP_SUFFIX)
+    assert not os.path.exists(p + OLD_SUFFIX)
+
+
+def test_recover_rolls_back_incomplete_tmp(spark, tmp_path):
+    """Crash with the live store renamed aside but the tmp write never
+    committed (no _SUCCESS): roll back to the pre-rewrite store."""
+    p = str(tmp_path / "store")
+    _write(spark, p, [(1, 2)])
+    _write(spark, p + TMP_SUFFIX, [(9, 10)])
+    os.remove(os.path.join(p + TMP_SUFFIX, "_SUCCESS"))  # never committed
+    os.rename(p, p + OLD_SUFFIX)
+    assert recover_store(spark, p) == "rolled_back"
+    assert _read(spark, p) == {(1, 2)}
+    assert not os.path.exists(p + TMP_SUFFIX)
+    assert not os.path.exists(p + OLD_SUFFIX)
+
+
+def test_recover_reaps_leftovers_when_live_present(spark, tmp_path):
+    """Crash after commit (old dir not yet deleted) or during the tmp
+    write: the live store wins and leftovers are reaped."""
+    p = str(tmp_path / "store")
+    _write(spark, p, [(1, 2)])
+    _write(spark, p + TMP_SUFFIX, [(9, 10)])
+    _write(spark, p + OLD_SUFFIX, [(5, 6)])
+    assert recover_store(spark, p) in ("reaped_tmp", "reaped_old")
+    assert _read(spark, p) == {(1, 2)}
+    assert not os.path.exists(p + TMP_SUFFIX)
+    assert not os.path.exists(p + OLD_SUFFIX)
+    assert recover_store(spark, p) == "clean"
+    assert store_exists(spark, p)
+    assert not store_exists(spark, str(tmp_path / "never"))
+
+
+def test_torn_compaction_never_surfaces_partial_pairs(spark, tmp_path):
+    """Kill-mid-compaction (both crash shapes): the drain-time reader
+    (accumulated_semantic_pairs -> connected components) sees either
+    the pre-compaction pair set or the compacted forest — identical
+    labels — never a partial store."""
+    from itertools import combinations
+
+    p = str(tmp_path / "pairs")
+    pairs = list(combinations(range(8), 2)) + [(20, 21), (21, 22)]
+    _write(spark, p, pairs)
+    want = {
+        tuple(r)
+        for r in connected_components(
+            accumulated_semantic_pairs(spark, p),
+            id_a="vec_a", id_b="vec_b", distinct_edges=False,
+        ).collect()
+    }
+
+    # shape 1: crash before the rename-into-place, complete tmp
+    forest = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)] + [(21, 20), (22, 20)],
+        "vec_a long, vec_b long",
+    )
+    forest.write.mode("overwrite").parquet(p + TMP_SUFFIX)
+    os.rename(p, p + OLD_SUFFIX)
+    got = {
+        tuple(r)
+        for r in connected_components(
+            accumulated_semantic_pairs(spark, p),
+            id_a="vec_a", id_b="vec_b", distinct_edges=False,
+        ).collect()
+    }
+    assert got == want  # rolled forward to the forest: same components
+
+    # shape 2: crash mid-tmp-write (no _SUCCESS), live renamed aside
+    forest.write.mode("overwrite").parquet(p + TMP_SUFFIX)
+    os.remove(os.path.join(p + TMP_SUFFIX, "_SUCCESS"))
+    os.rename(p, p + OLD_SUFFIX)
+    got = {
+        tuple(r)
+        for r in connected_components(
+            accumulated_semantic_pairs(spark, p),
+            id_a="vec_a", id_b="vec_b", distinct_edges=False,
+        ).collect()
+    }
+    assert got == want  # rolled back to the raw pairs
+
+
+# ---------------------------------------------------------------------------
+# semantic re-pair from the cell index
+# ---------------------------------------------------------------------------
+
+
+def _cells_frame(spark, n=30):
+    """Synthetic cell index: clusters of 3 share an identical vector
+    (cos 1), cluster directions orthogonal-ish across cells."""
+    rows = []
+    for vid in range(n):
+        c = vid // 3
+        v = [0.0] * 4
+        v[c % 4] = 1.0 + c  # identical within cluster, scaled per cluster
+        rows.append((vid, c % 2, v, float(sum(x * x for x in v))))
+    return spark.createDataFrame(
+        rows, "vec_id long, cid int, v array<double>, dd double"
+    )
+
+
+def test_repair_accumulated_semantic_pairs_rebuilds_store(spark, tmp_path):
+    from dataengineering_spark.operators.dedup import semantic_candidate_pairs
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    cells = _cells_frame(spark)
+    cells.write.mode("append").parquet(index_dir)
+    cells.write.mode("append").parquet(index_dir)  # epoch replay
+    want = {
+        tuple(r)
+        for r in semantic_candidate_pairs(cells, threshold=0.35)
+        .distinct()
+        .collect()
+    }
+    assert len(want) > 0
+    n = repair_accumulated_semantic_pairs(spark, index_dir, pairs_dir)
+    assert n == len(want)
+    assert {
+        tuple(r) for r in accumulated_semantic_pairs(spark, pairs_dir).collect()
+    } == want
+    # a lost store is one call away: wipe it and repair again
+    shutil.rmtree(pairs_dir)
+    assert repair_accumulated_semantic_pairs(spark, index_dir, pairs_dir) == n
+    assert {
+        tuple(r) for r in accumulated_semantic_pairs(spark, pairs_dir).collect()
+    } == want
+    # missing index: explicit no-op
+    assert repair_accumulated_semantic_pairs(
+        spark, str(tmp_path / "noidx"), pairs_dir
+    ) == 0
+
+
+def test_refresh_reps_index_keeps_roots_and_singletons(spark, tmp_path):
+    index_dir = str(tmp_path / "index")
+    reps_dir = str(tmp_path / "reps")
+    pairs_dir = str(tmp_path / "pairs")
+    cells = _cells_frame(spark, n=12)  # clusters {0,1,2} {3,4,5} ...
+    cells.write.mode("append").parquet(index_dir)
+    _write(spark, pairs_dir, [(0, 1), (1, 2), (6, 7)])
+    out = refresh_reps_index(spark, pairs_dir, index_dir, reps_dir)
+    kept = {
+        r["vec_id"]
+        for r in spark.read.schema(CELL_INDEX_SCHEMA)
+        .parquet(reps_dir)
+        .collect()
+    }
+    # non-roots 1, 2, 7 leave; roots 0, 6 and all singletons stay
+    assert kept == set(range(12)) - {1, 2, 7}
+    assert out["reps_rows"] == 9 and out["index_rows"] == 12
+    # no pair store at all -> reps index == full index
+    out2 = refresh_reps_index(
+        spark, str(tmp_path / "nopairs"), index_dir, reps_dir
+    )
+    assert out2["reps_rows"] == 12
+
+
+# ---------------------------------------------------------------------------
+# representatives-only ingest join == full-index join (replica regime)
+# ---------------------------------------------------------------------------
+
+_N_DOCS = 90
+_CLUST = 5  # exact replicas per cluster
+_EPOCHS = 3
+_DIM = 8
+
+
+def _replica_corpus(spark):
+    """Docs whose embeddings are EXACT replicas within a cluster and
+    orthogonal across basis directions (cos ∈ {0, 1}): the regime the
+    reps join is exact on, and the one where pair volume explodes."""
+    rows = []
+    for did in range(_N_DOCS):
+        c = did // _CLUST
+        v = [0.0] * _DIM
+        v[c % _DIM] = 1.0 + 0.1 * c
+        words = " ".join(
+            f"w{(did * 7 + k) % 23}tok{c % 4}" for k in range(20)
+        )
+        rows.append(
+            (did, words, "en", "src%d" % (did % 2), len(words), v)
+        )
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, embedding array<double>",
+    )
+
+
+def _run_pipeline(spark, corpus, root, **extra):
+    from dataengineering_spark.functions.text import word_array
+    from dataengineering_spark.operators.similarity import ivf_train_rows
+
+    dirs = {
+        n: os.path.join(root, n)
+        for n in ("quarantine", "clean", "pairs", "index", "dsir")
+    }
+    benchmark = corpus.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("item_id"),
+        F.concat_ws(" ", F.slice(word_array("text"), 2, 12)).alias("text"),
+    )
+    cent_rows = ivf_train_rows(
+        corpus.select(
+            F.col("doc_id").alias("vec_id"), F.col("embedding").alias("v")
+        ),
+        4, 2, _DIM,
+    )
+    fn = curation_pipeline_batch_fn(
+        benchmark,
+        cent_rows,
+        quarantine_dir=dirs["quarantine"],
+        clean_dir=dirs["clean"],
+        pairs_dir=dirs["pairs"],
+        index_dir=dirs["index"],
+        dsir_partials_dir=dirs["dsir"],
+        **extra,
+    )
+    for ep in range(_EPOCHS):
+        fn(corpus.filter(F.col("doc_id") % _EPOCHS == ep), ep)
+    shards = curation_finish(
+        spark,
+        cent_rows,
+        clean_dir=dirs["clean"],
+        pairs_dir=dirs["pairs"],
+        index_dir=dirs["index"],
+        dsir_partials_dir=dirs["dsir"],
+        select_pct=0.5,
+        budget=3000,
+    )
+    out = {tuple(r) for r in shards.collect()}
+    from dataengineering_spark.caching import release_tracked
+
+    release_tracked()
+    return out, dirs
+
+
+def test_reps_ingest_join_equals_full_join_on_replicas(spark, tmp_path):
+    corpus = _replica_corpus(spark)
+    full_shards, full_dirs = _run_pipeline(
+        spark, corpus, str(tmp_path / "full")
+    )
+    reps_shards, reps_dirs = _run_pipeline(
+        spark,
+        corpus,
+        str(tmp_path / "reps"),
+        compact_every=1,
+        reps_index_dir=str(tmp_path / "reps" / "reps_index"),
+    )
+    assert len(full_shards) > 0
+    assert reps_shards == full_shards
+    # the reps pair store has seen strictly fewer appended pairs: its
+    # components are identical but its raw volume is bounded by the
+    # reps join (full mode pairs every member of every cluster each
+    # epoch).  Compare final component labels for good measure.
+    lab = lambda d: {
+        tuple(r)
+        for r in connected_components(
+            accumulated_semantic_pairs(spark, d),
+            id_a="vec_a", id_b="vec_b", distinct_edges=False,
+        ).collect()
+    }
+    assert lab(reps_dirs["pairs"]) == lab(full_dirs["pairs"])
+
+
+def test_reps_requires_compact_every(spark):
+    with pytest.raises(ValueError, match="compact_every"):
+        curation_pipeline_batch_fn(
+            None, [], "q", "c", "p", "i", "d", reps_index_dir="r"
+        )
+    with pytest.raises(ValueError, match="media_payload_col"):
+        curation_pipeline_batch_fn(
+            None, [], "q", "c", "p", "i", "d",
+            compact_every=1, media_reps_index_dir="r",
+        )
+
+
+def test_reps_join_appends_fewer_pairs_per_epoch(spark, tmp_path):
+    """The measured point of the reps join: per-epoch appended pair
+    volume stops growing with accumulated cluster size."""
+    corpus = _replica_corpus(spark)
+    counts = {}
+    for mode, extra in (
+        ("full", {}),
+        ("reps", {"compact_every": 1,
+                  "reps_index_dir": str(tmp_path / "reps" / "ri")}),
+    ):
+        root = str(tmp_path / mode)
+        from dataengineering_spark.operators.similarity import ivf_train_rows
+
+        cent_rows = ivf_train_rows(
+            corpus.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("embedding").alias("v"),
+            ),
+            4, 2, _DIM,
+        )
+        fn = curation_pipeline_batch_fn(
+            corpus.limit(0).select(
+                F.col("doc_id").alias("item_id"), "text"
+            ),  # empty benchmark: every doc is clean
+            cent_rows,
+            quarantine_dir=os.path.join(root, "q"),
+            clean_dir=os.path.join(root, "c"),
+            pairs_dir=os.path.join(root, "p"),
+            index_dir=os.path.join(root, "i"),
+            dsir_partials_dir=os.path.join(root, "d"),
+            **extra,
+        )
+        per_epoch = []
+        prev = 0
+        for ep in range(_EPOCHS):
+            fn(corpus.filter(F.col("doc_id") % _EPOCHS == ep), ep)
+            # count pairs appended THIS epoch (store may be compacted
+            # afterwards, so read before next epoch; reps mode compacts
+            # inside fn, so compare distinct accumulated component-true
+            # volume via raw file rows instead)
+            n = accumulated_semantic_pairs(
+                spark, os.path.join(root, "p")
+            ).count()
+            per_epoch.append(n - prev)
+            prev = n
+        counts[mode] = per_epoch
+    # epoch 0 is identical (intra-epoch only); later epochs the reps
+    # join must append strictly fewer pairs than the full join
+    assert counts["reps"][-1] < counts["full"][-1]
+
+
+# ---------------------------------------------------------------------------
+# maintenance-window concurrency contract
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_runs_between_epochs(spark, tmp_path, monkeypatch):
+    """Pins the documented locking assumption (VERDICT r12 #7): the
+    maintenance rewrite fires at the END of the epoch hook, AFTER the
+    epoch's pair append — so a rewrite never races an appender within
+    the single-writer ingest loop — and only on every k-th epoch."""
+    calls = []
+    real = curation_mod.compact_pairs_to_forest
+
+    def recording(spark_, pairs_dir, **kw):
+        # the epoch's own pairs are already in the store when the
+        # maintenance window opens
+        calls.append(
+            (pairs_dir, accumulated_semantic_pairs(spark_, pairs_dir).count())
+        )
+        return real(spark_, pairs_dir, **kw)
+
+    monkeypatch.setattr(
+        curation_mod, "compact_pairs_to_forest", recording
+    )
+    corpus = _replica_corpus(spark)
+    from dataengineering_spark.operators.similarity import ivf_train_rows
+
+    cent_rows = ivf_train_rows(
+        corpus.select(
+            F.col("doc_id").alias("vec_id"), F.col("embedding").alias("v")
+        ),
+        4, 2, _DIM,
+    )
+    root = str(tmp_path / "run")
+    fn = curation_pipeline_batch_fn(
+        corpus.limit(0).select(F.col("doc_id").alias("item_id"), "text"),
+        cent_rows,
+        quarantine_dir=os.path.join(root, "q"),
+        clean_dir=os.path.join(root, "c"),
+        pairs_dir=os.path.join(root, "p"),
+        index_dir=os.path.join(root, "i"),
+        dsir_partials_dir=os.path.join(root, "d"),
+        compact_every=2,
+    )
+    for ep in range(4):
+        n_before = len(calls)
+        fn(corpus.filter(F.col("doc_id") % 4 == ep), ep)
+        if (ep + 1) % 2 == 0:
+            assert len(calls) == n_before + 1  # fired in THIS epoch hook
+            assert calls[-1][1] > 0  # after the epoch's append
+        else:
+            assert len(calls) == n_before  # never mid-cadence
