@@ -933,16 +933,28 @@ def connected_components(
     if strategy == "star" and not ids_integral:
         strategy = "minlabel"
 
-    # ONE counted job when the driver gate is on (every default call);
-    # it doubles as the star path's pass-1 sizing input. A forced
-    # driver_threshold=0 (probes/fuzz) deliberately skips it — an extra
-    # count re-evaluates the whole unpersisted pair join (the r11 sf10
-    # A/B measured +~80 s on the 54M-pair image graph), so gate-off
-    # callers own input partition sizing (documented below).
-    n_pairs = pairs.count() if driver_threshold else None
-    if driver_threshold and n_pairs <= driver_threshold:
-        rows = pairs.select(id_a, id_b).collect()
-        mapping = _driver_union_find([(r[0], r[1]) for r in rows])
+    # Driver gate in ONE bounded evaluation (r13): collect at most
+    # driver_threshold+1 edge rows — the length decides the gate, and
+    # when the graph is small the collected rows ARE the full edge
+    # list. The former count()-then-collect() pair evaluated the whole
+    # unpersisted candidate join TWICE for every below-threshold graph
+    # (the same re-evaluation class as the r11 +80 s count finding,
+    # paid by every default caller at fixture scale). Driver memory is
+    # bounded exactly as before: ≤ threshold+1 skinny rows (~8 MB at
+    # the 500k default). Above the threshold, CollectLimit stops after
+    # enough partitions yield threshold+1 rows (usually the first),
+    # and the big-graph path then runs its full count as before — it
+    # still doubles as the star path's pass-1 sizing input. A forced
+    # driver_threshold=0 (probes/fuzz) deliberately skips both — so
+    # gate-off callers own input partition sizing (documented below).
+    n_pairs = None
+    if driver_threshold:
+        head = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+        if len(head) > driver_threshold:
+            del head
+            n_pairs = pairs.count()
+    if driver_threshold and n_pairs is None:
+        mapping = _driver_union_find([(r[0], r[1]) for r in head])
         if ids_integral:
             schema = "doc_id long, component long"
         else:  # preserve the caller's id type (string keys etc.)

@@ -872,15 +872,26 @@ def q_semantic_reps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.streaming.curation import pairs_to_forest_frame
     from dataengineering_spark.streaming.semdedup import _batch_cells
 
+    from dataengineering_spark.caching import persist_tracked
+
     emb = _emb(spark, sf_dir)
     cent_rows = _sem_cent_rows(spark, sf_dir)
-    cells1 = _batch_cells(
+    # both cell frames feed two consumers each (cells1: epoch-1 pairs +
+    # the reps index; cells2: intra-epoch pairs + the reps join) —
+    # persist so the assign map over the embeddings scan runs once per
+    # epoch instead of per consumer (the semantic_dedup_members idiom)
+    cells1 = persist_tracked(_batch_cells(
         emb.filter(F.col("vec_id") % 2 == 0), cent_rows, "vec_id", "embedding"
-    )
-    cells2 = _batch_cells(
+    ))
+    cells2 = persist_tracked(_batch_cells(
         emb.filter(F.col("vec_id") % 2 == 1), cent_rows, "vec_id", "embedding"
+    ))
+    # the epoch-1 pair join is read by the forest sizing count AND the
+    # contraction pass — persist so the within-cell scoring join runs
+    # once (connected_components' own persist discipline)
+    pairs1 = persist_tracked(
+        semantic_candidate_pairs(cells1, threshold=SEM_THRESHOLD)
     )
-    pairs1 = semantic_candidate_pairs(cells1, threshold=SEM_THRESHOLD)
     forest, _passes = pairs_to_forest_frame(
         pairs1.select(
             F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")

@@ -198,6 +198,13 @@ def q_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("week", "l_partkey")
     )
+    # `top` feeds three branches (cnt, the week-shifted copy, and the
+    # stayed join); unpersisted, each branch re-runs the lineitem scan
+    # + weekly agg + window. The frame is O(#weeks × 10) rows — persist
+    # so the expensive front runs once.
+    from dataengineering_spark.caching import persist_tracked
+
+    top = persist_tracked(top)
     cnt = top.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
     shifted = top.select(
         F.date_sub("week", 7).alias("week"), F.col("l_partkey")

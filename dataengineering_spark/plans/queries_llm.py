@@ -43,6 +43,7 @@ from dataengineering_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
     simhash_sql,
+    spread_for_compute,
 )
 from dataengineering_spark.operators.similarity import (
     cosine,
@@ -1386,7 +1387,10 @@ def q_media_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataengineering_spark.functions.multimodal import media_durations
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1444,7 +1448,10 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_solid_png,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1508,7 +1515,10 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images_nearest,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1570,7 +1580,10 @@ def _image_dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_diag_png,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1851,7 +1864,10 @@ def _audio_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_test_wav,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1963,7 +1979,10 @@ def _video_fh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_hashes,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -1990,11 +2009,9 @@ def _video_fh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataengineering_spark.caching import persist_tracked
 
-    # the id frame is metadata-tiny (1-2 parquet splits), but the synth
-    # + decode lane is the query's real work — fan it across the
-    # cluster before entering Python (6 PNG builds + 4 decodes per doc)
-    par = spark.sparkContext.defaultParallelism
-    synthesized = docs.repartition(par).mapInPandas(
+    # the id frame was already spread above (6 PNG builds + 4 decodes
+    # per doc — the synth + decode lane is the query's real work)
+    synthesized = docs.mapInPandas(
         _synth, schema="doc_id long, payload binary"
     )
     # persist: the per-slot pigeonhole self-join reads the frame-hash
@@ -2067,7 +2084,10 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_test_jpeg,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -2411,7 +2431,10 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -3099,7 +3122,10 @@ def q_pcm_stats(spark, sf_dir):
 
     from dataengineering_spark.functions.multimodal import make_test_wav, pcm_features
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # fan the Python synth lane across cores: the sf docs table is a
+    # single small parquet file (one scan task), and mapInPandas work
+    # is per-row expensive — scale-adaptive no-op when splits >= cores
+    docs = spread_for_compute(_docs(spark, sf_dir).select("doc_id"))
 
     def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:

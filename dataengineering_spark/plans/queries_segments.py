@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from dataengineering_spark.caching import persist_tracked
 from dataengineering_spark.catalog import read_table
-from dataengineering_spark.operators.robust import discrete_pcts, global_discrete_pcts
+from dataengineering_spark.operators.robust import discrete_pcts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -268,21 +268,46 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5))).alias("money"),
         )
     )
-    # the user frame feeds three cut computations (two jobs each) plus
-    # the final census — persist it or the events scan runs 7×
+    # the user frame feeds the cut computation plus the final census —
+    # persist it or the events scan runs per consumer
     u = persist_tracked(u)
-    # global quintile cuts via the RangePartitioner-pattern operator —
-    # collected (1 row each, bounded) and inlined as literals, so the
-    # scoring pass is a pure narrow map: no join, no window.
-    cuts = {
-        metric: global_discrete_pcts(
-            u.select(metric, "user_id"),
-            val=metric,
+    # ONE keyed rank-assembly pass computes all three metrics' quintile
+    # cuts (r13): unpivot (metric, value, user_id) and run the keyed
+    # discrete_pcts operator with key=metric — identical values to the
+    # former three global_discrete_pcts rounds (per metric: rank
+    # floor(p·(n−1))+1 under ORDER BY value, user_id; casting the int
+    # recency to long changes ordering of nothing), at one shuffle +
+    # one bounded 3-row collect instead of three shuffles + six
+    # driver jobs. Cuts are inlined as literals, so the scoring pass
+    # stays a pure narrow map: no join, no window.
+    metrics = ("recency", "freq", "money")
+    unpivoted = u.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("long").alias("v"),
+                        F.col("user_id").alias("user_id"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("s")
+    ).select("s.metric", "s.v", "s.user_id")
+    cut_rows = {
+        r["metric"]: r
+        for r in discrete_pcts(
+            unpivoted,
+            key="metric",
+            val="v",
             tie="user_id",
             pcts=_RFM_PCTS,
             names=_RFM_NAMES,
-        )
-        for metric in ("recency", "freq", "money")
+        ).collect()
+    }
+    cuts = {
+        m: {nm: cut_rows[m][nm] for nm in _RFM_NAMES} for m in metrics
     }
     # recency: smaller = better, so invert the ascending quintile
     return (
