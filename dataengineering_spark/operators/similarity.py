@@ -207,6 +207,28 @@ def _arr_expr(cv: list) -> Column:
     return F.expr("array(" + ", ".join(_d(x) for x in cv) + ")")
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the :func:`dot` fold — parses to the IDENTICAL
+    aggregate/zip_with expression the Column API builds (same lambda
+    structure, same 0.0 init, same + fold), so values are bit-equal.
+    Exists because each Column-API ``dot`` costs ~20 py4j round-trips
+    (~22 ms measured); the r13 profile of a WARM ivfpq_ann build showed
+    3.4 s spent almost entirely in those round-trips (10.8k
+    send_commands), dominated by 62 dot/_dist2_lit constructions. One
+    string parse per OUTPUT COLUMN amortizes all of them."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _dist2_lit_sql(vv: str, v: str, cv: list) -> str:
+    """SQL text of :func:`_dist2_lit` — same associativity
+    ((vv − 2·<v,c>) + <c,c>), same ``_d`` double literals."""
+    arr = "array(" + ", ".join(_d(x) for x in cv) + ")"
+    return f"{vv} - 2 * {_dot_sql(v, arr)} + {_d(_self_dot(cv))}"
+
+
 def _dist2_lit(vv: Column, v: Column, cv: list) -> Column:
     """d² against a driver-known centroid: per-row ``vv`` (computed
     once per row, not once per centroid) − 2·<v,c> + literal <c,c>."""
@@ -218,11 +240,17 @@ def _spread_for_training(e: DataFrame) -> DataFrame:
     interpreted per-row math; when the scan has fewer partitions than
     cores (tiny compressed files — same failure mode as
     catalog._spread_if_narrow), one up-front round-robin pays for
-    itself immediately. At production split counts this is a no-op."""
-    target = e.sparkSession.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < target:
-        return e.repartition(target)
-    return e
+    itself immediately. At production split counts this is a no-op.
+
+    Delegates to :func:`operators.dedup.spread_for_compute` (r13): the
+    former ``df.rdd.getNumPartitions()`` probe cost a full plan
+    analysis + RDD conversion (~300 ms of driver latency, measured on
+    the LSH path) on EVERY ann/semantic query; the shared helper
+    estimates split counts from ``inputFiles()`` + local file sizes
+    (~30 ms) with the RDD probe only as the non-file fallback."""
+    from dataengineering_spark.operators.dedup import spread_for_compute
+
+    return spread_for_compute(e)
 
 
 def ivf_seed_centroids(e: DataFrame, n_centroids: int) -> DataFrame:
@@ -301,17 +329,21 @@ def ivf_assign(
     rows = cents if isinstance(cents, list) else _centroid_rows(cents)
     if not rows:
         raise ValueError("ivf_assign requires at least one centroid")
-    scored = F.array(
-        *[
-            F.struct(
-                _dist2_lit(F.col("_vv"), F.col("v"), cv).alias("d2"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in rows
-        ]
+    # the whole scored array as ONE parsed expression (r13): the former
+    # per-centroid Column construction cost ~20 py4j round-trips per
+    # _dist2_lit — ~0.5 s of driver latency per assign at C=8 — while
+    # the parsed tree (and therefore every value) is identical
+    scored_sql = "array(" + ", ".join(
+        f"named_struct('d2', {_dist2_lit_sql('_vv', 'v', cv)}, "
+        f"'cid', {int(cid)})"
+        for cid, cv in rows
+    ) + ")"
+    picked = F.expr(
+        f"slice(array_sort({scored_sql}), 1, {min(n, len(rows))})"
     )
-    picked = F.slice(F.array_sort(scored), 1, min(n, len(rows)))
-    staged = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("_vv"))
+    staged = e.select(
+        "vec_id", "v", F.expr(_dot_sql("v", "v")).alias("_vv")
+    )
     return staged.select(
         "vec_id", "v", F.explode(picked).alias("_p")
     ).select("vec_id", "v", F.col("_p.cid").alias("cid"))
@@ -513,14 +545,18 @@ def _codebook_rows(books: DataFrame) -> dict[int, list]:
     return out
 
 
-def _cent_struct_lit(cvs: list) -> Column:
+def _cent_struct_sql(cvs: list) -> str:
     parts = ", ".join(
         f"named_struct('cid', {cid}, "
         f"'cv', array({', '.join(_d(x) for x in cv)}), "
         f"'cc', {_d(_self_dot(cv))})"
         for cid, cv in enumerate(cvs)
     )
-    return F.expr(f"array({parts})")
+    return f"array({parts})"
+
+
+def _cent_struct_lit(cvs: list) -> Column:
+    return F.expr(_cent_struct_sql(cvs))
 
 
 def pq_assign(es: DataFrame, by_m: dict[int, list]) -> DataFrame:
@@ -660,29 +696,29 @@ def pq_encode(
     ).select(
         "*",
         *[
-            dot(F.col(f"_s{m}"), F.col(f"_s{m}")).alias(f"_vv{m}")
+            F.expr(_dot_sql(f"_s{m}", f"_s{m}")).alias(f"_vv{m}")
             for m in range(m_sub)
         ],
     )
 
-    def code_for(m: int) -> Column:
-        # NB: a plain one-arg lambda — pyspark dispatches HOF lambdas
-        # on arity, so a captured-default second parameter would be
-        # silently fed the ARRAY INDEX instead of the closure value.
-        scored = F.transform(
-            _cent_struct_lit(by_m[m]),
-            lambda c: F.struct(
-                (
-                    F.col(f"_vv{m}") - 2 * dot(F.col(f"_s{m}"), c["cv"]) + c["cc"]
-                ).alias("d2"),
-                c["cid"].alias("cid"),
-            ),
+    def code_for_sql(m: int) -> str:
+        # identical tree to the former Column-API transform/struct
+        # build (same lambda body, same field order), parsed once —
+        # the per-m HOF construction was ~25 ms of py4j each (r13)
+        return (
+            "element_at(array_sort(transform("
+            + _cent_struct_sql(by_m[m])
+            + f", c -> named_struct('d2', _vv{m} - 2 * "
+            + _dot_sql(f"_s{m}", "c.cv")
+            + " + c.cc, 'cid', c.cid))), 1).cid"
         )
-        return F.element_at(F.array_sort(scored), 1)["cid"]
 
+    codes_sql = (
+        "array(" + ", ".join(code_for_sql(m) for m in range(m_sub)) + ")"
+    )
     return staged.select(
         "vec_id",
-        F.array(*[code_for(m) for m in range(m_sub)]).alias("codes"),
+        F.expr(codes_sql).alias("codes"),
         *keep,
     )
 
@@ -703,22 +739,19 @@ def pq_query_luts(
     ).select(
         "*",
         *[
-            dot(F.col(f"_q{m}"), F.col(f"_q{m}")).alias(f"_qv{m}")
+            F.expr(_dot_sql(f"_q{m}", f"_q{m}")).alias(f"_qv{m}")
             for m in range(m_sub)
         ],
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _dist2_lit(F.col(f"_qv{m}"), F.col(f"_q{m}"), cv)
-                    for cv in by_m[m]
-                ]
-            )
-            for m in range(m_sub)
-        ]
-    )
-    return staged.select("query_id", lut.alias("lut"))
+    # M×K _dist2_lit cells as ONE parsed expression (r13): the former
+    # per-cell Column build was ~1.5 s of py4j per LUT construction
+    lut_sql = "array(" + ", ".join(
+        "array(" + ", ".join(
+            _dist2_lit_sql(f"_qv{m}", f"_q{m}", cv) for cv in by_m[m]
+        ) + ")"
+        for m in range(m_sub)
+    ) + ")"
+    return staged.select("query_id", F.expr(lut_sql).alias("lut"))
 
 
 def pq_adc_topk(

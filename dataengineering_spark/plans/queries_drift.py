@@ -129,7 +129,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ev.groupBy("v").agg(F.sum("d1").alias("d1"), F.sum("d2").alias("d2"))
     cum = global_cumsum(g, order=("v",), cols=("d1", "d2"))
-    tot = g.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2")).collect()[0]
+    # totals read the RANGED frame global_cumsum already persisted (cum
+    # keeps the raw d1/d2 columns), not g — reading g here re-ran the
+    # whole events scan + groupBy a second time just to count (r13)
+    tot = cum.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2")).collect()[0]
     if not tot["n1"] or not tot["n2"]:
         raise ValueError(
             "ks_drift: both samples must be non-empty "

@@ -43,12 +43,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based coalescing instead of parallelism-preserving:
-        # shuffle partition count follows data volume (64 MB advisory),
-        # so small stages don't pay 32 tasks of scheduling overhead and
-        # big stages still fan out — the same conf is the recommended
-        # production setting for mixed-size stages.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-preserving coalescing (the Spark default, restored
+        # r13): with parallelismFirst=false every shuffle under the
+        # 64 MB advisory collapsed to ONE post-shuffle task, so window/
+        # agg stages over mid-size frames serialized on a single core —
+        # an alternating same-day A/B over 10 representative queries
+        # measured best-of wins of 15-50% for "true" on 9 of 10 (e.g.
+        # fifo_match 2.60→1.82 s, topk_churn 2.77→1.91 s, semantic_dedup
+        # 4.05→2.23 s). At production scale (post-shuffle partitions ≫
+        # cores) coalescing is size-bounded either way, so "true" only
+        # changes the small-stage regime; override via env for A/Bs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
