@@ -98,6 +98,56 @@ def discrete_pcts(
     )
 
 
+def discrete_pcts_counted(
+    df: DataFrame,
+    key: str,
+    val: str,
+    pcts: Sequence[float],
+    names: Sequence[str],
+) -> DataFrame:
+    """Per-``key`` discrete percentiles of a LOW-CARDINALITY ``val`` —
+    same percentile_disc semantics as :func:`discrete_pcts` (the value
+    at rank ``floor(p*(n-1))+1``), computed from the (key, val) count
+    distribution instead of ranking every row.
+
+    The value a discrete percentile selects depends only on the
+    cumulative count distribution — the tie column in the ranked
+    formulation disambiguates ROWS, never values — so for any input
+    the two operators return identical values.
+
+    Plan shape: ONE exchange of map-side-combined (key, val) partial
+    counts (shuffle volume is the distinct-pair count, not the row
+    count), then windows over the counted frame partitioned by key.
+    Use ONLY when |distinct val per key| is domain-bounded (day
+    latencies, small-integer scores...): the per-key window task holds
+    the value DOMAIN, not the data — at that point a billion-row input
+    costs the same as a million-row one. For unbounded/continuous
+    value domains use :func:`discrete_pcts`. NULL ``val`` rows are not
+    supported (the ranked form orders them first, this form would
+    order them per engine default); callers must pre-filter.
+    """
+    g = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(key)
+    cum = g.select(
+        key,
+        val,
+        "_c",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    hits = []
+    for p, nm in zip(pcts, names):
+        r = F.floor(F.lit(p) * (F.col("_n") - 1)) + 1
+        hit = (F.col("_cum") - F.col("_c") < r) & (r <= F.col("_cum"))
+        hits.append(F.max(F.when(hit, F.col(val))).alias(nm))
+    return cum.groupBy(key).agg(*hits)
+
+
 def keyed_ranks(
     df: DataFrame,
     key: str,

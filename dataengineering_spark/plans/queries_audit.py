@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
-from dataengineering_spark.operators.robust import discrete_pcts
+from dataengineering_spark.operators.robust import discrete_pcts_counted
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -208,7 +208,7 @@ def q_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lat = (
         _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
         .join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             "o_orderpriority",
@@ -218,11 +218,16 @@ def q_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
         )
     )
-    return discrete_pcts(
-        lat,
+    # lat_days is calendar-bounded (a few hundred distinct values at
+    # ANY scale), so the counted-distribution percentile applies: one
+    # exchange of (priority, lat_days) partial counts replaces the
+    # ranked formulation's range exchange + two full-data window
+    # passes. Identical percentile_disc values by construction (the
+    # tie column only ordered rows, never changed the selected value).
+    return discrete_pcts_counted(
+        lat.select("o_orderpriority", "lat_days"),
         key="o_orderpriority",
         val="lat_days",
-        tie="o_orderkey",
         pcts=(0.5, 0.9, 0.99),
         names=("p50", "p90", "p99"),
     )

@@ -43,43 +43,79 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ===========================================================================
 
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aw = (
+    from dataengineering_spark.caching import persist_tracked
+
+    # Every per-(user, week) flag is a fact about the USER's week set:
+    # new = first week, retained = week-7 also active, resurrected =
+    # the rest. So collect each user's distinct weeks ONCE (map-side
+    # partial collect_set dedups before the exchange — the separate
+    # distinct() pass the pre-r13 shape paid is folded into the same
+    # shuffle) and derive all three flags from the array. This replaces
+    # the old 5-exchange shape (distinct on (user, week), groupBy(user)
+    # for first_week, a user-keyed join, a (week, user)-keyed left join
+    # against the shifted copy, then groupBy(week)) with exactly TWO
+    # exchanges: hash(user_id), then hash(week) over per-week partials.
+    # The weeks-per-user array is calendar-bounded (one element per
+    # active week), never data-bounded.
+    per_user = (
         _t(spark, sf_dir, "events")
         .select(
             "user_id",
             F.date_trunc("week", "ts").cast("date").alias("week"),
         )
-        .distinct()
-    )
-    first = aw.groupBy("user_id").agg(F.min("week").alias("first_week"))
-    prev = aw.select(
-        F.date_add("week", 7).alias("week"), F.col("user_id")
-    )
-    # first/prev are user-scale frames: plain shuffle joins (never
-    # broadcast a fact-sized side)
-    cur = aw.join(first, "user_id")
-    flagged = (
-        cur.join(
-            prev.withColumn("_p", F.lit(1)), ["week", "user_id"], "left"
-        )
-        .select(
-            "week",
-            F.when(F.col("week") == F.col("first_week"), 1)
-            .otherwise(0)
-            .alias("is_new"),
-            F.when(
-                (F.col("week") != F.col("first_week")) & F.col("_p").isNotNull(), 1
-            )
-            .otherwise(0)
-            .alias("is_retained"),
-            F.when(
-                (F.col("week") != F.col("first_week")) & F.col("_p").isNull(), 1
-            )
-            .otherwise(0)
-            .alias("is_resurrected"),
-        )
-        .groupBy("week")
+        .groupBy("user_id")
         .agg(
+            F.collect_set("week").alias("_weeks"),
+            # collect_set drops NULLs; the old distinct() kept a
+            # (user, NULL) row per null-week user. Count them so the
+            # explode below re-materializes them (they become the
+            # all-zero-flag NULL week group, same as before).
+            F.sum(F.col("week").isNull().cast("long")).alias("_n_null"),
+        )
+    )
+    # array_min in its own projection BELOW the explode (generator
+    # staging: scalars in the same select re-evaluate per exploded row)
+    staged = per_user.select(
+        F.array_min("_weeks").alias("_first_week"),
+        # membership tests read the CLEAN set (array_contains over a
+        # null-bearing array yields NULL for misses, not false)
+        F.col("_weeks"),
+        F.concat(
+            F.col("_weeks"),
+            F.array_repeat(
+                F.lit(None).cast("date"), F.col("_n_null").cast("int")
+            ),
+        ).alias("_padded"),
+    )
+    flags = staged.select(
+        "_first_week",
+        "_weeks",
+        F.explode("_padded").alias("week"),
+    ).select(
+        "week",
+        F.when(F.col("week") == F.col("_first_week"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.when(
+            (F.col("week") != F.col("_first_week"))
+            & F.array_contains(F.col("_weeks"), F.date_sub("week", 7)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("week") != F.col("_first_week"))
+            & ~F.array_contains(F.col("_weeks"), F.date_sub("week", 7)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    # persist the ~#weeks-row result so the churned self-join below
+    # reads it instead of re-running the whole events pipeline (the
+    # broadcast side cannot reuse the shuffle exchange)
+    flagged = persist_tracked(
+        flags.groupBy("week").agg(
             F.count(F.lit(1)).alias("active"),
             F.sum("is_new").alias("new_users"),
             F.sum("is_retained").alias("retained"),

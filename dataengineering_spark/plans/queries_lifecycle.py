@@ -50,21 +50,34 @@ _BUCKET = 50
 
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineering_spark.caching import persist_tracked
+
     docs = _t(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
+    # Per-doc token counts need no explode at all (size of the cleaned
+    # array), and first-occurrence only needs each DISTINCT token per
+    # doc, so the explode shrinks by the within-doc repeat factor.
+    # The pre-r13 shape exploded every token twice (once per branch,
+    # re-running the normalize regex both times); the persisted staged
+    # frame runs the regex once.
+    cleaned = F.array_remove(F.split(normalize_text("text"), " "), "")
+    staged = persist_tracked(
+        docs.select("doc_id", cleaned.alias("_ws")).select(
             "doc_id",
-            F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+            F.size("_ws").alias("_n_toks"),
+            F.array_distinct("_ws").alias("_dws"),
         )
-        .filter(F.col("tok") != "")
     )
-    fo = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    fo = (
+        staged.select("doc_id", F.explode("_dws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
     b_new = fo.groupBy(
         F.expr(f"first_doc div {_BUCKET}").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_new"))
-    b_tok = toks.groupBy(
+    b_tok = staged.groupBy(
         F.expr(f"doc_id div {_BUCKET}").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n_toks"))
+    ).agg(F.sum("_n_toks").alias("n_toks"))
     b_docs = docs.groupBy(
         F.expr(f"doc_id div {_BUCKET}").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -2120,15 +2120,20 @@ FROM documents
 # Q: repetition_metrics — Gopher/C4-style per-document repetition
 # signals (duplicate-word mass, duplicate-3-gram mass, top-3-gram
 # mass, mean word length). All count ratios: exact rational
-# arithmetic in both engines. Plan shape: EVERYTHING is native
-# codegen — word metrics are engine array expressions, mean word
+# arithmetic in both engines. Plan shape: a pure narrow map — ZERO
+# exchanges. Word metrics are engine array expressions, mean word
 # length is CLOSED-FORM from the normalized string length (len -
-# spaces), and the n-grams are built with three aligned slices +
-# arrays_zip + explode + concat_ws, then counted with two
-# partial-combined groupBys. Spark HOF lambdas (transform/filter)
-# never codegen and cost ~0.2 ms/eval interpreted: the
-# filter-in-transform cut of this query took ~20 s at sf0.1 and even
-# a transform-built n-gram list took ~58 s; this shape takes ~1 s.
+# spaces), and the 3-gram stats come from sorting the per-doc
+# 3-gram struct array (three aligned slices + arrays_zip +
+# sort_array) and taking size / array_distinct size / max-equal-run
+# via one aggregate() fold. The pre-r13 shape exploded every 3-gram
+# through two keyed groupBys (2 Exchanges); all three counts are
+# per-document facts, so no row ever needs to leave its partition.
+# The fold lambda is interpreted but costs ~0.13 µs/element
+# (micro-benched r13) — the explode+shuffle it replaces cost far
+# more. (Beware rebuilding the n-gram LIST with transform(): an
+# early cut of this query did and took ~58 s at sf0.1 because the
+# generator staging re-ran scalars per exploded row.)
 # ===========================================================================
 
 
@@ -2146,73 +2151,57 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, n_ng).alias("w2"),
         F.slice(w, 3, n_ng).alias("w3"),
     )
-    # ONE pass: tokenize once, compute the word-level stats in the same
-    # projection, and carry them through the n-gram aggregation instead
-    # of joining a second scan back on doc_id (the pre-r5 shape scanned
-    # and re-tokenized documents twice and paid a doc_id join exchange).
-    # explode_outer keeps <3-word docs alive as a null-ngram row, which
-    # the filtered aggregates below turn into the same NULL ratios the
-    # left join used to produce.
-    #
-    # STAGING MATTERS: a select that mixes a generator with scalar
-    # expressions compiles to Project-ABOVE-Generate, i.e. the scalars
-    # re-evaluate once per EXPLODED row — the regex tokenize and
-    # array_distinct ran ~50× per doc and made the noop-write path 7×
-    # slower than the join it replaced. Computing them in their own
-    # projection puts them BELOW the Generate: once per document.
+    # Tokenize once, compute every stat in one projection. Equal
+    # (w1,w2,w3) structs correspond 1:1 to equal 'w1 w2 w3' strings
+    # (words are space-split so contain no spaces), so struct counts
+    # equal the old concat_ws string counts exactly.
     staged = docs.select(
         "doc_id",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("_nd_words"),
         F.length(normalize_text(F.col("text"))).alias("_norm_len"),
-        zipped.alias("_zipped"),
+        F.sort_array(zipped).alias("_s"),
     )
-    exploded = staged.select(
+    # max run length of equal adjacent elements in the sorted array ==
+    # max 3-gram multiplicity. One struct-typed fold; greatest() at the
+    # end folds the final run into the running best.
+    run_best = F.aggregate(
+        F.col("_s"),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("run"),
+            F.lit(None)
+            .cast("struct<w1:string,w2:string,w3:string>")
+            .alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(acc["best"], acc["run"]).alias("best"),
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: F.greatest(acc["best"], acc["run"]),
+    )
+    stats = staged.select(
         "doc_id",
         "n_words",
         "_nd_words",
         "_norm_len",
-        F.explode_outer("_zipped").alias("_z"),
-    ).select(
-        "doc_id",
-        "n_words",
-        "_nd_words",
-        "_norm_len",
-        # concat_ws skips NULL args, so the empty-array null row would
-        # become ngram='' (a countable value) without this guard.
-        F.when(
-            F.col("_z").isNotNull(),
-            F.concat_ws(" ", F.col("_z.w1"), F.col("_z.w2"), F.col("_z.w3")),
-        ).alias("ngram"),
-    )
-    real = F.col("ngram").isNotNull()
-    stats = (
-        exploded.groupBy("doc_id", "ngram")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.first("n_words").alias("n_words"),
-            F.first("_nd_words").alias("_nd_words"),
-            F.first("_norm_len").alias("_norm_len"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.first("n_words").alias("n_words"),
-            F.first("_nd_words").alias("_nd_words"),
-            F.first("_norm_len").alias("_norm_len"),
-            F.sum(F.when(real, F.col("c"))).alias("_g_total"),
-            F.count(F.when(real, F.lit(1))).alias("_g_distinct"),
-            F.max(F.when(real, F.col("c"))).alias("_g_max"),
-        )
+        F.size(F.col("_s")).cast("long").alias("_g_total"),
+        F.size(F.array_distinct(F.col("_s"))).cast("long").alias("_g_distinct"),
+        run_best.cast("long").alias("_g_max"),
     )
     n = F.col("n_words")
+    g = F.col("_g_total")
+    # when g == 0 the old aggregate-over-no-rows produced NULLs; the
+    # guards reproduce that.
     return stats.select(
         "doc_id",
         "n_words",
         F.when(n > 0, (n - F.col("_nd_words")) / n).alias("dup_word_ratio"),
-        ((F.col("_g_total") - F.col("_g_distinct")) / F.col("_g_total")).alias(
-            "dup_3gram_ratio"
-        ),
-        (F.col("_g_max") / F.col("_g_total")).alias("top_3gram_mass"),
+        F.when(g > 0, (g - F.col("_g_distinct")) / g).alias("dup_3gram_ratio"),
+        F.when(g > 0, F.col("_g_max") / g).alias("top_3gram_mass"),
         F.when(n > 0, (F.col("_norm_len") - (n - 1)) / n).alias(
             "mean_word_len"
         ),
@@ -3492,15 +3481,27 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("shingle").alias("g"))
         .distinct()
     )
+    # introduced(doc) = |{g : min_doc(g) = doc}| — a count over the
+    # FIRST-OCCURRENCE frame, so the gram-keyed join-back the pre-r13
+    # shape paid (re-shuffling every (doc, gram) row by g) is
+    # unnecessary: aggregate first-occurrences down to doc scale and
+    # join two doc-sized frames instead. Plan diff: the widest
+    # exchange left is the groupBy(g); everything after is doc-scale.
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    introduced = first.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("introduced")
+    )
+    n_grams = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     per_doc = (
-        grams.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("introduced"),
+        n_grams.join(
+            introduced, F.col("doc_id") == F.col("first_doc"), "left"
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("introduced"), F.lit(0))
+            .cast("long")
+            .alias("introduced"),
         )
     )
     return per_doc.select(
