@@ -51,6 +51,7 @@ _BUCKET = 50
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.caching import persist_tracked
+    from dataengineering_spark.operators.dedup import spread_for_compute
 
     docs = _t(spark, sf_dir, "documents")
     # Per-doc token counts need no explode at all (size of the cleaned
@@ -60,8 +61,11 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-running the normalize regex both times); the persisted staged
     # frame runs the regex once.
     cleaned = F.array_remove(F.split(normalize_text("text"), " "), "")
+    # the regex+array staging is the query's CPU, and it runs at the
+    # SCAN's parallelism — fan out when the fixture file has fewer
+    # splits than cores (no-op at production split counts)
     staged = persist_tracked(
-        docs.select("doc_id", cleaned.alias("_ws")).select(
+        spread_for_compute(docs).select("doc_id", cleaned.alias("_ws")).select(
             "doc_id",
             F.size("_ws").alias("_n_toks"),
             F.array_distinct("_ws").alias("_dws"),

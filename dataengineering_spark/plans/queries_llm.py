@@ -2121,7 +2121,11 @@ FROM documents
 # signals (duplicate-word mass, duplicate-3-gram mass, top-3-gram
 # mass, mean word length). All count ratios: exact rational
 # arithmetic in both engines. Plan shape: a pure narrow map — ZERO
-# exchanges. Word metrics are engine array expressions, mean word
+# exchanges at production split counts (the scale-adaptive
+# spread_for_compute fan-out inserts one round-robin exchange only
+# when the scan has fewer splits than cores, so the interpreted
+# sort/fold work never serializes on one task at fixture scale).
+# Word metrics are engine array expressions, mean word
 # length is CLOSED-FORM from the normalized string length (len -
 # spaces), and the 3-gram stats come from sorting the per-doc
 # 3-gram struct array (three aligned slices + arrays_zip +
@@ -2143,7 +2147,10 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_array,
     )
 
-    docs = _docs(spark, sf_dir)
+    # zero-exchange queries inherit the SCAN's parallelism: a
+    # single-split fixture file would run every interpreted
+    # sort_array/fold on one core (no-op at production split counts)
+    docs = spread_for_compute(_docs(spark, sf_dir))
     w = word_array("text")
     n_ng = F.greatest(F.size(w) - 2, F.lit(0))
     zipped = F.arrays_zip(
@@ -3476,8 +3483,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan. distinct() matches the oracle's list_distinct per doc;
     # persist because both the first-occurrence agg and the join-back
     # re-reference the frame.
+    # spread: the normalize+shingle pass runs at SCAN parallelism and
+    # would serialize on a single-split fixture file (no-op at
+    # production split counts)
     grams = persist_tracked(
-        exploded_shingles(docs, "doc_id", "text", n=3)
+        exploded_shingles(spread_for_compute(docs), "doc_id", "text", n=3)
         .select("doc_id", F.col("shingle").alias("g"))
         .distinct()
     )
