@@ -64,51 +64,12 @@ def _base_hash(shingle: Column) -> Column:
     )
 
 
-def spread_for_compute(df: DataFrame) -> DataFrame:
-    """Ensure CPU-bound per-row work (md5 signature chains are
-    evaluated interpreted, not codegen'd) uses every core: a small
-    parquet file arrives as 1-2 partitions, which would serialize the
-    whole signature computation on one thread. No-op when the scan is
-    already parallel (the 100 TB case — file splits ≫ cores).
-
-    The split-count estimate prefers ``inputFiles()`` + local file
-    sizes (a file listing, ~30 ms) over ``df.rdd.getNumPartitions()``
-    (a full plan analysis + RDD conversion, ~300 ms of driver latency
-    per dedup query); the RDD probe remains the fallback for
-    non-file and remote sources."""
-    import os
-
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    split_bytes = 128 << 20  # spark.sql.files.maxPartitionBytes default
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if len(files) >= target:
-        return df  # ≥ one split per core already
-    est = 0
-    local_ok = bool(files)
-    for f in files:
-        if not f.startswith("file:"):
-            local_ok = False
-            break
-        p = f[5:]
-        while p.startswith("//"):
-            p = p[1:]
-        try:
-            sz = os.path.getsize(p)
-        except OSError:
-            local_ok = False
-            break
-        est += max(1, -(-sz // split_bytes))
-        if est >= target:
-            return df
-    if local_ok:
-        return df.repartition(target) if est < target else df
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# spread_for_compute moved to operators.topology (r13): it is
+# compute-topology plumbing, not dedup logic, and keeping it here made
+# every fan-out consumer drift on dedup-engine edits. Re-exported for
+# the existing import sites; drift signatures resolve the symbol to its
+# defining module, so those sites now (correctly) track topology.py.
+from dataengineering_spark.operators.topology import spread_for_compute  # noqa: E402,F401
 
 
 def shingles(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
