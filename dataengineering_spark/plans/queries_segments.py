@@ -306,8 +306,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             names=_RFM_NAMES,
         ).collect()
     }
+    # empty corpus: no percentile rows exist; the census below is empty
+    # regardless, so any literal cutoff is unreachable (same guard as
+    # q_dsir_resample / q_quantile_normalize)
     cuts = {
-        m: {nm: cut_rows[m][nm] for nm in _RFM_NAMES} for m in metrics
+        m: {
+            nm: (cut_rows[m][nm] if m in cut_rows else 0)
+            for nm in _RFM_NAMES
+        }
+        for m in metrics
     }
     # recency: smaller = better, so invert the ascending quintile
     return (
