@@ -152,6 +152,24 @@ HEADLINE = (
     "semantic_reps_incremental",
 )
 
+# Untimed warm-up queries (r14): NON-headline registry entries chosen to
+# exercise the operator families the early timed slots use — hash
+# aggregation + shuffle write (link_outputs_agg), window exec
+# (top1_by_order, sliding_window, ohlc_hourly), sort-merge/broadcast
+# joins (full_outer_join, promo_revenue), pivot (user_event_pivot) —
+# over the same input tables, so scan/footer caches warm identically but
+# no timed query ever runs before its timed slot (VERDICT r13 #7).
+WARMUP_SET = (
+    "link_outputs_agg",
+    "top1_by_order",
+    "full_outer_join",
+    "user_event_pivot",
+    "sliding_window",
+    "ohlc_hourly",
+    "promo_revenue",
+)
+assert not set(WARMUP_SET) & set(HEADLINE), "warm-up must not touch timed queries"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,22 +187,28 @@ def main() -> None:
 
     # warm-up: JIT, codegen cache, filesystem metadata
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    QUERIES["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # r13 measurement fix (documented in OPTIMIZATION_r13.md): the
-    # single-query warm-up demonstrably fails to amortize JVM/JIT
-    # startup — the first ~6 timed slots read 1.5-3x their isolated
-    # medians in slow host eras because the SHARED execution paths
-    # (window exec, shuffle writer, hash-join build) compile while
-    # they are being timed, which is exactly what the docstring above
-    # promises to amortize. Warm the common operator families once,
-    # untimed; the timing methodology below is unchanged. Set
-    # SPARK_GRAFT_BENCH_WARMUP_SET=0 to reproduce pre-r13 numbers.
+    # r13 introduced an untimed warm-up pass because the single-query
+    # warm-up demonstrably failed to amortize JVM/JIT startup — the first
+    # ~6 timed slots read 1.5-3x their isolated medians in slow host eras
+    # because the SHARED execution paths (window exec, shuffle writer,
+    # hash-join build, pivot) compile while they are being timed.  r13
+    # warmed HEADLINE[1:8] — the exact queries timed in slots 2-8 — which
+    # made the early slots structurally flattered (ADVICE r13 low /
+    # VERDICT #7).  r14 fix: warm on a FIXED, NAMED set of NON-headline
+    # registry queries exercising the same operator families (hash agg,
+    # window exec, sort-merge/broadcast join, pivot, sort) over the same
+    # input tables, so ZERO timed queries run before their timed slot.
+    # The timing methodology below is unchanged.  Set
+    # SPARK_GRAFT_BENCH_WARMUP_SET=0 to reproduce the pre-r13 warm-up
+    # (one untimed pricing_summary run).
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP_SET", "1") != "0":
-        for wname in HEADLINE[1:8]:
+        for wname in WARMUP_SET:
             wspec = QUERIES.get(wname)
             if wspec is not None:
                 spark.catalog.clearCache()
                 wspec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    else:
+        QUERIES["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}

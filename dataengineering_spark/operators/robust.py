@@ -126,7 +126,13 @@ def discrete_pcts_counted(
     supported (the ranked form orders them first, this form would
     order them per engine default); callers must pre-filter.
     """
-    g = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("_c"))
+    # NULLs dropped defensively (ADVICE r13 low): a nullable caller would
+    # otherwise silently shift every percentile via an inflated ``_n``.
+    g = (
+        df.filter(F.col(val).isNotNull())
+        .groupBy(key, val)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     w_cum = (
         Window.partitionBy(key)
         .orderBy(val)

@@ -782,54 +782,19 @@ _register_extra_queries()
 # is prepended ahead of the mechanical order (normally empty).  Every query
 # stays covered by tests/test_oracle_parity.py regardless of this ordering.
 #
-# r13 pins: the four r12 CC pins washed green in CORRECTNESS_r12 and are
-# dropped.  The v3 signature upgrade below (body-local imports + value-only
-# imports now enter the module closure) restamps every query wholesale at
-# rotate, which would otherwise hide the queries the v2 closure under-
-# approximated: these 36 have a last driver green that PREDATES an edit to
-# a module their v3 closure now contains (e.g. two_level_assign green r8,
-# operators/similarity.py hot-split edit r9; the kmv/countmin family green
-# r9-r10 over the r12 dedup.py edits; the six r7 semantic/DSIR/BPE queries
-# over the r11/r12 CC rewrite).  Pinning washes them through the r13
-# driver explicitly — the same one-round wash the v2 bump used for its
-# four known gaps.  Remove once CORRECTNESS_r13 shows them green.
+# r14 pins: all 36 r13 v3-wash pins show green rows in CORRECTNESS_r13 and
+# are dropped.  Pinned now: the five r13 batch-3 rewrites whose last driver
+# green PREDATES the rewrite (they fell outside the rotated r13 window;
+# VERDICT r13 "Next round" #3) — the r13 restamp means they no longer rank
+# as drifted, so the pin is the only thing that forces them into the r14
+# window.  growth_accounting additionally carries this round's ADVICE-high
+# null-week semantics fix.  Remove once CORRECTNESS_r14 shows them green.
 _DRIVER_PRIORITY: list[str] = [
-    "bpe_token_stats",
-    "semantic_dedup",
-    "dsir_weights",
-    "semantic_cell_stats",
-    "semantic_survivors",
-    "dsir_resample",
-    "log_index",
-    "hash_sample",
-    "stratified_sample",
-    "media_durations",
-    "image_decode",
-    "jpeg_meta",
-    "frame_sample",
-    "cosine_topk",
-    "lsh_ann",
-    "ivf_ann",
-    "embedding_neardup",
-    "ann_recall",
-    "two_level_assign",
-    "pcm_stats",
-    "dataset_split",
-    "mixture_sample",
-    "kmv_distinct",
-    "kmv_merge",
-    "hll_merge",
-    "weighted_sample",
-    "epoch_mixture",
-    "video_neardup",
-    "ngram_novelty",
-    "table_checksum",
-    "bloom_prune",
-    "countmin_topk",
-    "kmv_intersect",
-    "decontaminate_split",
-    "image_verify_rate",
-    "lsh_bucket_accounting",
+    "sla_percentiles",
+    "growth_accounting",
+    "repetition_metrics",
+    "vocab_growth",
+    "rfm_segments",
 ]
 
 # Package prefix for "our code" when walking a query callable's reference

@@ -66,11 +66,11 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.collect_set("week").alias("_weeks"),
-            # collect_set drops NULLs; the old distinct() kept a
-            # (user, NULL) row per null-week user. Count them so the
-            # explode below re-materializes them (they become the
+            # collect_set drops NULLs; the old distinct() kept AT MOST
+            # ONE (user, NULL) row per null-week user — a 0/1 flag, not
+            # an event count. The explode below re-materializes it (the
             # all-zero-flag NULL week group, same as before).
-            F.sum(F.col("week").isNull().cast("long")).alias("_n_null"),
+            F.max(F.col("week").isNull()).cast("long").alias("_n_null"),
         )
     )
     # array_min in its own projection BELOW the explode (generator

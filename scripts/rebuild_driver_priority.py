@@ -138,20 +138,31 @@ def compute_signatures(old_stamps, new_rounds) -> dict[str, str]:
 def main() -> None:
     """Regenerate driver_rounds.py.
 
-    ``--restamp-verified`` additionally refreshes the signature stamp of
-    every currently-drifted query to its LIVE signature.  This is an
-    EXPLICIT, logged action for rounds where in-repo verification has
-    already washed the drift (the r13 optimization round: every edited
-    query was driven through the __spark_entry__ contract against the
-    DuckDB oracle — driver-emulation vanilla session — and the full
-    oracle-parity suite ran green before each restamp; the external
-    driver additionally re-checks every declared query at round end).
-    Without the flag, rotate keeps its default no-launder behavior:
-    stamps refresh only for queries checked in a newly-ingested round.
+    ``--restamp-verified=<names-or-artifact>`` additionally refreshes the
+    signature stamp of the NAMED drifted queries to their LIVE signatures.
+    The value is mandatory (ADVICE r13 medium: the r13 blanket form
+    restamped a query that actually diverged from the oracle, suppressing
+    the drift-triggered recheck exactly where it was needed) and must be
+    either a comma-separated list of query names or a path to a
+    CORRECTNESS_r*.json-format parity artifact, from which only the GREEN
+    rows (rows+schema+hash, no err) are taken.  Any currently-drifted
+    query NOT covered by the evidence makes the run ERROR, so the caller
+    cannot silently launder an unverified edit; dropping the flag leaves
+    drifted queries ranked with the reds (the safe default).
     """
     import sys as _sys
 
-    restamp_verified = "--restamp-verified" in _sys.argv[1:]
+    restamp_arg = None
+    for a in _sys.argv[1:]:
+        if a == "--restamp-verified":
+            raise SystemExit(
+                "--restamp-verified now requires explicit evidence: pass "
+                "--restamp-verified=name1,name2 or "
+                "--restamp-verified=path/to/CORRECTNESS_rNN.json "
+                "(ADVICE r13: the blanket form restamped a diverged query)"
+            )
+        if a.startswith("--restamp-verified="):
+            restamp_arg = a.split("=", 1)[1]
     rounds = discover_rounds()
     hist = compute_history(rounds)
     try:
@@ -163,18 +174,46 @@ def main() -> None:
         old_ingested, old_stamps = set(), {}
     new_rounds = [r for r in rounds if r not in old_ingested]
     sigs = compute_signatures(old_stamps, new_rounds)
-    if restamp_verified:
+    if restamp_arg is not None:
         from dataengineering_spark.plans.queries import (
             QUERIES as _Q,
             _query_signature as _qsig,
         )
 
-        refreshed = []
+        if restamp_arg.endswith(".json"):
+            with open(restamp_arg) as f:
+                rows = json.load(f)
+            verified = {
+                n
+                for n, row in rows.items()
+                if row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            }
+        else:
+            verified = {n for n in restamp_arg.split(",") if n}
+        unknown = verified - set(_Q)
+        if unknown:
+            raise SystemExit(
+                f"--restamp-verified: unknown query names {sorted(unknown)}"
+            )
+        refreshed, drifted_unverified = [], []
         for name in _Q:
             live = _qsig(name)
-            if live is not None and sigs.get(name) not in (None, live):
+            if live is None or sigs.get(name) in (None, live):
+                continue  # not drifted (or no comparable stamp)
+            if name in verified:
                 sigs[name] = live
                 refreshed.append(name)
+            else:
+                drifted_unverified.append(name)
+        if drifted_unverified:
+            raise SystemExit(
+                "--restamp-verified: these queries are drifted but carry "
+                f"no green evidence: {sorted(drifted_unverified)} — verify "
+                "them (or drop the flag to leave them red-ranked)"
+            )
         print(f"--restamp-verified: refreshed {len(refreshed)} stamps")
     lines = [
         '"""AUTO-GENERATED by scripts/rebuild_driver_priority.py — do not edit.',

@@ -184,20 +184,17 @@ def test_rotate_rerun_does_not_launder_stamps():
 def test_driver_priority_pin_heads_window():
     from dataengineering_spark.plans.queries import _DRIVER_PRIORITY, _ordered_names
 
-    # r13 pins: the 36 queries whose last driver green predates an edit to
-    # a module their (new, v3) closure contains — the set the v3 wholesale
-    # restamp would otherwise launder.  Must head the window verbatim and
-    # lead with the six r7-stale semantic/DSIR/BPE queries (VERDICT r12
-    # #1).  Drop once CORRECTNESS_r13 shows them green.
+    # r14 pins: the five r13 batch-3 rewrites whose last driver green
+    # predates the rewrite (the r13 restamp means they no longer rank as
+    # drifted — the pin is what forces them into the r14 window; VERDICT
+    # r13 #3).  Drop once CORRECTNESS_r14 shows them green.
     pins = _DRIVER_PRIORITY
-    assert len(pins) == 36
-    assert pins[:6] == [
-        "bpe_token_stats",
-        "semantic_dedup",
-        "dsir_weights",
-        "semantic_cell_stats",
-        "semantic_survivors",
-        "dsir_resample",
+    assert pins == [
+        "sla_percentiles",
+        "growth_accounting",
+        "repetition_metrics",
+        "vocab_growth",
+        "rfm_segments",
     ]
     assert len(pins) <= 50, "pins must fit the driver window"
     assert _ordered_names()[: len(pins)] == pins

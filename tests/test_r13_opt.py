@@ -68,6 +68,19 @@ def test_discrete_pcts_counted_single_row_groups(spark):
     assert out == {"a": (7, 7), "b": (3, 3)}
 
 
+def test_discrete_pcts_counted_drops_null_vals(spark):
+    """NULL val rows are dropped defensively (ADVICE r13 low): they must
+    not inflate _n and shift the selected percentiles."""
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 1), ("a", 3, 2), ("a", None, 3), ("a", None, 4)],
+        "k string, v int, tie long",
+    )
+    out = discrete_pcts_counted(
+        df, "k", "v", (0.0, 0.5, 1.0), ("lo", "med", "hi")
+    ).collect()[0]
+    assert (out["lo"], out["med"], out["hi"]) == (1, 2, 3)
+
+
 def test_growth_accounting_null_week_rows(spark, tmp_path):
     """The collect_set rewrite re-materializes NULL-week rows: a user
     with null-ts events contributes an all-zero-flag NULL week group
@@ -84,19 +97,22 @@ def test_growth_accounting_null_week_rows(spark, tmp_path):
             datetime(2024, 1, 1, 10),  # u1 week 1
             datetime(2024, 1, 8, 10),  # u1 week 2 (retained)
             None,                      # u1 null week
-            None,                      # u2 all-null user
+            None,                      # u2 all-null user...
+            None,                      # ...with TWO null-ts events: the
+                                       # oracle's DISTINCT dedups to ONE
+                                       # (user, NULL) row (ADVICE r13 high)
             datetime(2024, 1, 22, 10), # u3 week 4 (new)
         ],
         type=pa.timestamp("us"),
     )
     tbl = pa.table(
         {
-            "user_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
             "ts": ts,
-            "event_type": pa.array(["a"] * 5),
-            "value": pa.array([1.0] * 5),
-            "props": pa.array(["{}"] * 5),
-            "event_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+            "event_type": pa.array(["a"] * 6),
+            "value": pa.array([1.0] * 6),
+            "props": pa.array(["{}"] * 6),
+            "event_id": pa.array([10, 11, 12, 13, 14, 15], type=pa.int64()),
         }
     )
     pq.write_table(tbl, f"{d}/events.parquet")
@@ -110,7 +126,8 @@ def test_growth_accounting_null_week_rows(spark, tmp_path):
         )
         for r in q_growth_accounting(spark, d).collect()
     }
-    # NULL week: one row per null-ts event, all flags zero
+    # NULL week: one row per null-week USER (u2's two null events dedup
+    # to one row, matching the oracle's DISTINCT), all flags zero
     assert out[None] == (2, 0, 0, 0, 0)
     assert out["2024-01-01"] == (1, 1, 0, 0, 0)
     # week 2: u1 retained; churned = active(w1) - retained(w2) = 0
