@@ -51,7 +51,6 @@ _BUCKET = 50
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineering_spark.caching import persist_tracked
-    from dataengineering_spark.operators.dedup import spread_for_compute
 
     docs = _t(spark, sf_dir, "documents")
     # Per-doc token counts need no explode at all (size of the cleaned
@@ -60,12 +59,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pre-r13 shape exploded every token twice (once per branch,
     # re-running the normalize regex both times); the persisted staged
     # frame runs the regex once.
+    #
+    # r14: the r13 spread_for_compute fan-out is REMOVED — it was the
+    # measured regression source (VERDICT r13 #4; alternating A/B:
+    # spread+persist 2.08 s, persist-only 1.76 s, spread-only 2.52 s at
+    # sf0.1).  The round-robin exchange ships the full text payload just
+    # to parallelize a regex the single scan task finishes faster, and
+    # at production split counts the fan-out is a no-op anyway, so
+    # dropping it is scale-neutral.
     cleaned = F.array_remove(F.split(normalize_text("text"), " "), "")
-    # the regex+array staging is the query's CPU, and it runs at the
-    # SCAN's parallelism — fan out when the fixture file has fewer
-    # splits than cores (no-op at production split counts)
     staged = persist_tracked(
-        spread_for_compute(docs).select("doc_id", cleaned.alias("_ws")).select(
+        docs.select("doc_id", cleaned.alias("_ws")).select(
             "doc_id",
             F.size("_ws").alias("_n_toks"),
             F.array_distinct("_ws").alias("_dws"),

@@ -12,12 +12,18 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from dataengineering_spark.operators.dedup import (
     _driver_union_find,
     _partition_forest,
     _star_rounds,
     connected_components,
 )
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
 
 
 def _star_path(pairs, **kw):

@@ -11,6 +11,12 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 
 def _duck(pdf_map: dict) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

@@ -10,6 +10,12 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     deadline=None,
     max_examples=12,

@@ -11,6 +11,12 @@ from dataengineering_spark.functions.templating import format_sql_query, render_
 from dataengineering_spark.functions.utils import column_letter
 from dataengineering_spark.operators.setops import union_all
 
+import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 _ident = st.text("abcdefghij", min_size=1, max_size=8)
 
 

@@ -23,6 +23,11 @@ import os
 import shutil
 
 import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from dataengineering_spark.operators.dedup import connected_components

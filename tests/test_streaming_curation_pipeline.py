@@ -33,6 +33,12 @@ from dataengineering_spark.streaming.curation import (
     curation_pipeline_stream,
 )
 
+import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 EPOCH_MOD = 3
 N_GRAM = 8

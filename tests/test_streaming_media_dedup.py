@@ -22,6 +22,12 @@ from dataengineering_spark.streaming.media_dedup import (
     media_neardup_stream,
 )
 
+import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 N_DOCS = 90
 EPOCH_MOD = 3
 

@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 
 from dataengineering_spark.streaming.rate_limited import block_range_stream
 
+import pytest
+
+# Long-horizon fuzz/soak/equivalence suite: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 N_BLOCKS = 500
 PER_TRIGGER = 10  # → exactly 50 clamped ranges end-to-end
 
