@@ -959,7 +959,11 @@ def connected_components(
         # count; callers that force driver_threshold=0 skip the gate AND
         # this valve (the count would re-evaluate the whole pair join)
         # and own their input partition sizing.
-        if n_pairs is not None:
+        # only pay the RDD partition probe (plan analysis + RDD
+        # conversion, ~0.1-0.3 s driver latency) when the valve can
+        # possibly fire: n_pairs <= MAX implies n_pairs/n_parts <= MAX
+        # for every n_parts >= 1 (r14)
+        if n_pairs is not None and n_pairs > _FOREST_PASS1_MAX_PER_PART:
             n_parts = max(1, edges.rdd.getNumPartitions())
             if n_pairs / n_parts > _FOREST_PASS1_MAX_PER_PART:
                 edges = edges.repartition(

@@ -201,12 +201,26 @@ def keyed_ranks(
     )
 
 
+def _global_pct_order_key(v):
+    """Python sort key matching Spark ascending ORDER BY for one
+    column: NULLs first, NaN last (Spark treats NaN as greater than any
+    non-NaN double), plain values in between."""
+    import math
+
+    if v is None:
+        return (0, 0)
+    if isinstance(v, float) and math.isnan(v):
+        return (2, 0)
+    return (1, v)
+
+
 def global_discrete_pcts(
     df: DataFrame,
     val: str,
     tie: str,
     pcts: Sequence[float],
     names: Sequence[str],
+    driver_threshold: int = 100_000,
 ) -> dict[str, int]:
     """GLOBAL discrete percentiles of ``val`` → {name: value} on the driver.
 
@@ -221,8 +235,34 @@ def global_discrete_pcts(
     O(#partitions) — cluster-bounded, never data-bounded. Callers
     inline the returned cut values as literals (the 1-row collect is
     the same bounded class as the IVF centroid pulls).
+
+    r14 driver gate (the connected_components limit-gate idiom): ONE
+    bounded evaluation of ``limit(driver_threshold+1)`` on the val
+    column decides the path AND carries the values when the frame is
+    small — at ≤ threshold rows the collected column IS the full value
+    multiset, and the value at rank ``floor(p*(n-1))+1`` of the sorted
+    multiset is by definition what the distributed rank pass selects
+    (the tie column disambiguates ROWS, never the selected VALUE).
+    The distributed pattern above was measured at ~0.8 s on a
+    5,000-row frame (dsir_resample, sf0.1) — pure sample/shuffle/
+    two-collect overhead.  Driver memory stays bounded: ≤ threshold+1
+    skinny values (~1 MB at the default).  Above the threshold the
+    RangePartitioner path runs unchanged.
     """
     from dataengineering_spark.caching import persist_tracked
+
+    if driver_threshold:
+        head = [
+            r[0] for r in df.select(val).limit(driver_threshold + 1).collect()
+        ]
+        if len(head) <= driver_threshold:
+            if not head:
+                return {nm: None for nm in names}
+            head.sort(key=_global_pct_order_key)
+            n = len(head)
+            return {
+                nm: head[int(p * (n - 1))] for p, nm in zip(pcts, names)
+            }
 
     # three jobs (counts collect, hits collect, any caller re-read)
     # read this ranged layout — a recompute would re-sample the range

@@ -876,16 +876,19 @@ def q_semantic_reps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     cent_rows = _sem_cent_rows(spark, sf_dir)
-    # both cell frames feed two consumers each (cells1: epoch-1 pairs +
-    # the reps index; cells2: intra-epoch pairs + the reps join) —
-    # persist so the assign map over the embeddings scan runs once per
-    # epoch instead of per consumer (the semantic_dedup_members idiom)
-    cells1 = persist_tracked(_batch_cells(
-        emb.filter(F.col("vec_id") % 2 == 0), cent_rows, "vec_id", "embedding"
-    ))
-    cells2 = persist_tracked(_batch_cells(
-        emb.filter(F.col("vec_id") % 2 == 1), cent_rows, "vec_id", "embedding"
-    ))
+    # ONE assign pass (r14, VERDICT r13 #8): the quantizer assign is a
+    # deterministic per-row map, so assigning ALL vectors once and
+    # deriving each epoch by a parity filter of the persisted frame is
+    # value-identical to the two per-epoch assigns the r13 shape ran —
+    # one embeddings scan + one literal-CASE assign instead of two of
+    # each, and one persist materialization job instead of two.  The
+    # cell frames still feed two consumers each (cells1: epoch-1 pairs
+    # + the reps index; cells2: intra-epoch pairs + the reps join).
+    cells_all = persist_tracked(
+        _batch_cells(emb, cent_rows, "vec_id", "embedding")
+    )
+    cells1 = cells_all.filter(F.col("vec_id") % 2 == 0)
+    cells2 = cells_all.filter(F.col("vec_id") % 2 == 1)
     # the epoch-1 pair join is read by the forest sizing count AND the
     # contraction pass — persist so the within-cell scoring join runs
     # once (connected_components' own persist discipline)

@@ -155,16 +155,28 @@ def test_global_discrete_pcts_matches_sorted_rank(spark, vals):
     pdf = pd.DataFrame({"v": vals})
     pdf["uid"] = range(len(pdf))
     df = spark.createDataFrame(pdf)
-    got = global_discrete_pcts(
-        df, val="v", tie="uid", pcts=(0.25, 0.5, 0.9), names=("a", "b", "c")
-    )
     ordered = sorted(zip(pdf["v"], pdf["uid"]))
     n = len(ordered)
     want = {
         nm: ordered[int(p * (n - 1))][0]
         for p, nm in zip((0.25, 0.5, 0.9), ("a", "b", "c"))
     }
+    # both the r14 small-frame driver gate (default threshold) and the
+    # distributed RangePartitioner path (threshold forced off) must
+    # select the identical rank values
+    got = global_discrete_pcts(
+        df, val="v", tie="uid", pcts=(0.25, 0.5, 0.9), names=("a", "b", "c")
+    )
     assert got == want
+    got_dist = global_discrete_pcts(
+        df,
+        val="v",
+        tie="uid",
+        pcts=(0.25, 0.5, 0.9),
+        names=("a", "b", "c"),
+        driver_threshold=0,
+    )
+    assert got_dist == want
 
 
 @settings(**_SETTINGS)
