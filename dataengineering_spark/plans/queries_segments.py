@@ -247,6 +247,10 @@ FROM stats WHERE n = 7
 
 _RFM_PCTS = (0.2, 0.4, 0.6, 0.8)
 _RFM_NAMES = ("c20", "c40", "c60", "c80")
+# driver-gate threshold for the quintile-cut pull: ≤ this many users
+# collect as 3 long columns (~2.4 MB) and the cuts compute in Python;
+# above it the distributed keyed rank pass runs (the 100 TB path)
+_RFM_DRIVER_MAX = 100_000
 
 
 def _score_lit(v: str, cuts: dict[str, int]):
@@ -281,41 +285,63 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver jobs. Cuts are inlined as literals, so the scoring pass
     # stays a pure narrow map: no join, no window.
     metrics = ("recency", "freq", "money")
-    unpivoted = u.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("metric"),
-                        F.col(m).cast("long").alias("v"),
-                        F.col("user_id").alias("user_id"),
-                    )
-                    for m in metrics
-                ]
-            )
-        ).alias("s")
-    ).select("s.metric", "s.v", "s.user_id")
-    cut_rows = {
-        r["metric"]: r
-        for r in discrete_pcts(
-            unpivoted,
-            key="metric",
-            val="v",
-            tie="user_id",
-            pcts=_RFM_PCTS,
-            names=_RFM_NAMES,
-        ).collect()
-    }
-    # empty corpus: no percentile rows exist; the census below is empty
-    # regardless, so any literal cutoff is unreachable (same guard as
-    # q_dsir_resample / q_quantile_normalize)
-    cuts = {
-        m: {
-            nm: (cut_rows[m][nm] if m in cut_rows else 0)
-            for nm in _RFM_NAMES
+    # r14 driver gate (the global_discrete_pcts idiom, commit 758091b):
+    # ONE bounded limit-collect of the three metric columns decides the
+    # path AND carries the values when the user frame is small — the
+    # quintile cut per metric is by definition the value at rank
+    # floor(p·(n−1))+1 of that metric's sorted column (the user_id tie
+    # disambiguates ROWS, never the selected VALUE).  The distributed
+    # keyed rank pass below it cost ~6 jobs (range shuffle + offsets
+    # collect + hits collect) on a ~50k-row frame at sf0.1.  Driver
+    # memory stays bounded: ≤ threshold rows × 3 longs (~2.4 MB).
+    # Above the threshold the unpivot + keyed discrete_pcts pass runs
+    # unchanged — the 100 TB path.
+    head = u.select(*metrics).limit(_RFM_DRIVER_MAX + 1).collect()
+    if len(head) <= _RFM_DRIVER_MAX:
+        n = len(head)
+        cuts = {}
+        for m in metrics:
+            vals = sorted(int(r[m]) for r in head)
+            cuts[m] = {
+                nm: (vals[int(p * (n - 1))] if n else 0)
+                for p, nm in zip(_RFM_PCTS, _RFM_NAMES)
+            }
+    else:
+        unpivoted = u.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("metric"),
+                            F.col(m).cast("long").alias("v"),
+                            F.col("user_id").alias("user_id"),
+                        )
+                        for m in metrics
+                    ]
+                )
+            ).alias("s")
+        ).select("s.metric", "s.v", "s.user_id")
+        cut_rows = {
+            r["metric"]: r
+            for r in discrete_pcts(
+                unpivoted,
+                key="metric",
+                val="v",
+                tie="user_id",
+                pcts=_RFM_PCTS,
+                names=_RFM_NAMES,
+            ).collect()
         }
-        for m in metrics
-    }
+        # empty corpus: no percentile rows exist; the census below is
+        # empty regardless, so any literal cutoff is unreachable (same
+        # guard as q_dsir_resample / q_quantile_normalize)
+        cuts = {
+            m: {
+                nm: (cut_rows[m][nm] if m in cut_rows else 0)
+                for nm in _RFM_NAMES
+            }
+            for m in metrics
+        }
     # recency: smaller = better, so invert the ascending quintile
     return (
         u.select(
