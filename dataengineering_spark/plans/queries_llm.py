@@ -3483,11 +3483,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan. distinct() matches the oracle's list_distinct per doc;
     # persist because both the first-occurrence agg and the join-back
     # re-reference the frame.
-    # spread: the normalize+shingle pass runs at SCAN parallelism and
-    # would serialize on a single-split fixture file (no-op at
-    # production split counts)
+    # spread: exploded_shingles applies spread_for_compute itself; the
+    # r13 outer wrapper here DOUBLED the round-robin exchange of the
+    # full text payload (spread(spread(docs)) — inputFiles() sees the
+    # same single fixture file both times, so the inner call cannot
+    # detect the outer one; plan read 2 RoundRobin exchanges, r14: 1)
     grams = persist_tracked(
-        exploded_shingles(spread_for_compute(docs), "doc_id", "text", n=3)
+        exploded_shingles(docs, "doc_id", "text", n=3)
         .select("doc_id", F.col("shingle").alias("g"))
         .distinct()
     )
