@@ -124,7 +124,16 @@ def exploded_shingles(
     removed here: min-hash is duplicate-insensitive and Jaccard
     callers build sets with collect_set."""
     words = F.split(normalize_text(text_col), " ")
-    d = spread_for_compute(docs).select(F.col(id_col), words.alias("w"))
+    # r14: the spread_for_compute fan-out is REMOVED here.  Alternating
+    # A/Bs at sf0.1 (identical outputs asserted): minhash_signatures
+    # 1.58 -> 1.24 s median, full minhash_lsh_pairs 2.21 -> 1.75 s —
+    # the round-robin exchange ships the full text payload and splits
+    # the codegen pipeline just to parallelize per-row work the single
+    # scan task finishes faster, and the groupBy that follows
+    # redistributes anyway.  At production split counts the fan-out
+    # was a no-op; for mid-scale single-file probes where the serial
+    # scan would dominate, spread at the call site explicitly.
+    d = docs.select(F.col(id_col), words.alias("w"))
     shifted = [
         F.slice(F.col("w"), i + 1, F.greatest(F.size("w") - i, F.lit(0))).alias(
             f"g{i}"
