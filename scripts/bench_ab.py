@@ -74,6 +74,10 @@ def main() -> None:
             k: round(v, 2)
             for k, v in sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
         },
+        "best": {
+            k: round(v, 2)
+            for k, v in sorted(ratios.items(), key=lambda kv: kv[1])[:8]
+        },
         "verdict": (
             "no code-level change" if 0.9 <= med <= 1.1 else "bisect the skew"
         ),
