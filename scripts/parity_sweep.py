@@ -5,9 +5,16 @@ flushes out data-dependent greens — results that only match because of
 a coincidence of the sf0.01 corpus (the round-4 PQ empty-cluster
 hazard was exactly this class).
 
-Usage: python scripts/parity_sweep.py [sf_dir ...]
+Usage: python scripts/parity_sweep.py [sf_dir ...] [--artifact PATH]
 Defaults to sf0.001 and sf0.1. Prints one line per (sf, query) failure
 and a final summary; exit code 1 on any mismatch.
+
+``--artifact PATH`` additionally writes a CORRECTNESS_r*.json-format
+record ({name: {rows_match, schema_match, hash_match, err}} — green
+only when the query matched at EVERY swept sf) so
+``rebuild_driver_priority.py --restamp-verified=PATH`` has a
+machine-checked evidence chain instead of a hand-claimed one (ADVICE
+r13 medium).
 """
 
 from __future__ import annotations
@@ -54,6 +61,30 @@ def run_sweep(sf_dirs: list[str]) -> int:
               f"failed in {time.time() - t0:.0f}s", flush=True)
         con.close()
     spark.stop()
+    artifact = None
+    for a in sys.argv[1:]:
+        if a.startswith("--artifact="):
+            artifact = a.split("=", 1)[1]
+    if artifact:
+        import json
+
+        failed_names = {n for _sf, n, _m in failures}
+        rows = {}
+        for name, spec in QUERIES.items():
+            if spec.sql is None:
+                continue
+            ok = name not in failed_names
+            rows[name] = {
+                "rows_match": ok,
+                "schema_match": ok,
+                "hash_match": ok,
+                "err": None
+                if ok
+                else "; ".join(m for _sf, n, m in failures if n == name)[:200],
+            }
+        with open(artifact, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {artifact}: {len(rows)} rows, {len(failed_names)} red")
     if failures:
         print(f"TOTAL FAILURES: {len(failures)}")
         return 1

@@ -21,9 +21,36 @@ import glob
 import json
 import os
 import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "dataengineering_spark", "plans", "driver_rounds.py")
+# When run as `python scripts/rebuild_driver_priority.py`, sys.path[0]
+# is scripts/, NOT the repo root — so the package import of the OLD map
+# inside main() silently failed, the bare except bootstrapped EVERY
+# stamp to its live signature, and the no-launder semantics never
+# engaged for script-invoked rotates (r14 finding: every `make rotate`
+# since the stamps existed laundered them).  Insert the repo root
+# before anything imports the package.
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def load_old_map() -> tuple[set[int], dict[str, str]]:
+    """(ingested rounds, stamps) from the committed driver_rounds.py.
+
+    A missing module (true first bootstrap) returns empty sets; any
+    OTHER failure is re-raised — silently treating an import error as
+    "no prior map" is exactly the stamp-laundering bug above."""
+    try:
+        from dataengineering_spark.plans import driver_rounds as _old
+    except ImportError:
+        if os.path.exists(OUT):
+            raise  # the file exists but cannot import — do not launder
+        return set(), {}
+    return set(_old.INGESTED_ROUNDS), dict(
+        getattr(_old, "DRIVER_SIGNATURES", {})
+    )
 
 
 def discover_rounds() -> list[int]:
@@ -165,13 +192,7 @@ def main() -> None:
             restamp_arg = a.split("=", 1)[1]
     rounds = discover_rounds()
     hist = compute_history(rounds)
-    try:
-        from dataengineering_spark.plans import driver_rounds as _old
-
-        old_ingested = set(_old.INGESTED_ROUNDS)
-        old_stamps = dict(getattr(_old, "DRIVER_SIGNATURES", {}))
-    except Exception:
-        old_ingested, old_stamps = set(), {}
+    old_ingested, old_stamps = load_old_map()
     new_rounds = [r for r in rounds if r not in old_ingested]
     sigs = compute_signatures(old_stamps, new_rounds)
     if restamp_arg is not None:

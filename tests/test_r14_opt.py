@@ -40,3 +40,30 @@ def test_global_pct_gate_empty_frame(spark):
             df, "v", "uid", (0.5,), ("cut",), driver_threshold=thr
         )
         assert got == {"cut": None}
+
+
+def test_rebuild_script_loads_old_map_from_script_invocation():
+    """`python scripts/rebuild_driver_priority.py` runs with sys.path[0]
+    = scripts/, where the package import of the committed map used to
+    fail SILENTLY and bootstrap every stamp live (r14 laundering bug).
+    load_old_map must see the committed stamps from a bare script-style
+    process (cwd outside the repo, no conftest path help)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import runpy; m = runpy.run_path("
+            "'/root/repo/scripts/rebuild_driver_priority.py',"
+            " run_name='loaded'); "
+            "ing, stamps = m['load_old_map'](); print(len(ing), len(stamps))",
+        ],
+        cwd="/",
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    n_rounds, n_stamps = map(int, out.stdout.split())
+    assert n_rounds >= 13 and n_stamps > 200, out.stdout
