@@ -15,6 +15,11 @@ import os
 import duckdb
 import pytest
 
+# Whole-registry long-horizon sweep: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

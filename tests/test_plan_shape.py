@@ -7,6 +7,8 @@ waiting to happen — so the plan shape is part of the contract.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dataengineering_spark.catalog import read_table
@@ -50,6 +52,7 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_extendedprice" not in read_schema[0]
 
 
+@pytest.mark.slow  # whole-registry plan scan (~70-80 s): driver-budget exclusion, runs in make test-slow
 def test_no_cartesian_products_anywhere(spark):
     """No registry query may contain a cartesian/nested-loop join —
     the plan shape that cannot scale. (The one intentional 1-row
@@ -88,6 +91,7 @@ def test_no_cartesian_products_anywhere(spark):
     assert not offenders, offenders
 
 
+@pytest.mark.slow  # whole-registry plan scan (~70-80 s): driver-budget exclusion, runs in make test-slow
 def test_no_single_partition_window_anywhere(spark):
     """No registry query may rank/aggregate through a partition-less
     Window: `Exchange SinglePartition` directly under a Window funnels

@@ -14,6 +14,12 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
+# Packaging-lane subprocess tests (~45 s): excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
+
 SCRIPT = r"""
 import sys
 sys.path.insert(0, "/root/repo")  # driver-side import path only

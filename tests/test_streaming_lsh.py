@@ -10,6 +10,12 @@ import time
 from pyspark.sql import functions as F
 
 from dataengineering_spark.operators.dedup import minhash_lsh_pairs
+
+import pytest
+
+# Whole-registry long-horizon sweep: excluded from the default
+# (driver-budget) pytest run; gates shipping via `make test-slow`.
+pytestmark = pytest.mark.slow
 from dataengineering_spark.streaming.lsh import (
     accumulated_pairs,
     lsh_neardup_batch_fn,
